@@ -1,0 +1,156 @@
+"""Configuration: YAML file + ``ORAMACORE_``-style env overrides.
+
+Mirrors the reference's config surface (`config.yaml:1-81`,
+`bin/oramacore.rs:12-32`, `lib.rs:56-63`) with TPU-specific additions
+(mesh shape, device dtypes, kernel knobs). Env vars use the prefix
+``ORAMAX_`` and ``__``-separated paths, e.g.
+``ORAMAX_writer_side__master_api_key=...``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+try:
+    import yaml
+except Exception:  # pragma: no cover
+    yaml = None
+
+ENV_PREFIX = "ORAMAX_"
+
+
+@dataclasses.dataclass
+class HttpConfig:
+    host: str = "127.0.0.1"
+    port: int = 8080
+    allow_cors: bool = True
+    with_prometheus: bool = True
+
+
+@dataclasses.dataclass
+class LogConfig:
+    level: str = "info"
+    file_path: Optional[str] = None
+
+
+@dataclasses.dataclass
+class WriterSideConfig:
+    data_dir: str = "./.data/writer"
+    master_api_key: str = "master"
+    # Queue capacity of the op log channel (reference: lib.rs:123 => 10_000)
+    channel_capacity: int = 10_000
+    # Commit after this many ops (reference: insert_batch_commit_size)
+    insert_batch_commit_size: int = 5_000
+    # Seconds between background commits (reference default 60s)
+    commit_interval_sec: float = 60.0
+    default_embedding_model: str = "fake-small"
+    embedding_queue_limit: int = 10_000
+
+
+@dataclasses.dataclass
+class ReaderSideConfig:
+    data_dir: str = "./.data/reader"
+    insert_batch_commit_size: int = 10_000
+    commit_interval_sec: float = 60.0
+
+
+@dataclasses.dataclass
+class AiConfig:
+    """Embedding + LLM config (reference `ai_server:` yaml section).
+
+    ``backend``:
+      - "fake": deterministic hash-projection embedder (tests/CI; plays the
+        role of the reference's in-process fake AI server, test_utils.rs:96-133)
+      - "jax": in-process JAX encoder forward (the TPU-native replacement for
+        the reference's Python gRPC sidecar + ONNX runtime)
+    """
+
+    backend: str = "fake"
+    embedding_model: str = "fake-small"
+    llm_model: str = "fake-llm"
+    hf_model_path: Optional[str] = None  # load real weights if given
+    max_batch_size: int = 64
+
+
+@dataclasses.dataclass
+class TpuConfig:
+    """TPU/mesh execution knobs (no counterpart in the reference)."""
+
+    # Mesh axis sizes; data axis shards documents, model axis shards the
+    # embedding model (tensor parallel). () => single device.
+    mesh_shape: Tuple[int, ...] = ()
+    mesh_axis_names: Tuple[str, ...] = ("data", "model")
+    vector_dtype: str = "bfloat16"
+    score_dtype: str = "float32"
+    # Pad document capacity to multiples of this (static-shape buckets)
+    doc_capacity_step: int = 8192
+    posting_bucket_steps: Tuple[int, ...] = (256, 1024, 4096, 16384, 65536, 262144)
+    use_pallas: bool = True
+
+
+@dataclasses.dataclass
+class OramaxConfig:
+    http: HttpConfig = dataclasses.field(default_factory=HttpConfig)
+    log: LogConfig = dataclasses.field(default_factory=LogConfig)
+    writer_side: WriterSideConfig = dataclasses.field(default_factory=WriterSideConfig)
+    reader_side: ReaderSideConfig = dataclasses.field(default_factory=ReaderSideConfig)
+    ai: AiConfig = dataclasses.field(default_factory=AiConfig)
+    tpu: TpuConfig = dataclasses.field(default_factory=TpuConfig)
+
+    @staticmethod
+    def load(path: Optional[str] = None, env: Optional[Dict[str, str]] = None) -> "OramaxConfig":
+        data: Dict[str, Any] = {}
+        path = path or os.environ.get("CONFIG_PATH")
+        if path and os.path.exists(path):
+            if yaml is None:
+                raise RuntimeError("pyyaml unavailable; cannot read config file")
+            with open(path, "r", encoding="utf-8") as f:
+                data = yaml.safe_load(f) or {}
+        env = dict(os.environ if env is None else env)
+        for key, value in env.items():
+            if not key.startswith(ENV_PREFIX):
+                continue
+            parts = key[len(ENV_PREFIX):].split("__")
+            node = data
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = _coerce(value)
+        return OramaxConfig.from_dict(data)
+
+    @staticmethod
+    def from_dict(data: Dict[str, Any]) -> "OramaxConfig":
+        cfg = OramaxConfig()
+        for section_name, section_cls in (
+            ("http", HttpConfig),
+            ("log", LogConfig),
+            ("writer_side", WriterSideConfig),
+            ("reader_side", ReaderSideConfig),
+            ("ai", AiConfig),
+            ("tpu", TpuConfig),
+        ):
+            section_data = data.get(section_name) or {}
+            section = getattr(cfg, section_name)
+            for f in dataclasses.fields(section_cls):
+                if f.name in section_data:
+                    v = section_data[f.name]
+                    if isinstance(getattr(section, f.name), tuple) and isinstance(v, list):
+                        v = tuple(v)
+                    setattr(section, f.name, v)
+        return cfg
+
+
+def _coerce(v: str) -> Any:
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    return v

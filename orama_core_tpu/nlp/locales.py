@@ -1,0 +1,52 @@
+"""Locale registry (reference: `src/nlp/locales.rs`, 34 locales).
+
+Each locale carries a word-split pattern, an optional stemmer and a
+stop-word table. Locales without dedicated resources degrade gracefully to
+unicode word splitting with no stemming — the same shape as the reference,
+where e.g. UK/ZH have no Snowball stemmer (`nlp/mod.rs:100-108`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+# All locales the reference accepts (locales.rs).
+LOCALES = (
+    "ar", "bg", "da", "de", "el", "en", "es", "et", "fi", "fr", "ga", "hi",
+    "hu", "hy", "id", "it", "jp", "ko", "lt", "ne", "nl", "no", "pt", "ro",
+    "ru", "sa", "sl", "sr", "sv", "ta", "tr", "uk", "zh", "km",
+)
+
+DEFAULT_LOCALE = "en"
+
+# Word splitting: unicode-aware "non word" split. CJK locales split on any
+# non-letter and additionally break each CJK codepoint into its own token.
+_DEFAULT_SPLIT = re.compile(r"[^\w]+", re.UNICODE)
+_CJK_LOCALES = frozenset({"zh", "jp", "ko"})
+_CJK_CHAR = re.compile(
+    "([一-鿿㐀-䶿぀-ヿ가-힯])"
+)
+
+
+def normalize_locale(locale: Optional[str]) -> str:
+    if not locale:
+        return DEFAULT_LOCALE
+    low = locale.lower()
+    if low not in LOCALES:
+        raise ValueError(f"unsupported locale {locale!r}")
+    return low
+
+
+def split_pattern(locale: str) -> "re.Pattern[str]":
+    return _DEFAULT_SPLIT
+
+
+def is_cjk(locale: str) -> bool:
+    return locale in _CJK_LOCALES
+
+
+def split_cjk(token: str) -> list:
+    """Break CJK runs into single-character tokens, keep latin runs whole."""
+    parts = [p for p in _CJK_CHAR.split(token) if p]
+    return parts

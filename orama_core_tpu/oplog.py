@@ -1,0 +1,166 @@
+"""Offset-stamped operation log: the single write→read communication path.
+
+TPU-native counterpart of the reference's op channel
+(`sides/write/operation.rs:28-133`): every mutation becomes a typed
+``WriteOperation`` stamped with a monotonically increasing ``Offset`` and is
+consumed by the read side, which folds it into uncommitted (host-side,
+mutable) index state. "Commit" then repacks host state into immutable packed
+device arrays — the committed/uncommitted split of the reference, with device
+arrays playing the role of the on-disk generation files.
+
+The channel is a bounded in-memory queue (the reference's
+``SideChannelType::InMemory``, lib.rs:45-49); the typed-op + offset seam is
+where a durable replication log would plug in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Any, Dict, List, Optional, Tuple
+
+from .types import TypedField, ValueType
+
+
+@dataclasses.dataclass(frozen=True)
+class Offset:
+    value: int
+
+    def next(self) -> "Offset":
+        return Offset(self.value + 1)
+
+
+# --- Operation payloads (reference: operation.rs:28-71) ----------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CreateCollectionOp:
+    collection_id: str
+    description: Optional[str]
+    read_api_key: str
+    default_locale: str = "en"
+
+
+@dataclasses.dataclass(frozen=True)
+class CreateFieldOp:
+    collection_id: str
+    field: TypedField
+
+
+@dataclasses.dataclass(frozen=True)
+class InsertDocumentOp:
+    collection_id: str
+    doc_id: int
+    document: Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeleteDocumentsOp:
+    collection_id: str
+    doc_ids: Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexStringOp:
+    """terms: {term: [positions...]} — output of tokenize_and_stem
+    (reference: DocumentFieldIndexOperation::IndexString, fields.rs:355-368)."""
+
+    collection_id: str
+    doc_id: int
+    field_id: int
+    field_length: int
+    terms: Dict[str, Tuple[int, ...]]
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexNumberOp:
+    collection_id: str
+    doc_id: int
+    field_id: int
+    value: float
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexBoolOp:
+    collection_id: str
+    doc_id: int
+    field_id: int
+    value: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexEmbeddingOp:
+    collection_id: str
+    doc_id: int
+    field_id: int
+    vectors: Tuple[Tuple[float, ...], ...]  # multi-vector per document
+
+
+WriteOperation = Any  # union of the dataclasses above
+
+
+@dataclasses.dataclass(frozen=True)
+class StampedOp:
+    offset: Offset
+    op: WriteOperation
+
+
+class OperationSender:
+    """Stamps ops with offsets and pushes into the bounded channel."""
+
+    def __init__(self, q: "queue.Queue[StampedOp]") -> None:
+        self._q = q
+        self._lock = threading.Lock()
+        self._offset = 0
+
+    @property
+    def offset(self) -> int:
+        return self._offset
+
+    def set_offset(self, offset: int) -> None:
+        """Restore the counter on reload (reference: offset_storage.rs)."""
+        with self._lock:
+            self._offset = offset
+
+    def send(self, op: WriteOperation) -> Offset:
+        with self._lock:
+            self._offset += 1
+            stamped = StampedOp(Offset(self._offset), op)
+        self._q.put(stamped)
+        return stamped.offset
+
+    def send_batch(self, ops: List[WriteOperation]) -> Offset:
+        last = Offset(self._offset)
+        for op in ops:
+            last = self.send(op)
+        return last
+
+    def pending(self) -> int:
+        return self._q.qsize()
+
+
+class OperationReceiver:
+    def __init__(self, q: "queue.Queue[StampedOp]") -> None:
+        self._q = q
+
+    def recv(self, timeout: Optional[float] = None) -> Optional[StampedOp]:
+        try:
+            return self._q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def drain(self, max_ops: int = 100_000) -> List[StampedOp]:
+        """Drain everything currently queued without blocking."""
+        out: List[StampedOp] = []
+        while len(out) < max_ops:
+            try:
+                out.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        return out
+
+
+def channel(capacity: int = 10_000) -> Tuple[OperationSender, OperationReceiver]:
+    q: "queue.Queue[StampedOp]" = queue.Queue(maxsize=capacity)
+    return OperationSender(q), OperationReceiver(q)

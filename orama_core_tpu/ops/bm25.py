@@ -1,0 +1,118 @@
+"""BM25 scoring over CSR-packed posting lists — the device hot path.
+
+TPU-native replacement for the reference's per-posting scoring loops
+(`committed/string.rs:302-479`, `dto/bm25.rs:53-71`). The inverted index is
+packed as flat arrays in HBM:
+
+    post_docs : int32[P]   document id of each posting
+    post_tf   : float32[P] term frequency (occurrences in the field)
+    doc_lens  : float32[Npad] field length per document (0 => doc lacks field)
+
+A query resolves (host-side, via the sorted term dictionary) to a flat
+``gather_idx`` of posting slots plus a per-slot ``idf`` (the idf of the term
+the slot belongs to, with the BM25 idf ``ln1p((N - ni + 0.5)/(ni + 0.5))``
+precomputed on host — it is O(#matched terms), tiny). The device then:
+
+    gather postings -> compute BM25 -> scatter-add into dense scores[Npad]
+
+Dense per-doc score arrays are the core layout decision: filters become
+multiplicative masks, facets become masked segment-sums, hybrid fusion is
+elementwise — everything composes without hash maps (SURVEY.md §7).
+
+Scoring matches the reference formula exactly (k=1.2, b=0.75):
+    idf * tf * (k + 1) / (tf + k * (1 - b + b * len/avgdl))
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+K1 = 1.2
+B = 0.75
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",), donate_argnums=())
+def bm25_scores(
+    post_docs: jax.Array,      # int32[P] full posting array (device-resident)
+    post_tf: jax.Array,        # float32[P]
+    doc_lens: jax.Array,       # float32[Npad]
+    gather_idx: jax.Array,     # int32[G] posting slots to score (padded)
+    idf: jax.Array,            # float32[G] idf of the owning term (0 => pad)
+    boost_by_doc: jax.Array,   # float32[Npad] per-doc boost (phrase/user)
+    filter_mask: jax.Array,    # float32[Npad] 1.0 = keep (filters ∧ alive)
+    avgdl: jax.Array,          # float32[] average field length
+    n_docs: int,
+) -> jax.Array:
+    """Returns float32[n_docs] accumulated BM25 scores."""
+    docs = post_docs[gather_idx]
+    tf = post_tf[gather_idx]
+    lens = doc_lens[docs]
+    denom = tf + K1 * (1.0 - B + B * lens / jnp.maximum(avgdl, 1e-9))
+    contrib = idf * tf * (K1 + 1.0) / jnp.maximum(denom, 1e-9)
+    contrib = contrib * filter_mask[docs] * boost_by_doc[docs]
+    scores = jnp.zeros((n_docs,), dtype=jnp.float32)
+    return scores.at[docs].add(contrib)
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def phrase_boost_by_doc(
+    pos_docs: jax.Array,    # int32[Gp] doc id of each matched (doc, position)
+    pos_vals: jax.Array,    # int32[Gp] position value (pad slots: doc=n_docs-1? no: valid flag)
+    valid: jax.Array,       # float32[Gp] 1.0 for real entries
+    user_boost: jax.Array,  # float32[] field-level user boost
+    n_docs: int,
+) -> jax.Array:
+    """Per-doc phrase boost for multi-token queries.
+
+    Mirrors `search_with_phrase_match` (committed/string.rs:367-479): for each
+    candidate doc, let ``anyorder`` = number of *distinct* positions covered by
+    any query term and ``sequences`` = number of adjacent (+1) pairs among
+    those positions; the boost applied to every BM25 contribution of that doc
+    is ``anyorder + 2*sequences + user_boost``.
+
+    (The reference's window filter `(second - first) < 1` can never fire on
+    deduped sorted positions — an upstream no-op bug; the intended `== 1`
+    adjacency is implemented here.)
+
+    Device algorithm: lexicographic sort of (doc, pos) pairs, neighbor
+    compares for dedup/adjacency, scatter-add segment counts. Sorting keeps
+    everything static-shape — no hash sets.
+    """
+    # Push padding entries to the end of the sort order.
+    big = jnp.int32(2**30)
+    docs_k = jnp.where(valid > 0, pos_docs, big)
+    pos_k = jnp.where(valid > 0, pos_vals, big)
+    docs_s, pos_s = jax.lax.sort((docs_k, pos_k), num_keys=2)
+
+    same_doc = docs_s[1:] == docs_s[:-1]
+    dup = same_doc & (pos_s[1:] == pos_s[:-1])
+    adj = same_doc & (pos_s[1:] == pos_s[:-1] + 1)
+
+    is_real = (docs_s < big).astype(jnp.float32)
+    # distinct positions: first occurrence of each (doc, pos)
+    distinct = jnp.concatenate(
+        [is_real[:1], jnp.logical_not(dup).astype(jnp.float32) * is_real[1:]]
+    )
+    anyorder = jnp.zeros((n_docs,), dtype=jnp.float32)
+    safe_docs = jnp.where(docs_s < big, docs_s, 0)
+    anyorder = anyorder.at[safe_docs].add(distinct * (docs_s < big))
+
+    seq = jnp.zeros((n_docs,), dtype=jnp.float32)
+    seq = seq.at[safe_docs[1:]].add(adj.astype(jnp.float32))
+
+    matched = anyorder > 0
+    boost = jnp.where(matched, anyorder + 2.0 * seq + user_boost, 0.0)
+    # Docs with no positional match keep plain user boost (single-term terms
+    # can still score them); matched docs get the phrase boost.
+    return jnp.where(matched, boost, user_boost)
+
+
+def idf_from_counts(ni, n_docs_with_field):
+    """Host-side idf (numpy or jnp): ln1p((N - ni + 0.5) / (ni + 0.5))."""
+    import numpy as np
+
+    ni = np.asarray(ni, dtype=np.float64)
+    return np.log1p((n_docs_with_field - ni + 0.5) / (ni + 0.5)).astype(np.float32)

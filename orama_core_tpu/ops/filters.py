@@ -1,0 +1,56 @@
+"""Metadata filters as dense device masks.
+
+The reference evaluates filters into ``HashSet<DocumentId>`` and intersects
+sets (`collection.rs:797-869`, paged range scans in `committed/number.rs`).
+Here a filter is a dense float mask over the padded doc space, computed with
+static-shape vector compares + scatter — masks compose by elementwise
+multiply and fuse straight into the scoring kernels.
+
+Number index layout: values sorted ascending, ``num_vals f32[V]`` with the
+owning ``num_docs int32[V]``. A range filter is a vectorized compare over V
+(bandwidth-bound, no dynamic shapes) scattered with max into the doc space.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def number_range_mask(
+    num_vals: jax.Array,   # float32[V] (sorted; order irrelevant to the math)
+    num_docs: jax.Array,   # int32[V]
+    num_valid: jax.Array,  # bool[V]
+    low: jax.Array,        # float32[] inclusive unless made exclusive by caller
+    high: jax.Array,       # float32[]
+    low_excl: jax.Array,   # bool[]
+    high_excl: jax.Array,  # bool[]
+    n_docs: int,
+) -> jax.Array:
+    ge = jnp.where(low_excl, num_vals > low, num_vals >= low)
+    le = jnp.where(high_excl, num_vals < high, num_vals <= high)
+    in_range = (ge & le & num_valid).astype(jnp.float32)
+    mask = jnp.zeros((n_docs,), dtype=jnp.float32)
+    return mask.at[num_docs].max(in_range)
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def number_eq_mask(
+    num_vals: jax.Array,
+    num_docs: jax.Array,
+    num_valid: jax.Array,
+    value: jax.Array,
+    n_docs: int,
+) -> jax.Array:
+    eq = ((num_vals == value) & num_valid).astype(jnp.float32)
+    mask = jnp.zeros((n_docs,), dtype=jnp.float32)
+    return mask.at[num_docs].max(eq)
+
+
+@jax.jit
+def combine_masks(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Filter intersection == elementwise multiply of {0,1} masks."""
+    return a * b

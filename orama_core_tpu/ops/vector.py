@@ -1,0 +1,61 @@
+"""Vector scoring: MXU-batched similarity matmuls + per-doc accumulation.
+
+TPU-native replacement for the reference's HNSW (`committed/vector.rs`) and
+brute-force scan (`uncommitted/vector.rs`). Vectors are packed as one
+row-major matrix in HBM (bf16 by default) with a parallel ``vec_docs`` map
+(several vectors may belong to one document — chunked long docs). A query
+batch is one ``[Q, D] x [D, P]`` matmul on the MXU; per-document scores are
+segment-accumulated (the reference sums multi-vector scores per doc:
+uncommitted/vector.rs:44-56).
+
+Scores are cosine similarities (vectors stored L2-normalized), clamped at 0
+— a monotone, scale-stable replacement for the reference's 1/distance score
+(which is unbounded near duplicates and mixes Manhattan/Euclidean between
+its committed/uncommitted paths)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def brute_force_scores(
+    vecs: jax.Array,         # bf16/f32[P, D] L2-normalized vectors
+    vec_docs: jax.Array,     # int32[P] owning doc of each vector
+    vec_valid: jax.Array,    # float32[P] 1.0 = real row
+    query: jax.Array,        # f32[D] L2-normalized query
+    filter_mask: jax.Array,  # float32[Npad]
+    n_docs: int,
+) -> jax.Array:
+    """float32[n_docs]: sum of relu(cos) over each doc's vectors."""
+    sims = jnp.dot(
+        vecs, query.astype(vecs.dtype), preferred_element_type=jnp.float32
+    )
+    sims = jnp.maximum(sims, 0.0) * vec_valid
+    scores = jnp.zeros((n_docs,), dtype=jnp.float32)
+    scores = scores.at[vec_docs].add(sims)
+    return scores * filter_mask
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def batched_topk_sims(
+    vecs: jax.Array,     # [P, D]
+    queries: jax.Array,  # [Q, D]
+    vec_valid: jax.Array,
+    k: int,
+):
+    """Batched exact top-k over raw vector rows (benchmark/recall harness)."""
+    sims = jnp.dot(
+        queries.astype(vecs.dtype), vecs.T, preferred_element_type=jnp.float32
+    )
+    sims = jnp.where(vec_valid[None, :] > 0, sims, -jnp.inf)
+    return jax.lax.top_k(sims, k)
+
+
+def normalize_rows(x):
+    """Host/device L2 row normalization with zero-row safety."""
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, 1e-12)

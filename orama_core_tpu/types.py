@@ -1,0 +1,279 @@
+"""Core identifier and document types.
+
+TPU-native counterpart of the reference's `src/types.rs` and
+`src/collection_manager/dto.rs` (reference: oramasearch/orama-core).
+
+Design notes (TPU-first):
+- `DocumentId` is a *dense* per-collection int32 (0..N). Dense ids are the
+  device-array index space: scores, filter bitmaps and facet buckets are all
+  arrays indexed by DocumentId, so scatter/gather and segment reductions map
+  directly onto XLA/Pallas kernels. (The reference uses a global AtomicU64 —
+  `sides/write/mod.rs:248-277` — which would force hash-maps everywhere.)
+- `FieldId` is a small int, assigned per collection in registration order
+  (mirrors `FieldId(u16)` in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import re
+import secrets
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+Number = Union[int, float]
+
+_COLLECTION_ID_RE = re.compile(r"^[A-Za-z0-9_\-\.]{1,128}$")
+
+
+def new_cuid() -> str:
+    """Random unique string id for documents lacking an "id" field.
+
+    Plays the role of cuid2 in the reference (`sides/write/mod.rs:261`).
+    """
+    return "c" + secrets.token_hex(12)
+
+
+class ValueType(str, enum.Enum):
+    """Scalar field types inferred from documents (dto.rs ValueType)."""
+
+    STRING = "string"
+    NUMBER = "number"
+    BOOL = "bool"
+    EMBEDDING = "embedding"
+    ARRAY_STRING = "array_string"
+    ARRAY_NUMBER = "array_number"
+    ARRAY_BOOL = "array_bool"
+
+
+class SearchModeKind(str, enum.Enum):
+    FULLTEXT = "fulltext"
+    VECTOR = "vector"
+    HYBRID = "hybrid"
+
+
+class HybridFusion(str, enum.Enum):
+    """Hybrid score fusion strategy.
+
+    The reference implements min-max normalize + sum
+    (`sides/read/collection.rs:750-772`). RRF is the default here
+    (better rank stability; see BASELINE.md), min-max kept for compat.
+    """
+
+    RRF = "rrf"
+    MINMAX = "minmax"
+
+
+@dataclasses.dataclass(frozen=True)
+class CollectionId:
+    value: str
+
+    def __post_init__(self) -> None:
+        if not _COLLECTION_ID_RE.match(self.value):
+            raise ValueError(f"invalid collection id: {self.value!r}")
+
+    def __str__(self) -> str:  # pragma: no cover
+        return self.value
+
+
+# Filters ---------------------------------------------------------------------
+# JSON shapes mirror the reference (`dto.rs:151-187`, `dto/number.rs:194-206`):
+#   {"field": {"eq": 3}} {"field": {"gt": 1}} {"field": {"between": [1, 5]}}
+#   {"field": true}
+
+NUMBER_FILTER_OPS = ("eq", "gt", "gte", "lt", "lte", "between")
+
+
+@dataclasses.dataclass(frozen=True)
+class NumberFilter:
+    op: str  # one of NUMBER_FILTER_OPS
+    value: Union[Number, Tuple[Number, Number]]
+
+    def __post_init__(self) -> None:
+        if self.op not in NUMBER_FILTER_OPS:
+            raise ValueError(f"unknown number filter op {self.op!r}")
+        if self.op == "between":
+            if not (isinstance(self.value, (tuple, list)) and len(self.value) == 2):
+                raise ValueError("'between' filter takes [low, high]")
+            object.__setattr__(self, "value", (self.value[0], self.value[1]))
+
+    @staticmethod
+    def from_json(obj: Any) -> "NumberFilter":
+        if not isinstance(obj, dict) or len(obj) != 1:
+            raise ValueError(f"bad number filter: {obj!r}")
+        op, value = next(iter(obj.items()))
+        return NumberFilter(op=op, value=value)
+
+
+@dataclasses.dataclass(frozen=True)
+class BoolFilter:
+    value: bool
+
+
+Filter = Union[NumberFilter, BoolFilter]
+
+
+def parse_filter(obj: Any) -> Filter:
+    if isinstance(obj, bool):
+        return BoolFilter(obj)
+    return NumberFilter.from_json(obj)
+
+
+# Facets ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class NumberFacetRange:
+    low: Number
+    high: Number
+
+    @property
+    def key(self) -> str:
+        return f"{_fmt_num(self.low)}-{_fmt_num(self.high)}"
+
+
+def _fmt_num(v: Number) -> str:
+    # Mirrors Rust Display for the facet bucket key "from-to"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+@dataclasses.dataclass(frozen=True)
+class NumberFacetDefinition:
+    ranges: Tuple[NumberFacetRange, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class BoolFacetDefinition:
+    true: bool = True
+    false: bool = True
+
+
+FacetDefinition = Union[NumberFacetDefinition, BoolFacetDefinition]
+
+
+def parse_facet(obj: Any) -> FacetDefinition:
+    if isinstance(obj, dict) and "ranges" in obj:
+        ranges = tuple(
+            NumberFacetRange(low=r["from"], high=r["to"]) for r in obj["ranges"]
+        )
+        return NumberFacetDefinition(ranges=ranges)
+    if isinstance(obj, dict) and ("true" in obj or "false" in obj):
+        return BoolFacetDefinition(
+            true=bool(obj.get("true", False)), false=bool(obj.get("false", False))
+        )
+    raise ValueError(f"bad facet definition: {obj!r}")
+
+
+# Search params ---------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SearchParams:
+    """Parsed body of POST /v1/collections/{id}/search (dto.rs:242-261)."""
+
+    term: str = ""
+    mode: SearchModeKind = SearchModeKind.FULLTEXT
+    limit: int = 10
+    boost: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # None => all string fields; "*" => all; list => specified
+    properties: Optional[List[str]] = None
+    where: Dict[str, Filter] = dataclasses.field(default_factory=dict)
+    facets: Dict[str, FacetDefinition] = dataclasses.field(default_factory=dict)
+    fusion: HybridFusion = HybridFusion.RRF
+
+    @staticmethod
+    def from_json(obj: Dict[str, Any]) -> "SearchParams":
+        mode_s = obj.get("mode", "fulltext")
+        try:
+            mode = SearchModeKind(mode_s)
+        except ValueError as e:
+            raise ValueError(f"unknown search mode {mode_s!r}") from e
+        props = obj.get("properties")
+        if props == "*":
+            props = None
+        elif props is not None and not isinstance(props, list):
+            raise ValueError("properties must be '*' or a list of field names")
+        where = {k: parse_filter(v) for k, v in (obj.get("where") or {}).items()}
+        facets = {k: parse_facet(v) for k, v in (obj.get("facets") or {}).items()}
+        fusion = HybridFusion(obj.get("fusion", "rrf"))
+        limit = int(obj.get("limit", 10))
+        if limit <= 0:
+            raise ValueError("limit must be positive")
+        return SearchParams(
+            term=str(obj.get("term", "")),
+            mode=mode,
+            limit=limit,
+            boost={str(k): float(v) for k, v in (obj.get("boost") or {}).items()},
+            properties=props,
+            where=where,
+            facets=facets,
+            fusion=fusion,
+        )
+
+
+@dataclasses.dataclass
+class SearchResultHit:
+    id: str
+    score: float
+    document: Optional[Dict[str, Any]]
+
+    def to_json(self) -> Dict[str, Any]:
+        return {"id": self.id, "score": self.score, "document": self.document}
+
+
+@dataclasses.dataclass
+class FacetResult:
+    count: int
+    values: Dict[str, int]
+
+    def to_json(self) -> Dict[str, Any]:
+        return {"count": self.count, "values": self.values}
+
+
+@dataclasses.dataclass
+class SearchResult:
+    hits: List[SearchResultHit]
+    count: int
+    elapsed_ms: float
+    facets: Optional[Dict[str, FacetResult]] = None
+
+    def to_json(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {
+            "hits": [h.to_json() for h in self.hits],
+            "count": self.count,
+            "elapsed": {"raw": int(self.elapsed_ms * 1e6), "formatted": f"{self.elapsed_ms:.3f}ms"},
+        }
+        if self.facets is not None:
+            out["facets"] = {k: v.to_json() for k, v in self.facets.items()}
+        return out
+
+
+# Typed fields ----------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TypedField:
+    """A registered collection field: (field_id, name, type, params)."""
+
+    field_id: int
+    name: str
+    type: ValueType
+    # for EMBEDDING fields:
+    model: Optional[str] = None
+    # embedding input spec: list of source properties, "hook", or "all_strings"
+    embedding_sources: Optional[Tuple[str, ...]] = None
+    locale: str = "en"
+
+
+class ApiKeyError(PermissionError):
+    pass
+
+
+class CollectionNotFound(KeyError):
+    pass
+
+
+class FieldTypeError(ValueError):
+    pass

@@ -1,0 +1,145 @@
+import numpy as np
+import jax.numpy as jnp
+
+from orama_core_tpu.ops import bm25, facets, filters, fusion, topk, vector
+
+
+def test_bm25_matches_reference_value():
+    # Reference unit test (dto/bm25.rs:123-135): tf=5, len=100, avgdl=100,
+    # N=10, ni=5 => score 1.2297773
+    idf = bm25.idf_from_counts([5], 10.0)
+    post_docs = jnp.array([3], dtype=jnp.int32)
+    post_tf = jnp.array([5.0], dtype=jnp.float32)
+    doc_lens = jnp.zeros(8, jnp.float32).at[3].set(100.0)
+    scores = bm25.bm25_scores(
+        post_docs,
+        post_tf,
+        doc_lens,
+        gather_idx=jnp.array([0], dtype=jnp.int32),
+        idf=jnp.array(idf),
+        boost_by_doc=jnp.ones(8, jnp.float32),
+        filter_mask=jnp.ones(8, jnp.float32),
+        avgdl=jnp.float32(100.0),
+        n_docs=8,
+    )
+    np.testing.assert_allclose(float(scores[3]), 1.2297773, rtol=1e-5)
+    assert float(jnp.sum(scores)) == float(scores[3])  # only doc 3 scored
+
+
+def test_bm25_accumulates_terms_and_applies_mask():
+    # two postings for doc 1, one for doc 2; doc 2 filtered out
+    post_docs = jnp.array([1, 1, 2], dtype=jnp.int32)
+    post_tf = jnp.array([1.0, 2.0, 5.0], dtype=jnp.float32)
+    doc_lens = jnp.array([0, 10, 10, 0], dtype=jnp.float32)
+    idf = jnp.array([0.5, 0.7, 0.9], dtype=jnp.float32)
+    mask = jnp.array([1, 1, 0, 1], dtype=jnp.float32)
+    scores = bm25.bm25_scores(
+        post_docs,
+        post_tf,
+        doc_lens,
+        gather_idx=jnp.arange(3, dtype=jnp.int32),
+        idf=idf,
+        boost_by_doc=jnp.ones(4, jnp.float32),
+        filter_mask=mask,
+        avgdl=jnp.float32(10.0),
+        n_docs=4,
+    )
+    assert float(scores[2]) == 0.0
+    assert float(scores[1]) > 0.0
+    assert float(scores[0]) == 0.0
+
+
+def test_phrase_boost_adjacency_and_dedup():
+    # doc 0: positions {2, 3, 3, 7} -> distinct {2,3,7}, one adjacency (2,3)
+    # boost = anyorder(3) + 2*seq(1) + user(1) = 6
+    pos_docs = jnp.array([0, 0, 0, 0, 5], dtype=jnp.int32)
+    pos_vals = jnp.array([3, 2, 3, 7, 1], dtype=jnp.int32)
+    valid = jnp.array([1, 1, 1, 1, 0], dtype=jnp.float32)
+    boost = bm25.phrase_boost_by_doc(
+        pos_docs, pos_vals, valid, jnp.float32(1.0), n_docs=8
+    )
+    assert float(boost[0]) == 6.0
+    # unmatched docs keep the plain user boost
+    assert float(boost[5]) == 1.0
+    assert float(boost[7]) == 1.0
+
+
+def test_vector_brute_force_multi_vector_sum():
+    # doc 0 has two identical unit vectors, doc 1 orthogonal
+    vecs = jnp.array(
+        [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]], dtype=jnp.float32
+    )
+    vec_docs = jnp.array([0, 0, 1], dtype=jnp.int32)
+    valid = jnp.ones(3, jnp.float32)
+    q = jnp.array([1.0, 0.0], dtype=jnp.float32)
+    scores = vector.brute_force_scores(
+        vecs, vec_docs, valid, q, jnp.ones(4, jnp.float32), n_docs=4
+    )
+    np.testing.assert_allclose(float(scores[0]), 2.0, rtol=1e-6)
+    np.testing.assert_allclose(float(scores[1]), 0.0, atol=1e-6)
+
+
+def test_number_range_mask_bounds():
+    vals = jnp.array([1.0, 2.0, 3.0, 4.0], dtype=jnp.float32)
+    docs = jnp.array([0, 1, 2, 3], dtype=jnp.int32)
+    valid = jnp.ones(4, dtype=bool)
+    m = filters.number_range_mask(
+        vals, docs, valid,
+        jnp.float32(2.0), jnp.float32(4.0),
+        jnp.array(True), jnp.array(False),  # (2, 4]
+        n_docs=6,
+    )
+    assert m.tolist() == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0]
+
+
+def test_number_eq_mask():
+    vals = jnp.array([1.0, 2.0, 2.0], dtype=jnp.float32)
+    docs = jnp.array([0, 1, 2], dtype=jnp.int32)
+    valid = jnp.ones(3, dtype=bool)
+    m = filters.number_eq_mask(vals, docs, valid, jnp.float32(2.0), n_docs=4)
+    assert m.tolist() == [0.0, 1.0, 1.0, 0.0]
+
+
+def test_fusion_minmax():
+    ft = jnp.array([2.0, 0.0, 1.0], dtype=jnp.float32)
+    vec = jnp.array([0.0, 4.0, 1.0], dtype=jnp.float32)
+    fused = fusion.minmax_fuse(ft, vec)
+    np.testing.assert_allclose(np.asarray(fused), [0.5, 1.0, 0.5], rtol=1e-6)
+
+
+def test_fusion_rrf_prefers_doc_ranked_high_in_both():
+    ft = jnp.array([3.0, 2.0, 1.0, 0.0], dtype=jnp.float32)
+    vec = jnp.array([1.0, 3.0, 2.0, 0.0], dtype=jnp.float32)
+    fused = np.asarray(fusion.rrf_fuse(ft, vec))
+    assert fused[1] == fused.max()  # ranks (2nd, 1st)
+    assert fused[3] == 0.0  # unmatched contributes nothing
+
+
+def test_facet_counts():
+    vals = jnp.array([1.0, 5.0, 9.0], dtype=jnp.float32)
+    docs = jnp.array([0, 1, 2], dtype=jnp.int32)
+    valid = jnp.ones(3, dtype=bool)
+    matched = jnp.array([1.0, 1.0, 0.0, 0.0], dtype=jnp.float32)
+    counts = facets.number_facet_counts(
+        vals, docs, valid,
+        lows=jnp.array([0.0, 4.0], dtype=jnp.float32),
+        highs=jnp.array([4.0, 10.0], dtype=jnp.float32),
+        matched=matched,
+        n_docs=4,
+    )
+    assert counts.tolist() == [1, 1]
+
+
+def test_bool_facet_counts():
+    true_mask = jnp.array([1.0, 0.0, 1.0, 0.0], dtype=jnp.float32)
+    has_mask = jnp.array([1.0, 1.0, 1.0, 0.0], dtype=jnp.float32)
+    matched = jnp.array([1.0, 1.0, 0.0, 1.0], dtype=jnp.float32)
+    out = facets.bool_facet_counts(true_mask, has_mask, matched)
+    assert out.tolist() == [1, 1]
+
+
+def test_topk():
+    scores = jnp.array([0.1, 3.0, 0.0, 2.0], dtype=jnp.float32)
+    vals, idx, count = topk.topk_with_count(scores, 3)
+    assert idx.tolist() == [1, 3, 0]
+    assert int(count) == 3
