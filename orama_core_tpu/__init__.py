@@ -1,0 +1,113 @@
+"""orama_core_tpu — a TPU-native index-and-query engine.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+OramaCore (reference: oramasearch/orama-core): full-text BM25 search,
+vector + hybrid search, filters/facets, automatic embeddings, answer
+engine, persistence, HTTP API — with the scoring core running as device
+kernels over packed CSR/matrix layouts and document-sharded meshes.
+
+`build_orama` / `start` mirror the reference's assembly entry points
+(`lib.rs:65-160`): construct AI service + write side + read side, wire the
+op channel, optionally spawn the background loops (op pump, embedding loop,
+commit intervals).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+from .config import OramaxConfig
+from .oplog import channel
+from .engine import ReadSide, WriteSide
+from .models.ai_service import AIService
+
+__version__ = "0.1.0"
+
+
+class Orama:
+    """The assembled engine (the reference's (WriteSide, ReadSide) pair)."""
+
+    def __init__(self, cfg: OramaxConfig, start_background: bool = True) -> None:
+        self.cfg = cfg
+        self.ai = AIService(cfg.ai)
+        tx, rx = channel(cfg.writer_side.channel_capacity)
+        self.write_side = WriteSide(cfg.writer_side, tx, self.ai)
+        self.read_side = ReadSide(cfg.reader_side, rx, self.ai, cfg.tpu)
+        self._stop = threading.Event()
+        self._threads = []
+        if start_background:
+            self._spawn_background()
+
+    # -- background loops (reference: lib.rs:93-99, write/mod.rs:158-179) -----
+
+    def _spawn_background(self) -> None:
+        def pump_loop():
+            while not self._stop.is_set():
+                n = self.read_side.pump(timeout=0.05)
+                if self.read_side.should_commit:
+                    self.read_side.commit()
+                if n == 0:
+                    time.sleep(0.01)
+
+        def embedding_loop():
+            while not self._stop.is_set():
+                n = self.write_side.process_embeddings()
+                if n == 0:
+                    time.sleep(0.02)
+
+        def commit_loop():
+            last_w = last_r = time.monotonic()
+            while not self._stop.is_set():
+                now = time.monotonic()
+                if now - last_w >= self.cfg.writer_side.commit_interval_sec:
+                    try:
+                        self.write_side.commit()
+                    except Exception:
+                        pass  # log-and-continue (reference write/mod.rs:174-176)
+                    last_w = now
+                if now - last_r >= self.cfg.reader_side.commit_interval_sec:
+                    try:
+                        self.read_side.commit()
+                    except Exception:
+                        pass
+                    last_r = now
+                time.sleep(0.2)
+
+        for fn in (pump_loop, embedding_loop, commit_loop):
+            t = threading.Thread(target=fn, daemon=True, name=fn.__name__)
+            t.start()
+            self._threads.append(t)
+
+    # -- synchronous control for tests / batch ingest -------------------------
+
+    def flush(self) -> None:
+        """Make all writes visible to search: drain embeddings + apply ops."""
+        self.write_side.drain_embeddings()
+        self.read_side.pump()
+
+    def commit(self) -> None:
+        """Commit both sides (reference: WriteSide::commit + ReadSide::commit)."""
+        self.flush()
+        self.write_side.commit()
+        self.read_side.commit()
+
+    def close(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+
+def build_orama(cfg: Optional[OramaxConfig] = None, start_background: bool = True) -> Orama:
+    return Orama(cfg or OramaxConfig(), start_background=start_background)
+
+
+def start(cfg: Optional[OramaxConfig] = None) -> None:
+    """Boot the full server (blocks): engine + HTTP API + metrics
+    (reference: lib.rs:65-91 + WebServer::start)."""
+    cfg = cfg or OramaxConfig.load()
+    orama = build_orama(cfg, start_background=True)
+    from .server.http import serve
+
+    serve(orama, cfg.http)

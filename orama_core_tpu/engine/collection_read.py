@@ -1,0 +1,758 @@
+"""Read-side collection: op application, search orchestration, commit.
+
+TPU-native counterpart of the reference's `CollectionReader`
+(`sides/read/collection.rs`): per-field committed/uncommitted indexes, a
+search pipeline (filters → mode dispatch → facets → top-k), and commit =
+merge uncommitted into new immutable generations.
+
+Orchestration shape (reference search: collection.rs:684-781):
+1. filter masks (dense, device) — where-filters ∧ alive mask
+2. mode dispatch: fulltext / vector / hybrid → dense score array [cap]
+3. facets as masked reductions over the matched mask
+4. `lax.top_k` → host id mapping
+
+Device arrays are cached per immutable committed generation (keyed by
+object identity + capacity bucket) — "commit" swaps in new packed arrays,
+mirroring the reference's generation-pointer swap (collection.rs:562-595).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import threading
+import time
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import TpuConfig
+from ..index import (
+    CommittedBoolIndex,
+    CommittedNumberIndex,
+    CommittedStringIndex,
+    CommittedVectorIndex,
+    GlobalInfo,
+    UncommittedBoolIndex,
+    UncommittedNumberIndex,
+    UncommittedStringIndex,
+    UncommittedVectorIndex,
+)
+from ..nlp import get_parser
+from ..ops import bm25 as bm25_ops
+from ..ops import facets as facet_ops
+from ..ops import filters as filter_ops
+from ..ops import fusion as fusion_ops
+from ..ops import topk as topk_ops
+from ..ops import vector as vector_ops
+from ..oplog import (
+    CreateFieldOp,
+    DeleteDocumentsOp,
+    IndexBoolOp,
+    IndexEmbeddingOp,
+    IndexNumberOp,
+    IndexStringOp,
+    InsertDocumentOp,
+)
+from ..types import (
+    BoolFacetDefinition,
+    BoolFilter,
+    FacetResult,
+    HybridFusion,
+    NumberFacetDefinition,
+    NumberFilter,
+    SearchModeKind,
+    SearchParams,
+    TypedField,
+    ValueType,
+)
+from ..utils import (
+    atomic_write_json,
+    atomic_write_npz,
+    bucket_pad,
+    ensure_dir,
+    read_json,
+    read_npz,
+)
+
+
+# --- small jitted helpers ----------------------------------------------------
+
+
+@jax.jit
+def _scatter_max_mask(mask: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
+    return mask.at[idx].max(vals)
+
+
+@jax.jit
+def _scatter_add_scores(scores: jax.Array, idx: jax.Array, vals: jax.Array) -> jax.Array:
+    return scores.at[idx].add(vals)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _pad_mask(mask: jax.Array, n: int) -> jax.Array:
+    return jnp.pad(mask, (0, n - mask.shape[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "phrase"))
+def _fulltext_field_scores(
+    post_docs, post_tf, doc_lens, positions,
+    g_idx, g_idf,
+    p_idx, p_docs, p_valid,
+    field_boost, filter_mask, avgdl,
+    n_docs: int, phrase: bool,
+):
+    """Fused committed-segment scoring for one text field: optional phrase
+    boost + CSR BM25 scatter, one XLA program."""
+    if phrase:
+        pos_vals = positions[p_idx]
+        boost_by_doc = bm25_ops.phrase_boost_by_doc(
+            p_docs, pos_vals, p_valid, field_boost, n_docs
+        )
+        idf = g_idf
+    else:
+        boost_by_doc = jnp.ones((n_docs,), dtype=jnp.float32)
+        idf = g_idf * field_boost
+    return bm25_ops.bm25_scores(
+        post_docs, post_tf, doc_lens, g_idx, idf,
+        boost_by_doc, filter_mask, avgdl, n_docs,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("value",))
+def _bool_filter_mask(true_mask, has_mask, value: bool):
+    return true_mask if value else has_mask * (1.0 - true_mask)
+
+
+# --- device cache ------------------------------------------------------------
+
+
+class _DeviceCache:
+    """Device copies of immutable committed structures, keyed by object id.
+
+    Entries die with their committed generation (commit replaces objects)."""
+
+    def __init__(self, cfg: TpuConfig) -> None:
+        self.cfg = cfg
+        self._store: Dict[Tuple[int, Any], Any] = {}
+        self._keepalive: Dict[int, Any] = {}
+
+    def _get(self, obj: Any, tag: Any, build) -> Any:
+        key = (id(obj), tag)
+        hit = self._store.get(key)
+        if hit is None:
+            hit = build()
+            self._store[key] = hit
+            self._keepalive[id(obj)] = obj  # pin so id() stays unique
+        return hit
+
+    def drop(self, obj: Any) -> None:
+        oid = id(obj)
+        self._keepalive.pop(oid, None)
+        for key in [k for k in self._store if k[0] == oid]:
+            del self._store[key]
+
+    # string -----------------------------------------------------------------
+
+    def string_arrays(self, s: CommittedStringIndex):
+        def build():
+            steps = self.cfg.posting_bucket_steps
+            p = len(s.post_docs)
+            p_pad = bucket_pad(max(p, 1), steps)
+            docs = np.zeros(p_pad, np.int32)
+            docs[:p] = s.post_docs
+            tf = np.zeros(p_pad, np.float32)
+            tf[:p] = s.post_tf
+            pp = len(s.positions)
+            pp_pad = bucket_pad(max(pp, 1), steps)
+            pos = np.zeros(pp_pad, np.int32)
+            pos[:pp] = s.positions
+            return (
+                jnp.asarray(docs),
+                jnp.asarray(tf),
+                jnp.asarray(s.doc_lens_dense),
+                jnp.asarray(pos),
+            )
+
+        return self._get(s, "str", build)
+
+    # vector -----------------------------------------------------------------
+
+    def vector_arrays(self, v: CommittedVectorIndex):
+        def build():
+            steps = self.cfg.posting_bucket_steps
+            p = v.n_vectors
+            p_pad = bucket_pad(max(p, 1), steps)
+            vecs = np.zeros((p_pad, v.dimension), np.float32)
+            vecs[:p] = v.vecs
+            docs = np.zeros(p_pad, np.int32)
+            docs[:p] = v.vec_docs
+            valid = np.zeros(p_pad, np.float32)
+            valid[:p] = 1.0
+            dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
+            return (
+                jnp.asarray(vecs, dtype=dtype),
+                jnp.asarray(docs),
+                jnp.asarray(valid),
+            )
+
+        return self._get(v, "vec", build)
+
+    # number -----------------------------------------------------------------
+
+    def number_arrays(self, nidx: CommittedNumberIndex):
+        def build():
+            steps = self.cfg.posting_bucket_steps
+            n = len(nidx.vals)
+            n_pad = bucket_pad(max(n, 1), steps)
+            vals = np.full(n_pad, np.nan, np.float32)
+            vals[:n] = nidx.vals
+            docs = np.zeros(n_pad, np.int32)
+            docs[:n] = nidx.docs
+            valid = np.zeros(n_pad, bool)
+            valid[:n] = True
+            return jnp.asarray(vals), jnp.asarray(docs), jnp.asarray(valid)
+
+        return self._get(nidx, "num", build)
+
+    # bool -------------------------------------------------------------------
+
+    def bool_arrays(self, b: CommittedBoolIndex, cap: int):
+        def build():
+            true_mask = np.zeros(cap, np.float32)
+            has_mask = np.zeros(cap, np.float32)
+            n = min(len(b.true_mask), cap)
+            true_mask[:n] = b.true_mask[:n]
+            has_mask[:n] = b.has_mask[:n]
+            return jnp.asarray(true_mask), jnp.asarray(has_mask)
+
+        return self._get(b, ("bool", cap), build)
+
+
+# --- field state -------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _StringField:
+    uncommitted: UncommittedStringIndex
+    committed: CommittedStringIndex
+
+
+@dataclasses.dataclass
+class _NumberField:
+    uncommitted: UncommittedNumberIndex
+    committed: CommittedNumberIndex
+
+
+@dataclasses.dataclass
+class _BoolField:
+    uncommitted: UncommittedBoolIndex
+    committed: CommittedBoolIndex
+
+
+@dataclasses.dataclass
+class _VectorField:
+    uncommitted: UncommittedVectorIndex
+    committed: CommittedVectorIndex
+
+
+class CollectionReader:
+    def __init__(
+        self,
+        collection_id: str,
+        read_api_key: str,
+        description: Optional[str],
+        tpu_cfg: Optional[TpuConfig] = None,
+        default_locale: str = "en",
+    ) -> None:
+        self.id = collection_id
+        self.read_api_key = read_api_key
+        self.description = description
+        self.default_locale = default_locale
+        self.cfg = tpu_cfg or TpuConfig()
+
+        self.fields: Dict[int, TypedField] = {}
+        self.field_by_name: Dict[str, int] = {}
+        self._string: Dict[int, _StringField] = {}
+        self._number: Dict[int, _NumberField] = {}
+        self._bool: Dict[int, _BoolField] = {}
+        self._vector: Dict[int, _VectorField] = {}
+
+        self._alive: np.ndarray = np.ones(0, dtype=np.float32)
+        self._alive_version = 0
+        self._alive_device: Optional[Tuple[int, int, jax.Array]] = None
+        self.deleted: Set[int] = set()  # cumulative
+        self.doc_count = 0
+        self.max_doc_id = -1
+        self.committed_offset = 0
+        self.uncommitted_ops = 0
+
+        self._device = _DeviceCache(self.cfg)
+        self._lock = threading.RLock()
+        # commit excludes op application but never search
+        # (reference commit_insert_mutex, collection.rs:69)
+        self._commit_insert_lock = threading.Lock()
+
+    # -- capacity -------------------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return bucket_pad(max(self.max_doc_id + 1, 1), (self.cfg.doc_capacity_step,))
+
+    def _grow(self, doc_id: int) -> None:
+        if doc_id > self.max_doc_id:
+            self.max_doc_id = doc_id
+        if len(self._alive) < self.capacity:
+            grown = np.ones(self.capacity, dtype=np.float32)
+            grown[: len(self._alive)] = self._alive
+            self._alive = grown
+            self._alive_version += 1
+
+    def _alive_mask_device(self) -> jax.Array:
+        cap = self.capacity
+        cached = self._alive_device
+        if cached and cached[0] == self._alive_version and cached[1] == cap:
+            return cached[2]
+        m = jnp.asarray(self._alive[:cap])
+        self._alive_device = (self._alive_version, cap, m)
+        return m
+
+    # -- op application (reference: collection.rs:608-681) --------------------
+
+    def apply(self, op) -> None:
+        with self._commit_insert_lock:
+            self._apply_locked(op)
+            self.uncommitted_ops += 1
+
+    def _apply_locked(self, op) -> None:
+        if isinstance(op, CreateFieldOp):
+            f = op.field
+            self.fields[f.field_id] = f
+            self.field_by_name[f.name] = f.field_id
+            if f.type == ValueType.STRING:
+                self._string.setdefault(
+                    f.field_id,
+                    _StringField(UncommittedStringIndex(), CommittedStringIndex.empty()),
+                )
+            elif f.type == ValueType.NUMBER:
+                self._number.setdefault(
+                    f.field_id,
+                    _NumberField(UncommittedNumberIndex(), CommittedNumberIndex.empty()),
+                )
+            elif f.type == ValueType.BOOL:
+                self._bool.setdefault(
+                    f.field_id, _BoolField(UncommittedBoolIndex(), CommittedBoolIndex.empty())
+                )
+            elif f.type == ValueType.EMBEDDING:
+                from ..models.registry import model_dim
+
+                dim = model_dim(f.model) if f.model else 0
+                self._vector.setdefault(
+                    f.field_id,
+                    _VectorField(UncommittedVectorIndex(dim), CommittedVectorIndex.empty(dim)),
+                )
+        elif isinstance(op, InsertDocumentOp):
+            self._grow(op.doc_id)
+            if self._alive[op.doc_id] == 0.0:
+                self._alive[op.doc_id] = 1.0
+                self._alive_version += 1
+                self.deleted.discard(op.doc_id)
+            self.doc_count += 1
+        elif isinstance(op, IndexStringOp):
+            self._grow(op.doc_id)
+            self._string[op.field_id].uncommitted.insert(
+                op.doc_id, op.field_length, {t: list(p) for t, p in op.terms.items()}
+            )
+        elif isinstance(op, IndexNumberOp):
+            self._grow(op.doc_id)
+            self._number[op.field_id].uncommitted.insert(op.doc_id, op.value)
+        elif isinstance(op, IndexBoolOp):
+            self._grow(op.doc_id)
+            self._bool[op.field_id].uncommitted.insert(op.doc_id, op.value)
+        elif isinstance(op, IndexEmbeddingOp):
+            self._grow(op.doc_id)
+            self._vector[op.field_id].uncommitted.insert(
+                op.doc_id, [list(v) for v in op.vectors]
+            )
+        elif isinstance(op, DeleteDocumentsOp):
+            ids = set(op.doc_ids)
+            for d in ids:
+                if 0 <= d < len(self._alive) and self._alive[d] == 1.0:
+                    self._alive[d] = 0.0
+                    self.doc_count -= 1
+            self.deleted |= ids
+            self._alive_version += 1
+        else:
+            raise TypeError(f"unknown op {type(op).__name__}")
+
+    # -- filters (reference: collection.rs:797-869) ---------------------------
+
+    def _filter_mask(self, where: Dict[str, Any]) -> jax.Array:
+        cap = self.capacity
+        mask = self._alive_mask_device()
+        for field_name, filt in where.items():
+            fid = self.field_by_name.get(field_name)
+            if fid is None:
+                raise ValueError(f'Cannot filter by "{field_name}": unknown field')
+            f = self.fields[fid]
+            if isinstance(filt, NumberFilter):
+                if f.type != ValueType.NUMBER:
+                    raise ValueError(f'"{field_name}" is not a number field')
+                nf = self._number[fid]
+                vals, docs, valid = self._device.number_arrays(nf.committed)
+                if filt.op == "eq":
+                    m = filter_ops.number_eq_mask(
+                        vals, docs, valid, jnp.float32(filt.value), n_docs=cap
+                    )
+                else:
+                    lo, hi, lx, hx = nf.committed.filter_bounds(filt)
+                    m = filter_ops.number_range_mask(
+                        vals, docs, valid,
+                        jnp.float32(lo), jnp.float32(hi),
+                        jnp.array(lx), jnp.array(hx),
+                        n_docs=cap,
+                    )
+                unc = nf.uncommitted.filter_docs(filt) if not nf.uncommitted.is_empty else set()
+                m = self._with_uncommitted(m, unc)
+            elif isinstance(filt, BoolFilter):
+                if f.type != ValueType.BOOL:
+                    raise ValueError(f'"{field_name}" is not a bool field')
+                bf = self._bool[fid]
+                true_mask, has_mask = self._device.bool_arrays(bf.committed, cap)
+                m = _bool_filter_mask(true_mask, has_mask, bool(filt.value))
+                unc = bf.uncommitted.filter_docs(filt.value) if not bf.uncommitted.is_empty else set()
+                m = self._with_uncommitted(m, unc)
+            else:
+                raise TypeError(f"unknown filter {filt!r}")
+            mask = filter_ops.combine_masks(mask, m)
+        return mask
+
+    def _with_uncommitted(self, mask: jax.Array, docs: Set[int]) -> jax.Array:
+        if not docs:
+            return mask
+        idx, vals = self._padded_scatter(sorted(docs), [1.0] * len(docs))
+        return _scatter_max_mask(mask, idx, vals)
+
+    def _padded_scatter(
+        self, docs: Sequence[int], vals: Sequence[float]
+    ) -> Tuple[jax.Array, jax.Array]:
+        n = len(docs)
+        n_pad = bucket_pad(max(n, 1), self.cfg.posting_bucket_steps)
+        idx = np.zeros(n_pad, np.int32)
+        idx[:n] = docs
+        v = np.zeros(n_pad, np.float32)
+        v[:n] = vals
+        return jnp.asarray(idx), jnp.asarray(v)
+
+    # -- full-text (reference: collection.rs:903-955) -------------------------
+
+    def _string_properties(self, properties: Optional[List[str]]) -> List[int]:
+        if properties is None:
+            return [fid for fid, f in self.fields.items() if f.type == ValueType.STRING]
+        out = []
+        for name in properties:
+            fid = self.field_by_name.get(name)
+            if fid is None:
+                raise ValueError(f"Unknown field name {name}")
+            if self.fields[fid].type != ValueType.STRING:
+                raise ValueError(f"Cannot search on non-string field {name}")
+            out.append(fid)
+        return out
+
+    def search_fulltext(
+        self,
+        term: str,
+        properties: Optional[List[str]],
+        boost: Dict[str, float],
+        filter_mask: jax.Array,
+    ) -> jax.Array:
+        cap = self.capacity
+        scores = jnp.zeros((cap,), dtype=jnp.float32)
+        steps = self.cfg.posting_bucket_steps
+        tokens_cache: Dict[str, List[str]] = {}
+        for fid in self._string_properties(properties):
+            f = self.fields[fid]
+            locale = f.locale or self.default_locale
+            tokens = tokens_cache.get(locale)
+            if tokens is None:
+                tokens = get_parser(locale).tokenize(term)
+                tokens_cache[locale] = tokens
+            if not tokens:
+                continue
+            field_boost = float(boost.get(f.name, 1.0))
+            sf = self._string[fid]
+            gi = sf.committed.global_info() + sf.uncommitted.global_info()
+            phrase = len(tokens) > 1
+
+            # committed segment on device
+            rq = sf.committed.resolve_tokens(tokens)
+            if not rq.is_empty:
+                g_idx, g_idf = rq.padded(steps)
+                d_docs, d_tf, d_lens, d_pos = self._device.string_arrays(sf.committed)
+                if phrase:
+                    pos_flat, pos_docs = sf.committed.resolve_positions(rq.gather_idx)
+                    gp = len(pos_flat)
+                    gp_pad = bucket_pad(max(gp, 1), steps)
+                    p_idx = np.zeros(gp_pad, np.int32)
+                    p_idx[:gp] = pos_flat
+                    p_docs = np.zeros(gp_pad, np.int32)
+                    p_docs[:gp] = pos_docs
+                    p_valid = np.zeros(gp_pad, np.float32)
+                    p_valid[:gp] = 1.0
+                    p_idx_d, p_docs_d, p_valid_d = (
+                        jnp.asarray(p_idx), jnp.asarray(p_docs), jnp.asarray(p_valid),
+                    )
+                else:
+                    p_idx_d = p_docs_d = jnp.zeros((1,), jnp.int32)
+                    p_valid_d = jnp.zeros((1,), jnp.float32)
+                field_scores = _fulltext_field_scores(
+                    d_docs, d_tf, d_lens, d_pos,
+                    jnp.asarray(g_idx), jnp.asarray(g_idf),
+                    p_idx_d, p_docs_d, p_valid_d,
+                    jnp.float32(field_boost), filter_mask, jnp.float32(gi.avgdl),
+                    n_docs=cap, phrase=phrase,
+                )
+                scores = scores + field_scores
+
+            # uncommitted window on host
+            if not sf.uncommitted.is_empty:
+                host_out: Dict[int, float] = {}
+                fm_host = np.asarray(filter_mask)
+                sf.uncommitted.search(
+                    tokens, field_boost, gi, fm_host, self.deleted, host_out
+                )
+                if host_out:
+                    idx, vals = self._padded_scatter(
+                        list(host_out.keys()), list(host_out.values())
+                    )
+                    scores = _scatter_add_scores(scores, idx, vals)
+        return scores
+
+    # -- vector (reference: collection.rs:957-1002) ---------------------------
+
+    def search_vector(self, term: str, ai_service, filter_mask: jax.Array) -> jax.Array:
+        cap = self.capacity
+        scores = jnp.zeros((cap,), dtype=jnp.float32)
+        by_model: Dict[str, List[int]] = {}
+        for fid, f in self.fields.items():
+            if f.type == ValueType.EMBEDDING and f.model:
+                by_model.setdefault(f.model, []).append(fid)
+        for model, fids in by_model.items():
+            q = ai_service.embed_query(model, [term])[0]
+            qn = q / max(float(np.linalg.norm(q)), 1e-12)
+            q_dev = jnp.asarray(qn, dtype=jnp.float32)
+            for fid in fids:
+                vf = self._vector[fid]
+                if not vf.committed.is_empty:
+                    vecs, docs, valid = self._device.vector_arrays(vf.committed)
+                    scores = scores + vector_ops.brute_force_scores(
+                        vecs, docs, valid, q_dev, filter_mask, n_docs=cap
+                    )
+                if not vf.uncommitted.is_empty:
+                    host_out: Dict[int, float] = {}
+                    vf.uncommitted.search(
+                        qn, np.asarray(filter_mask), self.deleted, host_out
+                    )
+                    if host_out:
+                        idx, vals = self._padded_scatter(
+                            list(host_out.keys()), list(host_out.values())
+                        )
+                        scores = _scatter_add_scores(scores, idx, vals)
+        return scores
+
+    # -- search entry (reference: collection.rs:684-781) ----------------------
+
+    def search_scores(self, params: SearchParams, ai_service) -> jax.Array:
+        filter_mask = self._filter_mask(params.where)
+        if params.mode == SearchModeKind.FULLTEXT:
+            return self.search_fulltext(
+                params.term, params.properties, params.boost, filter_mask
+            )
+        if params.mode == SearchModeKind.VECTOR:
+            return self.search_vector(params.term, ai_service, filter_mask)
+        ft = self.search_fulltext(
+            params.term, params.properties, params.boost, filter_mask
+        )
+        vec = self.search_vector(params.term, ai_service, filter_mask)
+        if params.fusion == HybridFusion.MINMAX:
+            return fusion_ops.minmax_fuse(ft, vec)
+        return fusion_ops.rrf_fuse(ft, vec)
+
+    def search(
+        self, params: SearchParams, ai_service
+    ) -> Tuple[List[Tuple[int, float]], int, Optional[Dict[str, FacetResult]]]:
+        """Returns (ranked [(doc_id, score)], match count, facets)."""
+        scores = self.search_scores(params, ai_service)
+        facets = self.compute_facets(scores, params.facets) if params.facets else None
+        k = min(params.limit, self.capacity)
+        vals, idx, count = topk_ops.topk_with_count(scores, k)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        ranked = [
+            (int(d), float(s)) for d, s in zip(idx, vals) if s > 0.0
+        ]
+        return ranked, int(count), facets
+
+    # -- facets (reference: collection.rs:1004-1126) --------------------------
+
+    def compute_facets(
+        self, scores: jax.Array, facet_defs: Dict[str, Any]
+    ) -> Dict[str, FacetResult]:
+        matched = facet_ops.matched_mask(scores)
+        matched_host: Optional[np.ndarray] = None
+        out: Dict[str, FacetResult] = {}
+        for field_name, fdef in facet_defs.items():
+            fid = self.field_by_name.get(field_name)
+            if fid is None:
+                raise ValueError(f"unknown facet field {field_name}")
+            if isinstance(fdef, NumberFacetDefinition):
+                nf = self._number[fid]
+                lows = jnp.asarray([float(r.low) for r in fdef.ranges], jnp.float32)
+                highs = jnp.asarray([float(r.high) for r in fdef.ranges], jnp.float32)
+                vals, docs, valid = self._device.number_arrays(nf.committed)
+                counts = np.array(
+                    facet_ops.number_facet_counts(
+                        vals, docs, valid, lows, highs, matched, n_docs=self.capacity
+                    )
+                )
+                if not nf.uncommitted.is_empty:
+                    if matched_host is None:
+                        matched_host = np.asarray(matched)
+                    for i, r in enumerate(fdef.ranges):
+                        for v, d in nf.uncommitted.pairs:
+                            if float(r.low) <= v <= float(r.high) and matched_host[d] > 0:
+                                counts[i] += 1
+                values = {
+                    r.key: int(c) for r, c in zip(fdef.ranges, counts)
+                }
+                out[field_name] = FacetResult(count=len(values), values=values)
+            elif isinstance(fdef, BoolFacetDefinition):
+                bf = self._bool[fid]
+                true_mask, has_mask = self._device.bool_arrays(bf.committed, self.capacity)
+                tc, fc = np.asarray(
+                    facet_ops.bool_facet_counts(true_mask, has_mask, matched)
+                ).tolist()
+                if not bf.uncommitted.is_empty:
+                    if matched_host is None:
+                        matched_host = np.asarray(matched)
+                    tc += sum(1 for d in bf.uncommitted.true_docs if matched_host[d] > 0)
+                    fc += sum(1 for d in bf.uncommitted.false_docs if matched_host[d] > 0)
+                values = {}
+                if fdef.true:
+                    values["true"] = int(tc)
+                if fdef.false:
+                    values["false"] = int(fc)
+                out[field_name] = FacetResult(count=len(values), values=values)
+        return out
+
+    # -- commit / persistence (reference: collection.rs:194-602) --------------
+
+    def commit(self, data_dir: str, offset: int) -> None:
+        """Merge uncommitted windows into new immutable generations and dump
+        to ``data_dir`` as ``gen-{offset}`` + pointer file."""
+        with self._commit_insert_lock:
+            cap = self.capacity
+            deleted = set(self.deleted)
+            for fid, sf in self._string.items():
+                if not sf.uncommitted.is_empty or deleted:
+                    old = sf.committed
+                    sf.committed = old.merge(sf.uncommitted, cap, deleted)
+                    sf.uncommitted = UncommittedStringIndex()
+                    self._device.drop(old)
+            for fid, nf in self._number.items():
+                if not nf.uncommitted.is_empty or deleted:
+                    old = nf.committed
+                    nf.committed = old.merge(nf.uncommitted, deleted)
+                    nf.uncommitted = UncommittedNumberIndex()
+                    self._device.drop(old)
+            for fid, bf in self._bool.items():
+                if not bf.uncommitted.is_empty or deleted:
+                    old = bf.committed
+                    bf.committed = old.merge(bf.uncommitted, cap, deleted)
+                    bf.uncommitted = UncommittedBoolIndex()
+                    self._device.drop(old)
+            for fid, vf in self._vector.items():
+                if not vf.uncommitted.is_empty or deleted:
+                    old = vf.committed
+                    vf.committed = old.merge(vf.uncommitted, deleted)
+                    vf.uncommitted = UncommittedVectorIndex(old.dimension)
+                    self._device.drop(old)
+            self.committed_offset = offset
+            self.uncommitted_ops = 0
+
+        gen_dir = ensure_dir(os.path.join(data_dir, f"gen-{offset}"))
+        for fid, sf in self._string.items():
+            atomic_write_npz(os.path.join(gen_dir, f"string-{fid}.npz"), sf.committed.to_arrays())
+        for fid, nf in self._number.items():
+            atomic_write_npz(os.path.join(gen_dir, f"number-{fid}.npz"), nf.committed.to_arrays())
+        for fid, bf in self._bool.items():
+            atomic_write_npz(os.path.join(gen_dir, f"bool-{fid}.npz"), bf.committed.to_arrays())
+        for fid, vf in self._vector.items():
+            atomic_write_npz(os.path.join(gen_dir, f"vector-{fid}.npz"), vf.committed.to_arrays())
+        manifest = {
+            "collection_id": self.id,
+            "read_api_key": self.read_api_key,
+            "description": self.description,
+            "default_locale": self.default_locale,
+            "doc_count": self.doc_count,
+            "max_doc_id": self.max_doc_id,
+            "deleted": sorted(self.deleted),
+            "offset": offset,
+            "fields": [dataclasses.asdict(f) for f in self.fields.values()],
+        }
+        atomic_write_json(os.path.join(gen_dir, "manifest.json"), manifest)
+        # pointer swap last — readers of a torn commit see the old generation
+        # (reference info.info pointer, collection.rs:585-595)
+        atomic_write_json(os.path.join(data_dir, "info.json"), {"generation": offset})
+
+    @staticmethod
+    def load(data_dir: str, tpu_cfg: Optional[TpuConfig] = None) -> Optional["CollectionReader"]:
+        pointer = read_json(os.path.join(data_dir, "info.json"))
+        if not pointer:
+            return None
+        gen_dir = os.path.join(data_dir, f"gen-{pointer['generation']}")
+        manifest = read_json(os.path.join(gen_dir, "manifest.json"))
+        if not manifest:
+            return None
+        reader = CollectionReader(
+            manifest["collection_id"],
+            manifest["read_api_key"],
+            manifest.get("description"),
+            tpu_cfg,
+            manifest.get("default_locale", "en"),
+        )
+        reader.doc_count = manifest["doc_count"]
+        reader.max_doc_id = manifest["max_doc_id"]
+        reader.deleted = set(manifest.get("deleted", []))
+        reader.committed_offset = manifest["offset"]
+        reader._alive = np.ones(reader.capacity, dtype=np.float32)
+        for d in reader.deleted:
+            if d < len(reader._alive):
+                reader._alive[d] = 0.0
+        for fdata in manifest["fields"]:
+            fdata["type"] = ValueType(fdata["type"])
+            if fdata.get("embedding_sources") is not None:
+                fdata["embedding_sources"] = tuple(fdata["embedding_sources"])
+            f = TypedField(**fdata)
+            reader._apply_locked(CreateFieldOp(reader.id, f))
+        for fid, f in reader.fields.items():
+            if f.type == ValueType.STRING:
+                arrays = read_npz(os.path.join(gen_dir, f"string-{fid}.npz"))
+                if arrays:
+                    reader._string[fid].committed = CommittedStringIndex.from_arrays(arrays)
+            elif f.type == ValueType.NUMBER:
+                arrays = read_npz(os.path.join(gen_dir, f"number-{fid}.npz"))
+                if arrays:
+                    reader._number[fid].committed = CommittedNumberIndex.from_arrays(arrays)
+            elif f.type == ValueType.BOOL:
+                arrays = read_npz(os.path.join(gen_dir, f"bool-{fid}.npz"))
+                if arrays:
+                    reader._bool[fid].committed = CommittedBoolIndex.from_arrays(arrays)
+            elif f.type == ValueType.EMBEDDING:
+                arrays = read_npz(os.path.join(gen_dir, f"vector-{fid}.npz"))
+                if arrays:
+                    reader._vector[fid].committed = CommittedVectorIndex.from_arrays(arrays)
+        return reader

@@ -1,0 +1,282 @@
+"""Write-side collection: schema inference, field registry, doc processing.
+
+Counterpart of the reference's `CollectionWriter`
+(`sides/write/collection.rs`, `sides/write/fields.rs`): each inserted
+document is flattened, unseen fields are inferred and registered (emitting
+``CreateFieldOp``), and every typed field produces index ops into the op
+log. Embedding fields enqueue an async request (the embedding queue batches
+per model — embedding.rs:88-125).
+
+Doc ids are **dense per collection** (0..N) — they index device arrays
+directly (types.py) — with a user-id → doc-id map for lookups/upserts
+(reference DocIdStorage, write/collection/doc_id_storage.rs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from ..nlp import get_parser
+from ..oplog import (
+    CreateFieldOp,
+    DeleteDocumentsOp,
+    IndexBoolOp,
+    IndexNumberOp,
+    IndexStringOp,
+    InsertDocumentOp,
+    OperationSender,
+)
+from ..types import TypedField, ValueType
+
+AUTO_EMBEDDING_FIELD = "___orama_auto_embedding"
+
+
+def flatten_document(doc: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Nested objects flatten to dot-joined keys (reference FlattenDocument)."""
+    out: Dict[str, Any] = {}
+    for k, v in doc.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(flatten_document(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+def infer_value_type(value: Any) -> Optional[ValueType]:
+    if isinstance(value, bool):
+        return ValueType.BOOL
+    if isinstance(value, (int, float)):
+        return ValueType.NUMBER
+    if isinstance(value, str):
+        return ValueType.STRING
+    if isinstance(value, list) and value:
+        if all(isinstance(x, bool) for x in value):
+            return ValueType.ARRAY_BOOL
+        if all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in value):
+            return ValueType.ARRAY_NUMBER
+        if all(isinstance(x, str) for x in value):
+            return ValueType.ARRAY_STRING
+    return None  # null / mixed arrays / unsupported -> skipped
+
+
+@dataclasses.dataclass
+class EmbeddingRequest:
+    collection_id: str
+    doc_id: int
+    field_id: int
+    model: str
+    text: str
+
+
+class CollectionWriter:
+    def __init__(
+        self,
+        collection_id: str,
+        description: Optional[str],
+        read_api_key: str,
+        write_api_key: str,
+        default_locale: str = "en",
+        embedding_model: Optional[str] = None,
+        embedding_sources: Optional[Sequence[str]] = None,  # None => all strings
+    ) -> None:
+        self.id = collection_id
+        self.description = description
+        self.read_api_key = read_api_key
+        self.write_api_key = write_api_key
+        self.default_locale = default_locale
+        self.embedding_model = embedding_model
+
+        self._lock = threading.RLock()
+        self.fields: Dict[str, TypedField] = {}
+        self._next_field_id = 0
+        self.doc_id_by_user_id: Dict[str, int] = {}
+        self.next_doc_id = 0
+        self.document_count = 0
+        self._pending_field_ops: List[CreateFieldOp] = []
+
+        if embedding_model:
+            self._register_field(
+                AUTO_EMBEDDING_FIELD,
+                ValueType.EMBEDDING,
+                model=embedding_model,
+                embedding_sources=tuple(embedding_sources) if embedding_sources else None,
+            )
+
+    # -- field registry -------------------------------------------------------
+
+    def _register_field(
+        self,
+        name: str,
+        vtype: ValueType,
+        model: Optional[str] = None,
+        embedding_sources: Optional[Tuple[str, ...]] = None,
+    ) -> TypedField:
+        f = TypedField(
+            field_id=self._next_field_id,
+            name=name,
+            type=vtype,
+            model=model,
+            embedding_sources=embedding_sources,
+            locale=self.default_locale,
+        )
+        self._next_field_id += 1
+        self.fields[name] = f
+        self._pending_field_ops.append(CreateFieldOp(self.id, f))
+        return f
+
+    def drain_field_ops(self) -> List[CreateFieldOp]:
+        ops = self._pending_field_ops
+        self._pending_field_ops = []
+        return ops
+
+    # -- doc ids --------------------------------------------------------------
+
+    def assign_doc_id(self, user_id: str) -> Tuple[int, Optional[int]]:
+        """Returns (new_doc_id, replaced_doc_id_or_None) — same user id twice
+        is an upsert: the old internal doc is deleted."""
+        with self._lock:
+            old = self.doc_id_by_user_id.get(user_id)
+            doc_id = self.next_doc_id
+            self.next_doc_id += 1
+            self.doc_id_by_user_id[user_id] = doc_id
+            self.document_count += 1
+            if old is not None:
+                self.document_count -= 1
+            return doc_id, old
+
+    def lookup_doc_ids(self, user_ids: Sequence[str]) -> List[int]:
+        with self._lock:
+            out = []
+            for uid in user_ids:
+                d = self.doc_id_by_user_id.pop(uid, None)
+                if d is not None:
+                    out.append(d)
+                    self.document_count -= 1
+            return out
+
+    # -- document processing (reference: collection.rs:120-180) ---------------
+
+    def process_document(
+        self, doc_id: int, doc: Dict[str, Any]
+    ) -> Tuple[List[Any], List[EmbeddingRequest]]:
+        """Returns (index ops, embedding requests). The caller sends the
+        CreateField/InsertDocument ops first, then these, then queues the
+        embedding requests."""
+        flat = flatten_document(doc)
+        ops: List[Any] = []
+        string_values: List[str] = []
+
+        for key, value in flat.items():
+            if key == "id":
+                # "id" is stored but not indexed as a search field (reference
+                # forces a string id; lookups go through DocIdStorage)
+                continue
+            vtype = infer_value_type(value)
+            if vtype is None:
+                continue
+            f = self.fields.get(key)
+            if f is None:
+                base = {
+                    ValueType.ARRAY_STRING: ValueType.STRING,
+                    ValueType.ARRAY_NUMBER: ValueType.NUMBER,
+                    ValueType.ARRAY_BOOL: ValueType.BOOL,
+                }.get(vtype, vtype)
+                f = self._register_field(key, base)
+            ops.extend(self._index_ops_for(f, doc_id, value))
+            if isinstance(value, str):
+                string_values.append(value)
+            elif isinstance(value, list) and all(isinstance(x, str) for x in value):
+                string_values.extend(value)
+
+        emb_reqs: List[EmbeddingRequest] = []
+        for f in self.fields.values():
+            if f.type != ValueType.EMBEDDING or not f.model:
+                continue
+            if f.embedding_sources:
+                parts = [
+                    str(flat[src]) for src in f.embedding_sources if src in flat
+                ]
+            else:
+                parts = string_values
+            text = " ".join(p for p in parts if p).strip()
+            if text:
+                emb_reqs.append(
+                    EmbeddingRequest(self.id, doc_id, f.field_id, f.model, text)
+                )
+        return ops, emb_reqs
+
+    def _index_ops_for(self, f: TypedField, doc_id: int, value: Any) -> List[Any]:
+        if f.type == ValueType.STRING:
+            texts = value if isinstance(value, list) else [value]
+            text = " ".join(str(t) for t in texts)
+            parser = get_parser(f.locale or self.default_locale)
+            data = parser.tokenize_and_stem(text)
+            terms: Dict[str, List[int]] = {}
+            for position, (original, stemmeds) in enumerate(data):
+                terms.setdefault(original, []).append(position)
+                for s in stemmeds:
+                    terms.setdefault(s, []).append(position)
+            return [
+                IndexStringOp(
+                    self.id,
+                    doc_id,
+                    f.field_id,
+                    field_length=min(len(data), 65_534),
+                    terms={t: tuple(p) for t, p in terms.items()},
+                )
+            ]
+        if f.type == ValueType.NUMBER:
+            vals = value if isinstance(value, list) else [value]
+            return [
+                IndexNumberOp(self.id, doc_id, f.field_id, float(v)) for v in vals
+            ]
+        if f.type == ValueType.BOOL:
+            vals = value if isinstance(value, list) else [value]
+            return [IndexBoolOp(self.id, doc_id, f.field_id, bool(v)) for v in vals]
+        return []
+
+    # -- dump / load (reference: CollectionDump::V1) --------------------------
+
+    def dump(self) -> Dict[str, Any]:
+        return {
+            "version": 1,
+            "id": self.id,
+            "description": self.description,
+            "read_api_key": self.read_api_key,
+            "write_api_key": self.write_api_key,
+            "default_locale": self.default_locale,
+            "embedding_model": self.embedding_model,
+            "fields": [dataclasses.asdict(f) for f in self.fields.values()],
+            "next_field_id": self._next_field_id,
+            "doc_id_by_user_id": self.doc_id_by_user_id,
+            "next_doc_id": self.next_doc_id,
+            "document_count": self.document_count,
+        }
+
+    @staticmethod
+    def from_dump(data: Dict[str, Any]) -> "CollectionWriter":
+        w = CollectionWriter.__new__(CollectionWriter)
+        w.id = data["id"]
+        w.description = data.get("description")
+        w.read_api_key = data["read_api_key"]
+        w.write_api_key = data["write_api_key"]
+        w.default_locale = data.get("default_locale", "en")
+        w.embedding_model = data.get("embedding_model")
+        w._lock = threading.RLock()
+        w.fields = {}
+        for fdata in data["fields"]:
+            fdata = dict(fdata)
+            fdata["type"] = ValueType(fdata["type"])
+            if fdata.get("embedding_sources") is not None:
+                fdata["embedding_sources"] = tuple(fdata["embedding_sources"])
+            f = TypedField(**fdata)
+            w.fields[f.name] = f
+        w._next_field_id = data["next_field_id"]
+        w.doc_id_by_user_id = dict(data["doc_id_by_user_id"])
+        w.next_doc_id = data["next_doc_id"]
+        w.document_count = data["document_count"]
+        w._pending_field_ops = []
+        return w

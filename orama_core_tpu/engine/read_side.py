@@ -1,0 +1,181 @@
+"""Read side: op consumption, search entry, commit/load.
+
+Counterpart of the reference's `ReadSide` (`sides/read/mod.rs`): consumes
+offset-stamped ops from the channel into per-collection readers + document
+storage, exposes the search entry (api-key check → CollectionReader.search →
+doc fetch), and commits on op-count/interval triggers.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+from ..config import ReaderSideConfig, TpuConfig
+from ..oplog import (
+    CreateCollectionOp,
+    DeleteDocumentsOp,
+    OperationReceiver,
+    StampedOp,
+)
+from ..types import (
+    ApiKeyError,
+    CollectionNotFound,
+    SearchParams,
+    SearchResult,
+    SearchResultHit,
+)
+from ..utils import ensure_dir, read_json, atomic_write_json
+from .collection_read import CollectionReader
+from .document_storage import DocumentStorage
+
+
+class ReadSide:
+    def __init__(
+        self,
+        cfg: ReaderSideConfig,
+        op_receiver: OperationReceiver,
+        ai_service,
+        tpu_cfg: Optional[TpuConfig] = None,
+    ) -> None:
+        self.cfg = cfg
+        self.rx = op_receiver
+        self.ai = ai_service
+        self.tpu_cfg = tpu_cfg or TpuConfig()
+        self.collections: Dict[str, CollectionReader] = {}
+        self.doc_storage: Dict[str, DocumentStorage] = {}
+        self._lock = threading.RLock()
+        self._applied_offset = 0
+        self._ops_since_commit = 0
+        self.load()
+
+    # -- op application (reference: read/mod.rs:181-249) ----------------------
+
+    def apply(self, stamped: StampedOp) -> None:
+        op = stamped.op
+        if isinstance(op, CreateCollectionOp):
+            with self._lock:
+                if op.collection_id not in self.collections:
+                    self.collections[op.collection_id] = CollectionReader(
+                        op.collection_id,
+                        op.read_api_key,
+                        op.description,
+                        self.tpu_cfg,
+                        op.default_locale,
+                    )
+                    self.doc_storage[op.collection_id] = DocumentStorage(
+                        os.path.join(self.cfg.data_dir, "docs", op.collection_id)
+                    )
+        else:
+            cid = op.collection_id
+            reader = self.collections.get(cid)
+            if reader is None:
+                raise CollectionNotFound(cid)
+            from ..oplog import InsertDocumentOp
+
+            if isinstance(op, InsertDocumentOp):
+                self.doc_storage[cid].add_document(op.doc_id, op.document)
+            elif isinstance(op, DeleteDocumentsOp):
+                self.doc_storage[cid].delete_documents(op.doc_ids)
+            reader.apply(op)
+        self._applied_offset = stamped.offset.value
+        self._ops_since_commit += 1
+
+    def pump(self, timeout: float = 0.0) -> int:
+        """Apply everything currently in the channel; returns ops applied."""
+        n = 0
+        while True:
+            batch = self.rx.drain()
+            if not batch:
+                if timeout > 0:
+                    s = self.rx.recv(timeout=timeout)
+                    if s is None:
+                        break
+                    batch = [s]
+                else:
+                    break
+            for stamped in batch:
+                self.apply(stamped)
+                n += 1
+            timeout = 0.0
+        return n
+
+    # -- search (reference: read/mod.rs:127-179) ------------------------------
+
+    def _reader(self, collection_id: str) -> CollectionReader:
+        reader = self.collections.get(collection_id)
+        if reader is None:
+            raise CollectionNotFound(collection_id)
+        return reader
+
+    def check_read_key(self, collection_id: str, key: Optional[str]) -> CollectionReader:
+        reader = self._reader(collection_id)
+        if key != reader.read_api_key:
+            raise ApiKeyError("invalid read api key")
+        return reader
+
+    def search(
+        self,
+        collection_id: str,
+        params: SearchParams,
+        read_api_key: Optional[str] = None,
+        skip_auth: bool = False,
+        with_documents: bool = True,
+    ) -> SearchResult:
+        t0 = time.perf_counter()
+        reader = (
+            self._reader(collection_id)
+            if skip_auth
+            else self.check_read_key(collection_id, read_api_key)
+        )
+        ranked, count, facets = reader.search(params, self.ai)
+        storage = self.doc_storage[collection_id]
+        hits: List[SearchResultHit] = []
+        for doc_id, score in ranked:
+            doc = storage.get(doc_id) if with_documents else None
+            uid = str(doc.get("id")) if doc else str(doc_id)
+            hits.append(SearchResultHit(id=uid, score=score, document=doc))
+        elapsed_ms = (time.perf_counter() - t0) * 1e3
+        return SearchResult(hits=hits, count=count, elapsed_ms=elapsed_ms, facets=facets)
+
+    def count_documents(self, collection_id: str) -> int:
+        return self._reader(collection_id).doc_count
+
+    # -- commit / load (reference: read/mod.rs:93-125) ------------------------
+
+    @property
+    def should_commit(self) -> bool:
+        return self._ops_since_commit >= self.cfg.insert_batch_commit_size
+
+    def commit(self) -> None:
+        data_dir = ensure_dir(self.cfg.data_dir)
+        with self._lock:
+            collections = dict(self.collections)
+        for cid, reader in collections.items():
+            reader.commit(
+                ensure_dir(os.path.join(data_dir, "collections", cid)),
+                self._applied_offset,
+            )
+            self.doc_storage[cid].commit()
+        atomic_write_json(
+            os.path.join(data_dir, "info.json"),
+            {"offset": self._applied_offset, "collections": sorted(collections)},
+        )
+        self._ops_since_commit = 0
+
+    def load(self) -> None:
+        info = read_json(os.path.join(self.cfg.data_dir, "info.json"))
+        if not info:
+            return
+        self._applied_offset = int(info.get("offset", 0))
+        for cid in info.get("collections", []):
+            reader = CollectionReader.load(
+                os.path.join(self.cfg.data_dir, "collections", cid), self.tpu_cfg
+            )
+            if reader is not None:
+                self.collections[cid] = reader
+                self.doc_storage[cid] = DocumentStorage(
+                    os.path.join(self.cfg.data_dir, "docs", cid)
+                )

@@ -1,0 +1,244 @@
+"""Write side: API-key auth, doc-id assignment, op production, commit/load.
+
+Counterpart of the reference's `WriteSide` (`sides/write/mod.rs`): documents
+get ids (user "id" forced to a string, generated when missing), each doc is
+processed into typed index ops pushed through the op log, embedding work is
+queued for async batch computation, and state checkpoints as per-collection
+dumps + a global ``{document_count, offset}`` info file.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Any, Dict, List, Optional, Sequence
+
+from ..config import WriterSideConfig
+from ..oplog import (
+    CreateCollectionOp,
+    DeleteDocumentsOp,
+    IndexEmbeddingOp,
+    InsertDocumentOp,
+    OperationSender,
+)
+from ..types import ApiKeyError, CollectionNotFound, new_cuid
+from ..utils import atomic_write_json, ensure_dir, read_json
+from .collection_write import CollectionWriter, EmbeddingRequest
+
+
+class WriteSide:
+    def __init__(
+        self,
+        cfg: WriterSideConfig,
+        op_sender: OperationSender,
+        ai_service,
+    ) -> None:
+        self.cfg = cfg
+        self.op_sender = op_sender
+        self.ai = ai_service
+        self.collections: Dict[str, CollectionWriter] = {}
+        self._lock = threading.RLock()
+        self._embedding_queue: "queue.Queue[EmbeddingRequest]" = queue.Queue(
+            maxsize=cfg.embedding_queue_limit
+        )
+        self._ops_since_commit = 0
+        self.load()
+
+    # -- admin ----------------------------------------------------------------
+
+    def check_master_key(self, key: Optional[str]) -> None:
+        if key != self.cfg.master_api_key:
+            raise ApiKeyError("invalid master api key")
+
+    def _collection(self, collection_id: str) -> CollectionWriter:
+        c = self.collections.get(collection_id)
+        if c is None:
+            raise CollectionNotFound(collection_id)
+        return c
+
+    def check_write_key(self, collection_id: str, key: Optional[str]) -> CollectionWriter:
+        c = self._collection(collection_id)
+        if key != c.write_api_key:
+            raise ApiKeyError("invalid write api key")
+        return c
+
+    def create_collection(
+        self,
+        master_key: Optional[str],
+        collection_id: str,
+        read_api_key: str,
+        write_api_key: str,
+        description: Optional[str] = None,
+        language: str = "en",
+        embedding_model: Optional[str] = None,
+        embedding_sources: Optional[Sequence[str]] = None,
+    ) -> None:
+        self.check_master_key(master_key)
+        with self._lock:
+            if collection_id in self.collections:
+                raise ValueError(f"collection {collection_id!r} already exists")
+            model = embedding_model or self.cfg.default_embedding_model
+            w = CollectionWriter(
+                collection_id,
+                description,
+                read_api_key,
+                write_api_key,
+                default_locale=language,
+                embedding_model=model,
+                embedding_sources=embedding_sources,
+            )
+            self.collections[collection_id] = w
+        self.op_sender.send(
+            CreateCollectionOp(collection_id, description, read_api_key, language)
+        )
+        for op in w.drain_field_ops():
+            self.op_sender.send(op)
+
+    def list_collections(self, master_key: Optional[str]) -> List[Dict[str, Any]]:
+        self.check_master_key(master_key)
+        with self._lock:
+            return [
+                {
+                    "id": c.id,
+                    "description": c.description,
+                    "document_count": c.document_count,
+                    "fields": {f.name: f.type.value for f in c.fields.values()},
+                }
+                for c in self.collections.values()
+            ]
+
+    def get_collection(self, master_key: Optional[str], collection_id: str) -> Dict[str, Any]:
+        self.check_master_key(master_key)
+        c = self._collection(collection_id)
+        return {
+            "id": c.id,
+            "description": c.description,
+            "document_count": c.document_count,
+            "fields": {f.name: f.type.value for f in c.fields.values()},
+        }
+
+    # -- write path (reference: write/mod.rs:220-310) -------------------------
+
+    def write(
+        self,
+        collection_id: str,
+        documents: Sequence[Dict[str, Any]],
+        write_api_key: Optional[str] = None,
+        _skip_auth: bool = False,
+    ) -> List[str]:
+        """Insert documents; returns the (possibly generated) user ids."""
+        if _skip_auth:
+            c = self._collection(collection_id)
+        else:
+            c = self.check_write_key(collection_id, write_api_key)
+        user_ids: List[str] = []
+        for doc in documents:
+            doc = dict(doc)
+            uid = doc.get("id")
+            if not isinstance(uid, str) or not uid:
+                uid = new_cuid()
+            doc["id"] = uid
+            user_ids.append(uid)
+
+            doc_id, replaced = c.assign_doc_id(uid)
+            if replaced is not None:
+                self.op_sender.send(DeleteDocumentsOp(collection_id, (replaced,)))
+            ops, emb_reqs = c.process_document(doc_id, doc)
+            # field-creation ops must precede the index ops that use them
+            for op in c.drain_field_ops():
+                self.op_sender.send(op)
+            self.op_sender.send(InsertDocumentOp(collection_id, doc_id, doc))
+            for op in ops:
+                self.op_sender.send(op)
+            for req in emb_reqs:
+                self._embedding_queue.put(req)
+            self._ops_since_commit += len(ops) + 1
+        return user_ids
+
+    def delete_documents(
+        self,
+        collection_id: str,
+        user_ids: Sequence[str],
+        write_api_key: Optional[str] = None,
+        _skip_auth: bool = False,
+    ) -> int:
+        if _skip_auth:
+            c = self._collection(collection_id)
+        else:
+            c = self.check_write_key(collection_id, write_api_key)
+        doc_ids = c.lookup_doc_ids(user_ids)
+        if doc_ids:
+            self.op_sender.send(DeleteDocumentsOp(collection_id, tuple(doc_ids)))
+            self._ops_since_commit += 1
+        return len(doc_ids)
+
+    # -- embedding pipeline (reference: write/embedding.rs:88-125) ------------
+
+    def process_embeddings(self, max_batch: int = 64) -> int:
+        """Drain the embedding queue: group by model, one batched forward per
+        model, emit IndexEmbedding ops. Returns number of requests handled.
+        (The background loop calls this repeatedly; tests call it directly.)"""
+        batch: List[EmbeddingRequest] = []
+        while len(batch) < max_batch:
+            try:
+                batch.append(self._embedding_queue.get_nowait())
+            except queue.Empty:
+                break
+        if not batch:
+            return 0
+        by_model: Dict[str, List[EmbeddingRequest]] = {}
+        for r in batch:
+            by_model.setdefault(r.model, []).append(r)
+        for model, reqs in by_model.items():
+            vecs = self.ai.embed_passage(model, [r.text for r in reqs])
+            for r, v in zip(reqs, vecs):
+                self.op_sender.send(
+                    IndexEmbeddingOp(
+                        r.collection_id,
+                        r.doc_id,
+                        r.field_id,
+                        (tuple(float(x) for x in v),),
+                    )
+                )
+        return len(batch)
+
+    def drain_embeddings(self) -> None:
+        while self.process_embeddings() > 0:
+            pass
+
+    def pending_embeddings(self) -> int:
+        return self._embedding_queue.qsize()
+
+    # -- commit / load (reference: write/mod.rs:181-204, 126-156) -------------
+
+    @property
+    def should_commit(self) -> bool:
+        return self._ops_since_commit >= self.cfg.insert_batch_commit_size
+
+    def commit(self) -> None:
+        data_dir = ensure_dir(self.cfg.data_dir)
+        with self._lock:
+            total_docs = 0
+            for cid, c in self.collections.items():
+                cdir = ensure_dir(os.path.join(data_dir, "collections", cid))
+                atomic_write_json(os.path.join(cdir, "info.json"), c.dump())
+                total_docs += c.document_count
+            atomic_write_json(
+                os.path.join(data_dir, "info.json"),
+                {"document_count": total_docs, "offset": self.op_sender.offset},
+            )
+            self._ops_since_commit = 0
+
+    def load(self) -> None:
+        data_dir = self.cfg.data_dir
+        info = read_json(os.path.join(data_dir, "info.json"))
+        if not info:
+            return
+        self.op_sender.set_offset(int(info.get("offset", 0)))
+        cdir = os.path.join(data_dir, "collections")
+        if os.path.isdir(cdir):
+            for cid in sorted(os.listdir(cdir)):
+                dump = read_json(os.path.join(cdir, cid, "info.json"))
+                if dump:
+                    self.collections[cid] = CollectionWriter.from_dump(dump)

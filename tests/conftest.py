@@ -8,15 +8,19 @@ that run on a real slice.
 
 import os
 
-# Must be set before jax is imported anywhere. The image pre-sets
-# JAX_PLATFORMS=axon (real TPU tunnel), so force-override: tests always run
-# on the virtual 8-device CPU mesh.
+# The image's sitecustomize pre-imports jax and registers the axon TPU
+# backend (JAX_PLATFORMS=axon) before conftest runs, so setting the env var
+# is not enough — force the config back to CPU before any device use.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,325 @@
+"""End-to-end engine tests — the counterpart of the reference's
+`src/tests.rs` integration suite (19 tokio tests over build_orama with a
+fake AI server): insert → search (fulltext/vector/hybrid), ranking order,
+limit, filters, facets, commit + reload, deletes."""
+
+import pytest
+
+from orama_core_tpu.types import SearchParams
+
+MASTER = "master"
+READ = "read-key"
+WRITE = "write-key"
+
+
+def _create(engine, cid="c1", **kw):
+    engine.write_side.create_collection(
+        MASTER, cid, read_api_key=READ, write_api_key=WRITE, **kw
+    )
+    engine.flush()
+    return cid
+
+
+DOCS = [
+    {"id": "1", "title": "The cat sat on the mat", "price": 10, "in_stock": True},
+    {"id": "2", "title": "A dog chased the cat", "price": 25, "in_stock": False},
+    {"id": "3", "title": "Quantum computing explained", "price": 50, "in_stock": True},
+    {"id": "4", "title": "Dogs are loyal animals", "price": 5, "in_stock": True},
+]
+
+
+def _seed(engine, cid="c1"):
+    engine.write_side.write(cid, DOCS, WRITE)
+    engine.flush()
+
+
+def test_simple_fulltext_search(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "cat"}), READ
+    )
+    assert res.count == 2
+    ids = {h.id for h in res.hits}
+    assert ids == {"1", "2"}
+    assert res.hits[0].document["title"] in (DOCS[0]["title"], DOCS[1]["title"])
+
+
+def test_ranking_tf(tmp_engine):
+    cid = _create(tmp_engine)
+    tmp_engine.write_side.write(
+        cid,
+        [
+            {"id": "a", "body": "apple"},
+            {"id": "b", "body": "apple apple apple"},
+        ],
+        WRITE,
+    )
+    tmp_engine.flush()
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "apple"}), READ
+    )
+    assert [h.id for h in res.hits] == ["b", "a"]  # higher tf first
+
+
+def test_limit(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "cat dog", "limit": 1}), READ
+    )
+    assert len(res.hits) == 1
+    assert res.count >= 2
+
+
+def test_number_filters(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    for where, expected in [
+        ({"price": {"gt": 20}}, {"2", "3"}),
+        ({"price": {"lte": 10}}, {"1", "4"}),
+        ({"price": {"eq": 50}}, {"3"}),
+        ({"price": {"between": [5, 25]}}, {"1", "2", "4"}),
+    ]:
+        res = tmp_engine.read_side.search(
+            cid, SearchParams.from_json({"term": "", "mode": "vector", "where": where}), READ
+        )
+        # vector search with empty term yields nothing; use fulltext over all
+        res = tmp_engine.read_side.search(
+            cid,
+            SearchParams.from_json(
+                {"term": "cat dog quantum animals computing", "where": where}
+            ),
+            READ,
+        )
+        assert {h.id for h in res.hits} == expected, where
+
+
+def test_bool_filter(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    res = tmp_engine.read_side.search(
+        cid,
+        SearchParams.from_json(
+            {"term": "cat dog quantum animals computing", "where": {"in_stock": True}}
+        ),
+        READ,
+    )
+    assert {h.id for h in res.hits} == {"1", "3", "4"}
+
+
+def test_facets(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    res = tmp_engine.read_side.search(
+        cid,
+        SearchParams.from_json(
+            {
+                "term": "cat dog quantum animals computing",
+                "facets": {
+                    "price": {"ranges": [{"from": 0, "to": 20}, {"from": 20, "to": 100}]},
+                    "in_stock": {"true": True, "false": True},
+                },
+            }
+        ),
+        READ,
+    )
+    assert res.facets is not None
+    assert res.facets["price"].values == {"0-20": 2, "20-100": 2}
+    assert res.facets["in_stock"].values == {"true": 3, "false": 1}
+
+
+def test_vector_search_finds_similar(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "cat mat", "mode": "vector", "limit": 2}), READ
+    )
+    assert res.count >= 1
+    assert res.hits[0].id == "1"  # doc 1 shares tokens "cat" and "mat"
+
+
+def test_hybrid_search(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "loyal dog", "mode": "hybrid"}), READ
+    )
+    # RRF can tie docs with mirrored (1st,2nd)/(2nd,1st) ranks — require the
+    # right top-2 set; magnitude-sensitive minmax below pins the winner.
+    assert {h.id for h in res.hits[:2]} == {"2", "4"}
+    res_minmax = tmp_engine.read_side.search(
+        cid,
+        SearchParams.from_json({"term": "loyal dog", "mode": "hybrid", "fusion": "minmax"}),
+        READ,
+    )
+    assert res_minmax.hits[0].id == "4"
+
+
+def test_field_boost(tmp_engine):
+    cid = _create(tmp_engine)
+    tmp_engine.write_side.write(
+        cid,
+        [
+            {"id": "t", "title": "jax rocks", "body": "something else entirely"},
+            {"id": "b", "title": "unrelated words", "body": "jax rocks jax rocks"},
+        ],
+        WRITE,
+    )
+    tmp_engine.flush()
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "jax", "boost": {"title": 10.0}}), READ
+    )
+    assert res.hits[0].id == "t"
+
+
+def test_properties_restrict_search(tmp_engine):
+    cid = _create(tmp_engine)
+    tmp_engine.write_side.write(
+        cid,
+        [
+            {"id": "t", "title": "needle here", "body": "hay"},
+            {"id": "b", "title": "hay", "body": "needle here too"},
+        ],
+        WRITE,
+    )
+    tmp_engine.flush()
+    res = tmp_engine.read_side.search(
+        cid,
+        SearchParams.from_json({"term": "needle", "properties": ["title"]}),
+        READ,
+    )
+    assert {h.id for h in res.hits} == {"t"}
+
+
+def test_delete_documents(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    n = tmp_engine.write_side.delete_documents(cid, ["1"], WRITE)
+    assert n == 1
+    tmp_engine.flush()
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "cat"}), READ
+    )
+    assert {h.id for h in res.hits} == {"2"}
+    assert tmp_engine.read_side.count_documents(cid) == 3
+
+
+def test_upsert_same_id(tmp_engine):
+    cid = _create(tmp_engine)
+    tmp_engine.write_side.write(cid, [{"id": "x", "body": "old content"}], WRITE)
+    tmp_engine.flush()
+    tmp_engine.write_side.write(cid, [{"id": "x", "body": "new content"}], WRITE)
+    tmp_engine.flush()
+    res = tmp_engine.read_side.search(cid, SearchParams.from_json({"term": "old"}), READ)
+    assert res.count == 0
+    res = tmp_engine.read_side.search(cid, SearchParams.from_json({"term": "new"}), READ)
+    assert [h.id for h in res.hits] == ["x"]
+    assert tmp_engine.read_side.count_documents(cid) == 1
+
+
+def test_commit_then_search_same_scores(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    params = SearchParams.from_json({"term": "cat"})
+    before = tmp_engine.read_side.search(cid, params, READ)
+    tmp_engine.commit()
+    after = tmp_engine.read_side.search(cid, params, READ)
+    assert [h.id for h in before.hits] == [h.id for h in after.hits]
+    for hb, ha in zip(before.hits, after.hits):
+        assert abs(hb.score - ha.score) < 1e-4
+
+
+def test_search_mixes_committed_and_uncommitted(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    tmp_engine.commit()
+    tmp_engine.write_side.write(
+        cid, [{"id": "5", "title": "another cat appears", "price": 7}], WRITE
+    )
+    tmp_engine.flush()
+    res = tmp_engine.read_side.search(cid, SearchParams.from_json({"term": "cat"}), READ)
+    assert {h.id for h in res.hits} == {"1", "2", "5"}
+    # filters across segments: price <= 10 matches committed doc 1 + fresh doc 5
+    res = tmp_engine.read_side.search(
+        cid,
+        SearchParams.from_json({"term": "cat", "where": {"price": {"lte": 10}}}),
+        READ,
+    )
+    assert {h.id for h in res.hits} == {"1", "5"}
+
+
+def test_commit_and_reload(tmp_path):
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "writer")
+    cfg.reader_side.data_dir = str(tmp_path / "reader")
+    cfg.writer_side.commit_interval_sec = 3600
+    cfg.reader_side.commit_interval_sec = 3600
+
+    engine = build_orama(cfg, start_background=False)
+    engine.write_side.create_collection(
+        MASTER, "c1", read_api_key=READ, write_api_key=WRITE
+    )
+    engine.flush()
+    engine.write_side.write("c1", DOCS, WRITE)
+    engine.flush()
+    params = SearchParams.from_json({"term": "cat", "mode": "hybrid"})
+    before = engine.read_side.search("c1", params, READ)
+    engine.commit()
+    engine.close()
+
+    engine2 = build_orama(cfg, start_background=False)
+    after = engine2.read_side.search("c1", params, READ)
+    assert [h.id for h in after.hits] == [h.id for h in before.hits]
+    for hb, ha in zip(before.hits, after.hits):
+        assert abs(hb.score - ha.score) < 1e-4
+    # writer state restored too: upsert keeps working
+    assert engine2.write_side.collections["c1"].document_count == 4
+    engine2.close()
+
+
+def test_api_key_checks(tmp_engine):
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    from orama_core_tpu.types import ApiKeyError
+
+    with pytest.raises(ApiKeyError):
+        tmp_engine.read_side.search(cid, SearchParams.from_json({"term": "x"}), "wrong")
+    with pytest.raises(ApiKeyError):
+        tmp_engine.write_side.write(cid, [{"id": "z"}], "wrong")
+    with pytest.raises(ApiKeyError):
+        tmp_engine.write_side.create_collection("wrong", "c2", "r", "w")
+
+
+def test_generated_ids(tmp_engine):
+    cid = _create(tmp_engine)
+    ids = tmp_engine.write_side.write(cid, [{"body": "no id here"}], WRITE)
+    assert len(ids) == 1 and ids[0]
+    tmp_engine.flush()
+    res = tmp_engine.read_side.search(cid, SearchParams.from_json({"term": "body"}), READ)
+    assert res.hits == [] or res.hits[0].id == ids[0]
+
+
+def test_phrase_multiterm_ranking(tmp_engine):
+    cid = _create(tmp_engine)
+    tmp_engine.write_side.write(
+        cid,
+        [
+            {"id": "seq", "body": "machine learning is great"},
+            {"id": "sep", "body": "machine tools and deep learning"},
+            {"id": "one", "body": "machine parts catalog"},
+        ],
+        WRITE,
+    )
+    tmp_engine.flush()
+    tmp_engine.commit()  # phrase boost applies to the committed segment
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "machine learning"}), READ
+    )
+    ids = [h.id for h in res.hits]
+    # both-term docs outrank the single-term doc; adjacency wins overall
+    assert ids[0] == "seq"
+    assert set(ids[:2]) == {"seq", "sep"}

@@ -1,0 +1,159 @@
+import numpy as np
+
+from orama_core_tpu.index import (
+    CommittedBoolIndex,
+    CommittedNumberIndex,
+    CommittedStringIndex,
+    CommittedVectorIndex,
+    TermDict,
+    UncommittedBoolIndex,
+    UncommittedNumberIndex,
+    UncommittedStringIndex,
+    UncommittedVectorIndex,
+)
+from orama_core_tpu.types import NumberFilter
+
+
+def test_term_dict_prefix_range():
+    td = TermDict(["app", "apple", "apply", "banana", "bank"])
+    assert td.prefix_range("app") == (0, 3)
+    assert td.prefix_range("ban") == (3, 5)
+    assert td.prefix_range("zz") == (5, 5)
+    assert td.term_id("banana") == 3
+    assert td.term_id("nope") is None
+
+
+def test_term_dict_merge():
+    a = TermDict(["b", "d", "f"])
+    merged, remap_a, remap_b = TermDict.merge(a, ["a", "d", "e"])
+    assert merged.terms == ["a", "b", "d", "e", "f"]
+    assert remap_a == [1, 2, 4]
+    assert remap_b == [0, 2, 3]  # sorted(set(b)) = [a, d, e]
+
+
+def _build_unc():
+    unc = UncommittedStringIndex()
+    # doc 0: "apple banana", doc 1: "apple apple cherry"
+    unc.insert(0, 2, {"apple": [0], "banana": [1]})
+    unc.insert(1, 3, {"apple": [0, 1], "cherry": [2]})
+    return unc
+
+
+def test_uncommitted_string_search_bm25():
+    unc = _build_unc()
+    gi = unc.global_info()
+    assert gi.total_documents == 2
+    assert gi.total_document_length == 5
+    out = {}
+    unc.search(["apple"], 1.0, gi, None, None, out)
+    assert set(out) == {0, 1}
+    # doc 1 has tf=2 but is longer; manual check doc order by formula
+    # idf = ln1p((2-2+0.5)/(2+0.5)) for ni=2
+    idf = np.log1p(0.5 / 2.5)
+    avgdl = 2.5
+    s0 = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / avgdl))
+    s1 = idf * 2 * 2.2 / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / avgdl))
+    np.testing.assert_allclose(out[0], s0, rtol=1e-6)
+    np.testing.assert_allclose(out[1], s1, rtol=1e-6)
+
+
+def test_uncommitted_string_prefix_search():
+    unc = _build_unc()
+    out = {}
+    unc.search(["ap"], 1.0, unc.global_info(), None, None, out)
+    assert set(out) == {0, 1}
+
+
+def test_committed_merge_and_resolve():
+    unc = _build_unc()
+    committed = CommittedStringIndex.empty().merge(unc, capacity=8)
+    assert committed.term_dict.terms == ["apple", "banana", "cherry"]
+    assert committed.n_docs_with_field == 2
+    assert committed.total_len == 5
+    # apple postings: docs [0, 1], tf [1, 2]
+    assert committed.post_docs[:2].tolist() == [0, 1]
+    assert committed.post_tf[:2].tolist() == [1.0, 2.0]
+    rq = committed.resolve_tokens(["apple"])
+    assert rq.gather_idx.tolist() == [0, 1]
+    ni = 2
+    expect_idf = np.log1p((2 - ni + 0.5) / (ni + 0.5))
+    np.testing.assert_allclose(rq.idf, [expect_idf, expect_idf], rtol=1e-6)
+
+
+def test_committed_merge_incremental_and_delete():
+    unc = _build_unc()
+    c1 = CommittedStringIndex.empty().merge(unc, capacity=8)
+    unc2 = UncommittedStringIndex()
+    unc2.insert(2, 1, {"apple": [0]})
+    c2 = c1.merge(unc2, capacity=8, deleted={1})
+    # apple now in docs {0, 2}; cherry disappeared with doc 1
+    rq = c2.resolve_tokens(["apple"])
+    docs = c2.post_docs[rq.gather_idx]
+    assert sorted(docs.tolist()) == [0, 2]
+    assert "cherry" not in c2.term_dict.terms
+    assert c2.n_docs_with_field == 2
+    assert c2.total_len == 3  # doc0 len 2 + doc2 len 1
+
+
+def test_positions_roundtrip():
+    unc = _build_unc()
+    committed = CommittedStringIndex.empty().merge(unc, capacity=8)
+    rq = committed.resolve_tokens(["apple"])
+    flat, docs = committed.resolve_positions(rq.gather_idx)
+    pos = committed.positions[flat]
+    # doc 0 apple at [0]; doc 1 apple at [0, 1]
+    got = sorted(zip(docs.tolist(), pos.tolist()))
+    assert got == [(0, 0), (1, 0), (1, 1)]
+
+
+def test_number_index_merge_and_filter():
+    unc = UncommittedNumberIndex()
+    unc.insert(0, 3.0)
+    unc.insert(1, 7.0)
+    unc.insert(2, 5.0)
+    assert unc.filter_docs(NumberFilter("gte", 5)) == {1, 2}
+    committed = CommittedNumberIndex.empty().merge(unc)
+    assert committed.vals.tolist() == [3.0, 5.0, 7.0]
+    assert committed.docs.tolist() == [0, 2, 1]
+    lo, hi, lx, hx = committed.filter_bounds(NumberFilter("between", (4, 8)))
+    assert (lo, hi, lx, hx) == (4.0, 8.0, False, False)
+    c2 = committed.merge(UncommittedNumberIndex(), deleted={2})
+    assert c2.docs.tolist() == [0, 1]
+
+
+def test_bool_index_merge():
+    unc = UncommittedBoolIndex()
+    unc.insert(0, True)
+    unc.insert(1, False)
+    unc.insert(2, True)
+    assert unc.filter_docs(True) == {0, 2}
+    c = CommittedBoolIndex.empty().merge(unc, capacity=4)
+    assert c.true_mask.tolist() == [1.0, 0.0, 1.0, 0.0]
+    assert c.has_mask.tolist() == [1.0, 1.0, 1.0, 0.0]
+    c2 = c.merge(UncommittedBoolIndex(), capacity=4, deleted={0})
+    assert c2.has_mask.tolist() == [0.0, 1.0, 1.0, 0.0]
+
+
+def test_vector_index_merge_and_search():
+    unc = UncommittedVectorIndex(dimension=2)
+    unc.insert(0, [[1.0, 0.0], [0.5, 0.0]])  # two vectors, same direction
+    unc.insert(1, [[0.0, 1.0]])
+    out = {}
+    unc.search(np.array([1.0, 0.0]), None, None, out)
+    np.testing.assert_allclose(out[0], 2.0, rtol=1e-6)  # normalized -> 1+1
+    assert 1 not in out  # orthogonal clipped to 0 contributes nothing
+    c = CommittedVectorIndex.empty(2).merge(unc)
+    assert c.n_vectors == 3
+    c2 = c.merge(UncommittedVectorIndex(2), deleted={0})
+    assert c2.vec_docs.tolist() == [1]
+
+
+def test_string_roundtrip_arrays():
+    unc = _build_unc()
+    c = CommittedStringIndex.empty().merge(unc, capacity=8)
+    c2 = CommittedStringIndex.from_arrays(
+        {k: np.asarray(v) for k, v in c.to_arrays().items()}
+    )
+    assert c2.term_dict.terms == c.term_dict.terms
+    assert c2.post_docs.tolist() == c.post_docs.tolist()
+    assert c2.total_len == c.total_len
