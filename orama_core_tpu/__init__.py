@@ -33,7 +33,11 @@ class Orama:
         self.cfg = cfg
         self.ai = AIService(cfg.ai)
         tx, rx = channel(cfg.writer_side.channel_capacity)
-        self.write_side = WriteSide(cfg.writer_side, tx, self.ai)
+        from .engine.hooks import HooksRuntime
+        import os as _os
+
+        self.hooks = HooksRuntime(_os.path.join(cfg.writer_side.data_dir, "hooks"))
+        self.write_side = WriteSide(cfg.writer_side, tx, self.ai, hooks=self.hooks)
         self.read_side = ReadSide(cfg.reader_side, rx, self.ai, cfg.tpu)
         self._stop = threading.Event()
         self._threads = []

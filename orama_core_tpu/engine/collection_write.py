@@ -160,11 +160,19 @@ class CollectionWriter:
     # -- document processing (reference: collection.rs:120-180) ---------------
 
     def process_document(
-        self, doc_id: int, doc: Dict[str, Any]
+        self,
+        doc_id: int,
+        doc: Dict[str, Any],
+        embedding_override: Optional[Any] = None,
     ) -> Tuple[List[Any], List[EmbeddingRequest]]:
         """Returns (index ops, embedding requests). The caller sends the
         CreateField/InsertDocument ops first, then these, then queues the
-        embedding requests."""
+        embedding requests.
+
+        ``embedding_override`` is a selectEmbeddingProperties hook result
+        (list of property names, or the string to embed directly) — it takes
+        precedence over the field's configured sources
+        (reference: fields.rs:410-485 hook input assembly)."""
         flat = flatten_document(doc)
         ops: List[Any] = []
         string_values: List[str] = []
@@ -195,7 +203,11 @@ class CollectionWriter:
         for f in self.fields.values():
             if f.type != ValueType.EMBEDDING or not f.model:
                 continue
-            if f.embedding_sources:
+            if isinstance(embedding_override, str):
+                parts = [embedding_override]
+            elif isinstance(embedding_override, (list, tuple)):
+                parts = [str(flat[src]) for src in embedding_override if src in flat]
+            elif f.embedding_sources:
                 parts = [
                     str(flat[src]) for src in f.embedding_sources if src in flat
                 ]

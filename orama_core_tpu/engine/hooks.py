@@ -1,0 +1,169 @@
+"""JS hooks runtime: user-defined ``selectEmbeddingProperties``.
+
+Counterpart of the reference's hook storage + embedded V8
+(`sides/hooks.rs`, `src/js/deno.rs`): one hook kind exists —
+``selectEmbeddingProperties(document)`` returning either a list of property
+names or a string to embed (hooks.rs:30-33, fields.rs:410-485).
+
+This image has no JS engine (no node/deno/quickjs, and V8 embedding is out
+of scope for the search kernels — SURVEY.md §2.3), so execution is tiered:
+
+1. a ``node`` binary, if present, runs the real JS in a subprocess;
+2. otherwise a conservative static evaluator handles the dominant hook
+   shape — a function whose body returns a constant array/string literal;
+3. anything dynamic without node raises a clear error at insert time
+   (validation still happens at hook-creation time, mirroring the
+   reference's oxc parse check, hooks.rs:104-112).
+
+Python hooks (callables) are also accepted natively — the in-process
+TPU engine's idiomatic extension point.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+import re
+import shutil
+import subprocess
+import threading
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+from ..utils import atomic_write_json, ensure_dir, read_json
+
+SELECT_EMBEDDING_PROPERTIES = "selectEmbeddingProperties"
+VALID_HOOK_NAMES = (SELECT_EMBEDDING_PROPERTIES,)
+
+_RETURN_LITERAL = re.compile(r"return\s+(\[[^;]*\]|'[^']*'|\"[^\"]*\")\s*;?", re.S)
+
+
+class HookValidationError(ValueError):
+    pass
+
+
+def _validate_js(code: str) -> None:
+    if SELECT_EMBEDDING_PROPERTIES not in code:
+        raise HookValidationError(
+            f"hook must define {SELECT_EMBEDDING_PROPERTIES}"
+        )
+    for open_c, close_c in (("{", "}"), ("(", ")"), ("[", "]")):
+        if code.count(open_c) != code.count(close_c):
+            raise HookValidationError(f"unbalanced {open_c}{close_c} in hook code")
+
+
+def _static_eval(code: str) -> Optional[Union[List[str], str]]:
+    """Extract a constant return value without a JS engine."""
+    mo = _RETURN_LITERAL.search(code)
+    if not mo:
+        return None
+    literal = mo.group(1)
+    try:
+        # JS array/string literals of strings are close enough to Python's
+        value = ast.literal_eval(literal)
+    except (ValueError, SyntaxError):
+        try:
+            value = json.loads(literal.replace("'", '"'))
+        except json.JSONDecodeError:
+            return None
+    if isinstance(value, str):
+        return value
+    if isinstance(value, (list, tuple)) and all(isinstance(x, str) for x in value):
+        return list(value)
+    return None
+
+
+class HooksRuntime:
+    def __init__(self, data_dir: Optional[str] = None) -> None:
+        self._lock = threading.Lock()
+        # (collection, name) -> code (str) or python callable
+        self._hooks: Dict[Tuple[str, str], Union[str, Callable]] = {}
+        self._node = shutil.which("node")
+        self.data_dir = data_dir
+        if data_dir:
+            self._load()
+
+    # -- storage (reference: hooks.rs:129-185) -------------------------------
+
+    def insert_hook(self, collection_id: str, name: str, code: Union[str, Callable]) -> None:
+        if name not in VALID_HOOK_NAMES:
+            raise HookValidationError(f"unknown hook {name!r}")
+        if isinstance(code, str):
+            _validate_js(code)
+            if self._node is None and _static_eval(code) is None:
+                raise HookValidationError(
+                    "no JS engine available and the hook is not a constant-"
+                    "return function; install node or register a Python callable"
+                )
+        with self._lock:
+            self._hooks[(collection_id, name)] = code
+        self._persist()
+
+    def get_hook(self, collection_id: str, name: str):
+        with self._lock:
+            return self._hooks.get((collection_id, name))
+
+    def list_hooks(self, collection_id: str) -> Dict[str, str]:
+        with self._lock:
+            return {
+                n: (c if isinstance(c, str) else f"<python {getattr(c, '__name__', 'fn')}>")
+                for (cid, n), c in self._hooks.items()
+                if cid == collection_id
+            }
+
+    def delete_hook(self, collection_id: str, name: str) -> None:
+        with self._lock:
+            self._hooks.pop((collection_id, name), None)
+        self._persist()
+
+    # -- execution (reference: js/deno.rs:29-101) ----------------------------
+
+    def eval(
+        self, collection_id: str, name: str, document: Dict[str, Any]
+    ) -> Optional[Union[List[str], str]]:
+        hook = self.get_hook(collection_id, name)
+        if hook is None:
+            return None
+        if callable(hook):
+            return hook(document)
+        static = _static_eval(hook)
+        if static is not None and self._node is None:
+            return static
+        if self._node is None:
+            raise RuntimeError("hook requires a JS engine but none is available")
+        # IIFE wrapper returning JSON — the deno runner's pattern
+        script = (
+            f"{hook}\nconst __doc = {json.dumps(document)};\n"
+            f"process.stdout.write(JSON.stringify("
+            f"{SELECT_EMBEDDING_PROPERTIES}(__doc)));"
+        )
+        out = subprocess.run(
+            [self._node, "-e", script],
+            capture_output=True,
+            timeout=5.0,
+            text=True,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"hook failed: {out.stderr.strip()[:500]}")
+        return json.loads(out.stdout)
+
+    # -- persistence ----------------------------------------------------------
+
+    def _persist(self) -> None:
+        if not self.data_dir:
+            return
+        with self._lock:
+            data = [
+                {"collection": cid, "name": n, "code": c}
+                for (cid, n), c in self._hooks.items()
+                if isinstance(c, str)
+            ]
+        atomic_write_json(os.path.join(ensure_dir(self.data_dir), "hooks.json"), data)
+
+    def _load(self) -> None:
+        data = read_json(os.path.join(self.data_dir, "hooks.json"))
+        if not data:
+            return
+        with self._lock:
+            for h in data:
+                self._hooks[(h["collection"], h["name"])] = h["code"]

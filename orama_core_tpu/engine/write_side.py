@@ -33,10 +33,12 @@ class WriteSide:
         cfg: WriterSideConfig,
         op_sender: OperationSender,
         ai_service,
+        hooks=None,
     ) -> None:
         self.cfg = cfg
         self.op_sender = op_sender
         self.ai = ai_service
+        self.hooks = hooks
         self.collections: Dict[str, CollectionWriter] = {}
         self._lock = threading.RLock()
         self._embedding_queue: "queue.Queue[EmbeddingRequest]" = queue.Queue(
@@ -144,7 +146,14 @@ class WriteSide:
             doc_id, replaced = c.assign_doc_id(uid)
             if replaced is not None:
                 self.op_sender.send(DeleteDocumentsOp(collection_id, (replaced,)))
-            ops, emb_reqs = c.process_document(doc_id, doc)
+            override = None
+            if self.hooks is not None:
+                from .hooks import SELECT_EMBEDDING_PROPERTIES
+
+                override = self.hooks.eval(
+                    collection_id, SELECT_EMBEDDING_PROPERTIES, doc
+                )
+            ops, emb_reqs = c.process_document(doc_id, doc, override)
             # field-creation ops must precede the index ops that use them
             for op in c.drain_field_ops():
                 self.op_sender.send(op)

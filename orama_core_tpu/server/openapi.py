@@ -1,0 +1,74 @@
+"""OpenAPI spec for the HTTP surface (reference: axum_openapi3 generated
+spec served at /openapi.json, api/mod.rs:71-79). Hand-maintained here."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+
+def _op(summary: str, auth: str, body: bool = True) -> Dict[str, Any]:
+    op: Dict[str, Any] = {
+        "summary": summary,
+        "description": f"Auth: {auth}",
+        "responses": {"200": {"description": "success"}},
+    }
+    if body:
+        op["requestBody"] = {
+            "content": {"application/json": {"schema": {"type": "object"}}}
+        }
+    return op
+
+
+def openapi_spec() -> Dict[str, Any]:
+    return {
+        "openapi": "3.1.0",
+        "info": {
+            "title": "orama_core_tpu",
+            "version": "0.1.0",
+            "description": "TPU-native index-and-query engine",
+        },
+        "paths": {
+            "/": {"get": _op("Welcome", "none", body=False)},
+            "/health": {"get": _op("Health check", "none", body=False)},
+            "/metrics": {"get": _op("Prometheus metrics", "none", body=False)},
+            "/v1/collections": {
+                "get": _op("List collections", "Bearer master key", body=False)
+            },
+            "/v1/collections/create": {
+                "post": _op("Create a collection", "Bearer master key")
+            },
+            "/v1/collections/{id}": {
+                "get": _op("Get collection info", "Bearer master key", body=False)
+            },
+            "/v1/collections/{id}/insert": {
+                "post": _op("Insert documents", "Bearer write key")
+            },
+            "/v1/collections/{id}/delete": {
+                "post": _op("Delete documents by id", "Bearer write key")
+            },
+            "/v1/collections/{id}/search": {
+                "post": _op("Search (fulltext/vector/hybrid)", "?api-key=read key")
+            },
+            "/v1/collections/{id}/documents/{doc_id}": {
+                "get": _op("Fetch one document", "?api-key=read key", body=False)
+            },
+            "/v1/collections/{id}/answer": {
+                "post": _op("RAG answer (SSE stream)", "?api-key=read key")
+            },
+            "/v1/collections/{id}/planned_answer": {
+                "post": _op("Agentic planned answer (SSE stream)", "?api-key=read key")
+            },
+            "/v1/{id}/actions/execute": {
+                "post": _op("Execute engine action (sidecar seam)", "?api-key=read key")
+            },
+            "/v1/collections/{id}/hooks/create": {
+                "post": _op("Register a JS hook", "Bearer write key")
+            },
+            "/v1/collections/{id}/hooks/list": {
+                "get": _op("List hooks", "Bearer write key", body=False)
+            },
+            "/v1/collections/{id}/hooks/delete": {
+                "post": _op("Delete a hook", "Bearer write key")
+            },
+        },
+    }

@@ -1,0 +1,245 @@
+"""HTTP API tests — counterpart of the reference's hurl E2E suite
+(`tests/search.rs`: boot a real WebServer + fake AI, drive over HTTP)."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import pytest
+
+
+@pytest.fixture()
+def server(tmp_engine):
+    from orama_core_tpu.server.http import WebServer
+    from orama_core_tpu.config import HttpConfig
+
+    ws = WebServer(tmp_engine, HttpConfig(host="127.0.0.1", port=0))
+    ws.start_background()
+    yield tmp_engine, f"http://127.0.0.1:{ws.port}"
+    ws.stop()
+
+
+def _req(url, method="GET", body=None, bearer=None):
+    headers = {"Content-Type": "application/json"}
+    if bearer:
+        headers["Authorization"] = f"Bearer {bearer}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            raw = r.read() or b"null"
+            try:
+                return r.status, json.loads(raw)
+            except json.JSONDecodeError:
+                return r.status, raw.decode()
+    except urllib.error.HTTPError as e:
+        payload = e.read()
+        try:
+            return e.code, json.loads(payload)
+        except json.JSONDecodeError:
+            return e.code, payload.decode()
+
+
+def _setup_collection(engine, base):
+    status, _ = _req(
+        base + "/v1/collections/create",
+        "POST",
+        {"id": "c1", "read_api_key": "rk", "write_api_key": "wk"},
+        bearer="master",
+    )
+    assert status == 201
+    status, out = _req(
+        base + "/v1/collections/c1/insert",
+        "POST",
+        [
+            {"id": "1", "title": "hello tpu world", "price": 3},
+            {"id": "2", "title": "another document", "price": 9},
+        ],
+        bearer="wk",
+    )
+    assert status == 200 and out["inserted"] == 2
+    engine.flush()
+
+
+def test_health_and_root(server):
+    engine, base = server
+    status, _ = _req(base + "/health")
+    assert status == 200
+    status, out = _req(base + "/")
+    assert status == 200 and "message" in out
+
+
+def test_openapi(server):
+    _, base = server
+    status, spec = _req(base + "/openapi.json")
+    assert status == 200
+    assert "/v1/collections/{id}/search" in spec["paths"]
+
+
+def test_crud_and_search_over_http(server):
+    engine, base = server
+    _setup_collection(engine, base)
+
+    status, cols = _req(base + "/v1/collections", bearer="master")
+    assert status == 200 and cols[0]["id"] == "c1"
+    assert cols[0]["document_count"] == 2
+
+    status, col = _req(base + "/v1/collections/c1", bearer="master")
+    assert status == 200 and col["fields"]["title"] == "string"
+
+    status, res = _req(
+        base + "/v1/collections/c1/search?api-key=rk",
+        "POST",
+        {"term": "hello"},
+    )
+    assert status == 200
+    assert res["count"] == 1
+    assert res["hits"][0]["id"] == "1"
+    assert res["hits"][0]["document"]["title"] == "hello tpu world"
+
+    # filters through the full HTTP path
+    status, res = _req(
+        base + "/v1/collections/c1/search?api-key=rk",
+        "POST",
+        {"term": "hello another document", "where": {"price": {"gt": 5}}},
+    )
+    assert status == 200
+    assert [h["id"] for h in res["hits"]] == ["2"]
+
+
+def test_document_get_and_delete(server):
+    engine, base = server
+    _setup_collection(engine, base)
+    status, doc = _req(base + "/v1/collections/c1/documents/1?api-key=rk")
+    assert status == 200 and doc["title"] == "hello tpu world"
+
+    status, out = _req(
+        base + "/v1/collections/c1/delete", "POST", {"ids": ["1"]}, bearer="wk"
+    )
+    assert status == 200 and out["deleted"] == 1
+    engine.flush()
+    status, res = _req(
+        base + "/v1/collections/c1/search?api-key=rk", "POST", {"term": "hello"}
+    )
+    assert res["count"] == 0
+
+
+def test_auth_failures(server):
+    engine, base = server
+    _setup_collection(engine, base)
+    status, _ = _req(base + "/v1/collections", bearer="wrong")
+    assert status == 401
+    status, _ = _req(
+        base + "/v1/collections/c1/search?api-key=bad", "POST", {"term": "x"}
+    )
+    assert status == 401
+    status, _ = _req(
+        base + "/v1/collections/c1/insert", "POST", [{"id": "x"}], bearer="bad"
+    )
+    assert status == 401
+
+
+def test_404s(server):
+    engine, base = server
+    status, _ = _req(base + "/nope")
+    assert status == 404
+    status, _ = _req(
+        base + "/v1/collections/ghost/search?api-key=rk", "POST", {"term": "x"}
+    )
+    assert status == 404
+
+
+def test_bad_body(server):
+    engine, base = server
+    _setup_collection(engine, base)
+    status, out = _req(
+        base + "/v1/collections/c1/search?api-key=rk", "POST", {"term": "x", "mode": "??"}
+    )
+    assert status == 400
+
+
+def test_metrics_endpoint(server):
+    engine, base = server
+    _setup_collection(engine, base)
+    _req(base + "/v1/collections/c1/search?api-key=rk", "POST", {"term": "hello"})
+    req = urllib.request.Request(base + "/metrics")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        text = r.read().decode()
+    assert "reader_search_elapsed_sec" in text
+    assert "http_requests_total" in text
+
+
+def test_actions_execute(server):
+    engine, base = server
+    _setup_collection(engine, base)
+    status, res = _req(
+        base + "/v1/c1/actions/execute?api-key=rk",
+        "POST",
+        {"name": "search", "context": json.dumps({"term": "hello"})},
+    )
+    assert status == 200 and res["count"] == 1
+    status, out = _req(
+        base + "/v1/c1/actions/execute?api-key=rk",
+        "POST",
+        {"name": "dance", "context": "{}"},
+    )
+    assert status == 422
+
+
+def test_answer_sse(server):
+    engine, base = server
+    _setup_collection(engine, base)
+    req = urllib.request.Request(
+        base + "/v1/collections/c1/answer?api-key=rk",
+        data=json.dumps({"query": "hello tpu"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        events = []
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[6:]))
+    types = [e["type"] for e in events]
+    assert types[0] == "acknowledgement"
+    assert "optimized-query" in types
+    assert "sources" in types
+    assert "answer_chunk" in types
+    final_chunks = [e for e in events if e["type"] == "answer_chunk"]
+    assert final_chunks[-1]["message"]["is_final"] is True
+    sources = next(e for e in events if e["type"] == "sources")
+    assert sources["message"]["count"] >= 1
+
+
+def test_hooks_api(server):
+    engine, base = server
+    _setup_collection(engine, base)
+    code = "function selectEmbeddingProperties(doc) { return ['title']; }"
+    status, _ = _req(
+        base + "/v1/collections/c1/hooks/create",
+        "POST",
+        {"name": "selectEmbeddingProperties", "code": code},
+        bearer="wk",
+    )
+    assert status == 200
+    status, hooks = _req(base + "/v1/collections/c1/hooks/list", bearer="wk")
+    assert status == 200 and "selectEmbeddingProperties" in hooks
+    # inserting with the hook routes embedding input through 'title' only
+    status, _ = _req(
+        base + "/v1/collections/c1/insert",
+        "POST",
+        [{"id": "3", "title": "hooked doc", "body": "ignored for embedding"}],
+        bearer="wk",
+    )
+    assert status == 200
+    engine.flush()
+    status, _ = _req(
+        base + "/v1/collections/c1/hooks/delete",
+        "POST",
+        {"name": "selectEmbeddingProperties"},
+        bearer="wk",
+    )
+    assert status == 200
