@@ -88,6 +88,12 @@ class TpuConfig:
     doc_capacity_step: int = 8192
     posting_bucket_steps: Tuple[int, ...] = (256, 1024, 4096, 16384, 65536, 262144)
     use_pallas: bool = True
+    # Vector scoring path: "exact" (bf16 matmul), "int8" (quantized matmul),
+    # "ivf" (clustered candidates above ivf_threshold, exact below)
+    vector_index: str = "exact"
+    ivf_threshold: int = 50_000
+    ivf_nprobe: int = 16
+    ivf_candidate_expand: int = 8
 
 
 @dataclasses.dataclass

@@ -201,6 +201,37 @@ class _DeviceCache:
 
         return self._get(v, "vec", build)
 
+    def vector_int8_arrays(self, v: CommittedVectorIndex):
+        def build():
+            from ..ops.quant import quantize_int8
+
+            steps = self.cfg.posting_bucket_steps
+            p = v.n_vectors
+            p_pad = bucket_pad(max(p, 1), steps)
+            vecs = np.zeros((p_pad, v.dimension), np.float32)
+            vecs[:p] = v.vecs
+            docs = np.zeros(p_pad, np.int32)
+            docs[:p] = v.vec_docs
+            valid = np.zeros(p_pad, np.float32)
+            valid[:p] = 1.0
+            codes, scales = quantize_int8(jnp.asarray(vecs))
+            return codes, scales, jnp.asarray(docs), jnp.asarray(valid)
+
+        return self._get(v, "vec_int8", build)
+
+    def vector_ivf_arrays(self, v: CommittedVectorIndex):
+        def build():
+            dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
+            return (
+                jnp.asarray(v.vecs, dtype=dtype),
+                jnp.asarray(v.ivf_cents, dtype=jnp.float32),
+                jnp.asarray(v.ivf_lists),
+                jnp.asarray(v.ivf_lens),
+                jnp.asarray(v.vec_docs),
+            )
+
+        return self._get(v, "vec_ivf", build)
+
     # number -----------------------------------------------------------------
 
     def number_arrays(self, nidx: CommittedNumberIndex):
@@ -533,7 +564,9 @@ class CollectionReader:
 
     # -- vector (reference: collection.rs:957-1002) ---------------------------
 
-    def search_vector(self, term: str, ai_service, filter_mask: jax.Array) -> jax.Array:
+    def search_vector(
+        self, term: str, ai_service, filter_mask: jax.Array, limit: int = 10
+    ) -> jax.Array:
         cap = self.capacity
         scores = jnp.zeros((cap,), dtype=jnp.float32)
         by_model: Dict[str, List[int]] = {}
@@ -547,9 +580,8 @@ class CollectionReader:
             for fid in fids:
                 vf = self._vector[fid]
                 if not vf.committed.is_empty:
-                    vecs, docs, valid = self._device.vector_arrays(vf.committed)
-                    scores = scores + vector_ops.brute_force_scores(
-                        vecs, docs, valid, q_dev, filter_mask, n_docs=cap
+                    scores = scores + self._committed_vector_scores(
+                        vf.committed, q_dev, filter_mask, cap, limit
                     )
                 if not vf.uncommitted.is_empty:
                     host_out: Dict[int, float] = {}
@@ -563,6 +595,46 @@ class CollectionReader:
                         scores = _scatter_add_scores(scores, idx, vals)
         return scores
 
+    def _committed_vector_scores(
+        self,
+        committed: CommittedVectorIndex,
+        q_dev: jax.Array,
+        filter_mask: jax.Array,
+        cap: int,
+        limit: int,
+    ) -> jax.Array:
+        """Dispatch the committed-segment vector scoring path:
+        exact bf16 matmul | int8 matmul | IVF candidates + scatter."""
+        mode = self.cfg.vector_index
+        if mode == "ivf" and committed.has_ivf:
+            from ..ops import ivf as ivf_ops
+
+            vecs, cents, lists, lens, vec_docs = self._device.vector_ivf_arrays(
+                committed
+            )
+            cand_k = min(
+                max(limit, 10) * self.cfg.ivf_candidate_expand, committed.n_vectors
+            )
+            sims, rows = ivf_ops.ivf_search(
+                vecs, cents, lists, lens, q_dev[None, :],
+                nprobe=min(self.cfg.ivf_nprobe, lists.shape[0]), k=cand_k,
+            )
+            docs = vec_docs[rows[0]]
+            contrib = jnp.maximum(sims[0], 0.0)
+            scores = jnp.zeros((cap,), jnp.float32).at[docs].add(contrib)
+            return scores * filter_mask
+        if mode == "int8":
+            from ..ops.quant import int8_brute_force_scores
+
+            codes, scales, docs, valid = self._device.vector_int8_arrays(committed)
+            return int8_brute_force_scores(
+                codes, scales, docs, valid, q_dev, filter_mask, n_docs=cap
+            )
+        vecs, docs, valid = self._device.vector_arrays(committed)
+        return vector_ops.brute_force_scores(
+            vecs, docs, valid, q_dev, filter_mask, n_docs=cap
+        )
+
     # -- search entry (reference: collection.rs:684-781) ----------------------
 
     def search_scores(self, params: SearchParams, ai_service) -> jax.Array:
@@ -572,11 +644,13 @@ class CollectionReader:
                 params.term, params.properties, params.boost, filter_mask
             )
         if params.mode == SearchModeKind.VECTOR:
-            return self.search_vector(params.term, ai_service, filter_mask)
+            return self.search_vector(
+                params.term, ai_service, filter_mask, params.limit
+            )
         ft = self.search_fulltext(
             params.term, params.properties, params.boost, filter_mask
         )
-        vec = self.search_vector(params.term, ai_service, filter_mask)
+        vec = self.search_vector(params.term, ai_service, filter_mask, params.limit)
         if params.fusion == HybridFusion.MINMAX:
             return fusion_ops.minmax_fuse(ft, vec)
         return fusion_ops.rrf_fuse(ft, vec)
@@ -680,6 +754,11 @@ class CollectionReader:
                     vf.committed = old.merge(vf.uncommitted, deleted)
                     vf.uncommitted = UncommittedVectorIndex(old.dimension)
                     self._device.drop(old)
+                    if (
+                        self.cfg.vector_index == "ivf"
+                        and vf.committed.n_vectors >= self.cfg.ivf_threshold
+                    ):
+                        vf.committed.build_ivf()
             self.committed_offset = offset
             self.uncommitted_ops = 0
 

@@ -71,6 +71,12 @@ class CommittedVectorIndex:
     dimension: int
     vecs: np.ndarray      # float32[P, D] normalized (bf16 cast on device)
     vec_docs: np.ndarray  # int32[P]
+    # optional IVF acceleration state (built at commit when the corpus is
+    # large enough — ops/ivf.py; replaces the reference's HNSW rebuild,
+    # committed/vector.rs:222-236)
+    ivf_cents: Optional[np.ndarray] = None   # [C, D]
+    ivf_lists: Optional[np.ndarray] = None   # int32[C, cap]
+    ivf_lens: Optional[np.ndarray] = None    # int32[C]
 
     @staticmethod
     def empty(dimension: int) -> "CommittedVectorIndex":
@@ -79,6 +85,32 @@ class CommittedVectorIndex:
             vecs=np.zeros((0, dimension), dtype=np.float32),
             vec_docs=np.zeros(0, dtype=np.int32),
         )
+
+    @property
+    def has_ivf(self) -> bool:
+        return self.ivf_cents is not None
+
+    def build_ivf(self, n_clusters: Optional[int] = None, seed: int = 0) -> None:
+        """Cluster the corpus on device (spherical k-means) and pack member
+        lists. C defaults to ~sqrt(P) rounded to a multiple of 8."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import ivf as ivf_ops
+
+        p = self.n_vectors
+        if p == 0:
+            return
+        if n_clusters is None:
+            n_clusters = max(8, int(np.sqrt(p) / 8) * 8)
+        n_clusters = min(n_clusters, max(1, p))
+        v = jnp.asarray(self.vecs)
+        cents = ivf_ops.kmeans(v, jax.random.PRNGKey(seed), n_clusters, iters=10)
+        assign = np.asarray(ivf_ops.assign_clusters(v, cents))
+        lists, lens, _ = ivf_ops.build_ivf_lists(assign, n_clusters)
+        self.ivf_cents = np.asarray(cents, dtype=np.float32)
+        self.ivf_lists = lists
+        self.ivf_lens = lens
 
     @property
     def n_vectors(self) -> int:
@@ -111,11 +143,16 @@ class CommittedVectorIndex:
         )
 
     def to_arrays(self) -> Dict[str, np.ndarray]:
-        return {
+        out = {
             "vecs": self.vecs,
             "vec_docs": self.vec_docs,
             "dim": np.asarray([self.dimension], dtype=np.int64),
         }
+        if self.has_ivf:
+            out["ivf_cents"] = self.ivf_cents
+            out["ivf_lists"] = self.ivf_lists
+            out["ivf_lens"] = self.ivf_lens
+        return out
 
     @staticmethod
     def from_arrays(arrays: Dict[str, np.ndarray]) -> "CommittedVectorIndex":
@@ -123,4 +160,7 @@ class CommittedVectorIndex:
             dimension=int(arrays["dim"][0]),
             vecs=arrays["vecs"].astype(np.float32),
             vec_docs=arrays["vec_docs"].astype(np.int32),
+            ivf_cents=arrays.get("ivf_cents"),
+            ivf_lists=arrays.get("ivf_lists"),
+            ivf_lens=arrays.get("ivf_lens"),
         )

@@ -1,0 +1,140 @@
+"""IVF (inverted-file) partitioned ANN search.
+
+Replaces the reference's HNSW graph (`committed/vector.rs`, hora crate) —
+graph traversal is a pointer-chasing workload that maps terribly onto the
+MXU, while IVF is all matmuls (SURVEY.md §7): k-means centroids cluster the
+corpus; a query scores the centroid matrix (one small matmul), picks
+``nprobe`` clusters, and scans only their members (gathered into a padded
+[nprobe, cluster_cap, D] block — static shapes, MXU-batched).
+
+Recall is tunable via nprobe with a brute-force fallback as ground truth
+(BASELINE.md config 3: recall@10 >= 0.95)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters", "spherical"))
+def kmeans(
+    vecs: jax.Array,  # [P, D]
+    key: jax.Array,
+    n_clusters: int,
+    iters: int = 10,
+    spherical: bool = True,
+) -> jax.Array:
+    """Lloyd iterations, all MXU. ``spherical=True`` (IVF over normalized
+    corpus): assign by max cosine, centroids re-normalized. ``spherical=
+    False`` (PQ subspace codebooks): Euclidean assignment
+    (argmax v·c - |c|²/2), centroids are plain means — minimizing
+    reconstruction error, which is what ADC accuracy depends on."""
+    p = vecs.shape[0]
+    idx = jax.random.choice(key, p, (n_clusters,), replace=p < n_clusters)
+    cents = vecs[idx].astype(jnp.float32)
+
+    def step(cents, _):
+        sims = jnp.dot(vecs, cents.T, preferred_element_type=jnp.float32)  # [P, C]
+        if not spherical:
+            sims = sims - 0.5 * jnp.sum(cents**2, axis=-1)[None, :]
+        assign = jnp.argmax(sims, axis=1)
+        onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)      # [P, C]
+        sums = jnp.dot(onehot.T, vecs.astype(jnp.float32))                  # [C, D]
+        counts = jnp.sum(onehot, axis=0)[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cents)
+        if spherical:
+            norm = jnp.linalg.norm(new, axis=-1, keepdims=True)
+            new = new / jnp.maximum(norm, 1e-9)
+        return new, None
+
+    cents, _ = jax.lax.scan(step, cents, None, length=iters)
+    return cents
+
+
+@jax.jit
+def assign_clusters(vecs: jax.Array, cents: jax.Array) -> jax.Array:
+    sims = jnp.dot(vecs, cents.T.astype(vecs.dtype), preferred_element_type=jnp.float32)
+    return jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+
+def build_ivf_lists(
+    assign: np.ndarray, n_clusters: int, cap_quantile: float = 0.98
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Host: pack member row-ids per cluster into a padded [C, cap] table.
+
+    cap is the quantile of cluster sizes rounded up to 128 (static shape);
+    overflow rows spill into their next-best cluster is NOT done — they are
+    appended round-robin to clusters with space, keeping exactness of
+    membership (every row appears once). Returns (lists, list_lens, cap)."""
+    counts = np.bincount(assign, minlength=n_clusters)
+    cap = int(np.quantile(counts, cap_quantile)) if len(counts) else 1
+    cap = max(int(np.ceil(max(cap, counts.max() if counts.size else 1) / 128)) * 128, 128)
+    lists = np.zeros((n_clusters, cap), dtype=np.int32)
+    lens = np.zeros(n_clusters, dtype=np.int32)
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    starts = np.searchsorted(sorted_assign, np.arange(n_clusters))
+    ends = np.searchsorted(sorted_assign, np.arange(n_clusters), side="right")
+    for c in range(n_clusters):
+        members = order[starts[c] : ends[c]]
+        n = min(len(members), cap)
+        lists[c, :n] = members[:n]
+        lens[c] = n
+        # overflow beyond cap spills to the globally least-full clusters
+        for m in members[cap:]:
+            t = int(np.argmin(lens))
+            if lens[t] >= cap:
+                raise ValueError("IVF capacity exhausted; raise cap_quantile")
+            lists[t, lens[t]] = m
+            lens[t] += 1
+    return lists, lens, cap
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def ivf_search(
+    vecs: jax.Array,       # [P, D] corpus (bf16/f32)
+    cents: jax.Array,      # [C, D]
+    lists: jax.Array,      # int32[C, cap]
+    list_lens: jax.Array,  # int32[C]
+    queries: jax.Array,    # [Q, D]
+    nprobe: int,
+    k: int,
+):
+    """Batched IVF kNN: (scores [Q, k], row_ids [Q, k])."""
+    csims = jnp.dot(
+        queries, cents.T.astype(queries.dtype), preferred_element_type=jnp.float32
+    )  # [Q, C]
+    _, probe = jax.lax.top_k(csims, nprobe)                # [Q, nprobe]
+    cand = lists[probe]                                    # [Q, nprobe, cap]
+    cand_lens = list_lens[probe]                           # [Q, nprobe]
+    cap = lists.shape[1]
+    cand_flat = cand.reshape(queries.shape[0], nprobe * cap)
+    cand_vecs = vecs[cand_flat]                            # [Q, nprobe*cap, D]
+    sims = jnp.einsum(
+        "qd,qnd->qn", queries.astype(cand_vecs.dtype), cand_vecs,
+        preferred_element_type=jnp.float32,
+    )
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nprobe, cap), 1)
+    valid = (pos[None] < cand_lens[:, :, None]).reshape(
+        queries.shape[0], nprobe * cap
+    )
+    sims = jnp.where(valid, sims, -jnp.inf)
+    v, i = jax.lax.top_k(sims, k)
+    return v, jnp.take_along_axis(cand_flat, i, axis=1)
+
+
+def ivf_recall_at_k(vecs_np, cents, lists, lens, queries_np, nprobe, k=10) -> float:
+    """Host harness: recall vs exact brute force (tuning helper)."""
+    v, ids = ivf_search(
+        jnp.asarray(vecs_np), cents, jnp.asarray(lists), jnp.asarray(lens),
+        jnp.asarray(queries_np), nprobe, k,
+    )
+    exact = np.argsort(-(queries_np @ vecs_np.T), axis=1)[:, :k]
+    got = np.asarray(ids)
+    return float(
+        np.mean([len(set(got[q]) & set(exact[q])) / k for q in range(len(queries_np))])
+    )
