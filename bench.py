@@ -10,6 +10,12 @@ the honest stand-in for the Rust engine's per-query scan (BASELINE.md:
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": speedup}
 Details (recall@10 of the bf16 path vs f32 ground truth, timings) on stderr.
+
+Measurement notes:
+- The corpus is always an explicit jit argument: a closure capture would
+  embed 1.5 GB as an HLO constant and stall the axon remote-compile tunnel.
+- The timed loop is a dependency chain closed by one host fetch — under the
+  axon relay, block_until_ready alone is not a reliable sync point.
 """
 
 from __future__ import annotations
@@ -26,17 +32,28 @@ def log(*a):
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # Remote TPU compiles through the axon tunnel are slow; persist compiled
+    # programs so repeat bench runs skip them entirely.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        log(f"compilation cache unavailable: {e}")
+
     import jax.numpy as jnp
 
-    N, D, K, QB, ITERS = 1_000_000, 768, 10, 64, 10
+    N, D, K, QB, ITERS = 1_000_000, 768, 10, 64, 50
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
     t0 = time.time()
-    key = jax.random.PRNGKey(0)
-    kv, kq = jax.random.split(key)
+    kv, kq = jax.random.split(jax.random.PRNGKey(0))
 
     @jax.jit
     def make_corpus(k):
@@ -45,43 +62,51 @@ def main() -> None:
         return (v.astype(jnp.float32) / jnp.maximum(n, 1e-9)).astype(jnp.bfloat16)
 
     vecs = make_corpus(kv)
-    vecs.block_until_ready()
-    log(f"corpus built on device in {time.time()-t0:.1f}s "
-        f"({vecs.nbytes/1e9:.2f} GB bf16)")
-
     queries = jax.random.normal(kq, (QB, D), jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
 
-    @jax.jit
-    def search(q):
+    def search_topk(corpus, q):
         sims = jnp.dot(
-            q.astype(jnp.bfloat16), vecs.T, preferred_element_type=jnp.float32
+            q.astype(jnp.bfloat16), corpus.T, preferred_element_type=jnp.float32
         )
         return jax.lax.top_k(sims, K)
 
-    t0 = time.time()
-    v, i = search(queries)
-    v.block_until_ready()
-    log(f"first call (compile+run): {time.time()-t0:.1f}s")
+    search = jax.jit(search_topk)
 
+    @jax.jit
+    def chain_step(corpus, q, carry):
+        vv, _ = search_topk(corpus, q + carry * 0.0)
+        return jnp.max(vv)
+
+    @jax.jit
+    def exact_f32(corpus, q):
+        sims = jnp.dot(
+            q, corpus.T.astype(jnp.float32), preferred_element_type=jnp.float32
+        )
+        return jax.lax.top_k(sims, K)
+
+    v, i = search(vecs, queries)
+    bf16_idx = np.asarray(i)  # host fetch = true sync
+    log(f"corpus + first search (compile+run+sync): {time.time()-t0:.1f}s")
+
+    # warm the chain program, then time the chained loop
+    c = np.asarray(chain_step(vecs, queries, jnp.float32(0.0)))
     t0 = time.time()
+    carry = jnp.float32(0.0)
     for _ in range(ITERS):
-        v, i = search(queries)
-    v.block_until_ready()
+        carry = chain_step(vecs, queries, carry)
+    _ = np.asarray(carry)
     dt = time.time() - t0
     qps = QB * ITERS / dt
-    log(f"tpu: {ITERS} x {QB} queries in {dt:.3f}s -> {qps:.1f} QPS")
+    log(f"tpu: {ITERS} x {QB} queries in {dt:.3f}s -> {qps:.1f} QPS "
+        f"({dt/ITERS*1e3:.2f} ms per {QB}-query batch)")
 
     # recall@10 of the bf16 path vs f32 ground truth on a query subset
     sub = 8
-    gt_sims = jnp.dot(
-        queries[:sub], vecs.T.astype(jnp.float32), preferred_element_type=jnp.float32
-    )
-    _, gt_idx = jax.lax.top_k(gt_sims, K)
-    got = np.asarray(i[:sub])
+    _, gt_idx = exact_f32(vecs, queries[:sub])
     gt = np.asarray(gt_idx)
     recall = np.mean(
-        [len(set(got[r]) & set(gt[r])) / K for r in range(sub)]
+        [len(set(bf16_idx[r]) & set(gt[r])) / K for r in range(sub)]
     )
     log(f"recall@{K} (bf16 vs f32 exact): {recall:.4f}")
 

@@ -33,6 +33,17 @@ from ..types import TypedField, ValueType
 AUTO_EMBEDDING_FIELD = "___orama_auto_embedding"
 
 
+def _tokenize_and_stem(text: str, locale: str):
+    """EN goes through the native C++ pipeline when built (the reference's
+    hot loop, fields.rs:311-353); other locales use the Python parser."""
+    if locale == "en":
+        from .. import native
+
+        if native.available():
+            return native.tokenize_and_stem_en(text)
+    return get_parser(locale).tokenize_and_stem(text)
+
+
 def flatten_document(doc: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
     """Nested objects flatten to dot-joined keys (reference FlattenDocument)."""
     out: Dict[str, Any] = {}
@@ -224,8 +235,8 @@ class CollectionWriter:
         if f.type == ValueType.STRING:
             texts = value if isinstance(value, list) else [value]
             text = " ".join(str(t) for t in texts)
-            parser = get_parser(f.locale or self.default_locale)
-            data = parser.tokenize_and_stem(text)
+            locale = f.locale or self.default_locale
+            data = _tokenize_and_stem(text, locale)
             terms: Dict[str, List[int]] = {}
             for position, (original, stemmeds) in enumerate(data):
                 terms.setdefault(original, []).append(position)

@@ -260,6 +260,13 @@ class CommittedStringIndex:
         (committed/string.rs:91-189) as a sorted-dict merge + array repack."""
         deleted = deleted or set()
 
+        # Bulk-load fast path: first commit of a fresh collection packs the
+        # whole window through the native C++ builder (no per-term Python).
+        if self.n_terms == 0 and not deleted:
+            native_packed = _native_pack(uncommitted, capacity)
+            if native_packed is not None:
+                return native_packed
+
         # 1. merged term dictionary
         new_dict, remap_a, remap_b = TermDict.merge(
             self.term_dict, uncommitted.terms.keys()
@@ -430,6 +437,40 @@ class CommittedStringIndex:
             n_docs_with_field=int(arrays["scalars"][0]),
             total_len=int(arrays["scalars"][1]),
         )
+
+
+def _native_pack(
+    uncommitted: UncommittedStringIndex, capacity: int
+) -> Optional["CommittedStringIndex"]:
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    if not native.available():
+        return None
+    b = native.NativePostingBuilder()
+    for doc_id, dl in uncommitted.doc_lens.items():
+        b.insert(doc_id, dl, [])
+    for term, bucket in uncommitted.terms.items():
+        for doc_id, positions in bucket.items():
+            b.insert(doc_id, uncommitted.doc_lens.get(doc_id, 0), [(term, positions)])
+    terms, term_starts, post_docs, post_tf, pos_starts, positions, n_docs, total_len = b.pack()
+    doc_lens = np.zeros(capacity, dtype=np.float32)
+    for doc_id, dl in uncommitted.doc_lens.items():
+        doc_lens[doc_id] = dl
+    td = TermDict.__new__(TermDict)
+    td.terms = terms
+    return CommittedStringIndex(
+        term_dict=td,
+        term_starts=term_starts,
+        post_docs=post_docs,
+        post_tf=post_tf,
+        pos_starts=pos_starts,
+        positions=positions,
+        doc_lens_dense=doc_lens,
+        n_docs_with_field=n_docs,
+        total_len=total_len,
+    )
 
 
 @dataclasses.dataclass

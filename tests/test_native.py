@@ -1,0 +1,64 @@
+"""Native C++ runtime tests: tokenizer parity with the Python pipeline and
+CSR packing parity with the Python merge."""
+
+import numpy as np
+import pytest
+
+from orama_core_tpu import native
+from orama_core_tpu.nlp import TextParser
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_native_tokenizer_matches_python():
+    p = TextParser("en")
+    texts = [
+        "The quick brown Fox jumped over the lazy dogs!",
+        "Running runners ran relational conditionals",
+        "café élève Ñandú",
+        "hello, world... hello again",
+        "",
+        "the and of",  # all stop words
+    ]
+    for t in texts:
+        assert native.tokenize_and_stem_en(t) == p.tokenize_and_stem(t), t
+
+
+def test_native_builder_matches_python_merge():
+    from orama_core_tpu.index import CommittedStringIndex, UncommittedStringIndex
+
+    docs = {
+        0: (2, {"apple": [0], "banana": [1]}),
+        1: (3, {"apple": [0, 1], "cherry": [2]}),
+        2: (1, {"banana": [0]}),
+    }
+    # python path
+    unc = UncommittedStringIndex()
+    for d, (fl, terms) in docs.items():
+        unc.insert(d, fl, terms)
+    py = CommittedStringIndex.empty().merge(unc, capacity=8)
+
+    # native path
+    b = native.NativePostingBuilder()
+    for d, (fl, terms) in docs.items():
+        b.insert(d, fl, list(terms.items()))
+    terms, term_starts, post_docs, post_tf, pos_starts, positions, n_docs, total_len = b.pack()
+
+    assert terms == py.term_dict.terms
+    assert term_starts.tolist() == py.term_starts.tolist()
+    assert post_docs.tolist() == py.post_docs.tolist()
+    assert post_tf.tolist() == py.post_tf.tolist()
+    assert pos_starts.tolist() == py.pos_starts.tolist()
+    assert positions.tolist() == py.positions.tolist()
+    assert n_docs == py.n_docs_with_field
+    assert total_len == py.total_len
+
+
+def test_native_tokenizer_positions():
+    out = native.tokenize_and_stem_en("cats chase cats")
+    # "cats" at positions 0 and 2, stem "cat" attached to each
+    assert out[0] == ("cats", ["cat"])
+    assert out[1][0] == "chase"
+    assert out[2] == ("cats", ["cat"])
