@@ -94,6 +94,11 @@ class TpuConfig:
     ivf_threshold: int = 50_000
     ivf_nprobe: int = 16
     ivf_candidate_expand: int = 8
+    # Serving micro-batching: coalesce concurrent vector queries into one
+    # batched device call (server/batcher.py)
+    query_batching: bool = False
+    batch_max: int = 64
+    batch_wait_ms: float = 2.0
 
 
 @dataclasses.dataclass

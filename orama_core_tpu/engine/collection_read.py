@@ -655,6 +655,70 @@ class CollectionReader:
             return fusion_ops.minmax_fuse(ft, vec)
         return fusion_ops.rrf_fuse(ft, vec)
 
+    def search_vector_batch(
+        self, terms: List[str], ai_service, filter_mask: jax.Array
+    ) -> jax.Array:
+        """[B, cap] vector scores for a coalesced query batch (one corpus
+        matmul for all B queries — server/batcher.py)."""
+        cap = self.capacity
+        b = len(terms)
+        scores = jnp.zeros((b, cap), dtype=jnp.float32)
+        by_model: Dict[str, List[int]] = {}
+        for fid, f in self.fields.items():
+            if f.type == ValueType.EMBEDDING and f.model:
+                by_model.setdefault(f.model, []).append(fid)
+        for model, fids in by_model.items():
+            q = ai_service.embed_query(model, terms)  # [B, D]
+            norms = np.linalg.norm(q, axis=1, keepdims=True)
+            qn = q / np.maximum(norms, 1e-12)
+            q_dev = jnp.asarray(qn, dtype=jnp.float32)
+            for fid in fids:
+                vf = self._vector[fid]
+                if not vf.committed.is_empty:
+                    vecs, docs, valid = self._device.vector_arrays(vf.committed)
+                    scores = scores + vector_ops.brute_force_scores_batch(
+                        vecs, docs, valid, q_dev, filter_mask, n_docs=cap
+                    )
+                if not vf.uncommitted.is_empty:
+                    fm_host = np.asarray(filter_mask)
+                    for row, term_q in enumerate(qn):
+                        host_out: Dict[int, float] = {}
+                        vf.uncommitted.search(term_q, fm_host, self.deleted, host_out)
+                        if host_out:
+                            idx, vals = self._padded_scatter(
+                                list(host_out.keys()), list(host_out.values())
+                            )
+                            scores = scores.at[row].set(
+                                _scatter_add_scores(scores[row], idx, vals)
+                            )
+        return scores
+
+    def search_batch(
+        self, params_list: List[SearchParams], ai_service
+    ) -> List[Tuple[List[Tuple[int, float]], int]]:
+        """Batched vector-mode search for compatible queries (same filters/
+        properties). Facets are not part of the batched path."""
+        if not params_list:
+            return []
+        filter_mask = self._filter_mask(params_list[0].where)
+        scores = self.search_vector_batch(
+            [p.term for p in params_list], ai_service, filter_mask
+        )
+        k = min(max(p.limit for p in params_list), self.capacity)
+        vals, idx = jax.lax.top_k(scores, k)
+        counts = np.asarray(jnp.sum(scores > 0, axis=1))
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        out = []
+        for row, p in enumerate(params_list):
+            ranked = [
+                (int(d), float(s))
+                for d, s in zip(idx[row][: p.limit], vals[row][: p.limit])
+                if s > 0.0
+            ]
+            out.append((ranked, int(counts[row])))
+        return out
+
     def search(
         self, params: SearchParams, ai_service
     ) -> Tuple[List[Tuple[int, float]], int, Optional[Dict[str, FacetResult]]]:

@@ -32,6 +32,15 @@ from .collection_read import CollectionReader
 from .document_storage import DocumentStorage
 
 
+def dataclasses_to_key(v) -> str:
+    """Stable string form of a filter value for batch-compatibility keys."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(v):
+        return repr(dataclasses.asdict(v))
+    return repr(v)
+
+
 class ReadSide:
     def __init__(
         self,
@@ -49,6 +58,15 @@ class ReadSide:
         self._lock = threading.RLock()
         self._applied_offset = 0
         self._ops_since_commit = 0
+        self._batcher = None
+        if self.tpu_cfg.query_batching:
+            from ..server.batcher import MicroBatcher
+
+            self._batcher = MicroBatcher(
+                self._run_search_batch,
+                max_batch=self.tpu_cfg.batch_max,
+                max_wait_ms=self.tpu_cfg.batch_wait_ms,
+            )
         self.load()
 
     # -- op application (reference: read/mod.rs:181-249) ----------------------
@@ -116,6 +134,28 @@ class ReadSide:
             raise ApiKeyError("invalid read api key")
         return reader
 
+    def _batchable(self, params: SearchParams) -> bool:
+        from ..types import SearchModeKind
+
+        return (
+            self._batcher is not None
+            and params.mode == SearchModeKind.VECTOR
+            and not params.facets
+        )
+
+    def _batch_key(self, collection_id: str, params: SearchParams):
+        import json as _json
+
+        where_key = _json.dumps(
+            {k: dataclasses_to_key(v) for k, v in sorted(params.where.items())}
+        )
+        return (collection_id, where_key)
+
+    def _run_search_batch(self, key, payloads):
+        collection_id, _ = key
+        reader = self._reader(collection_id)
+        return reader.search_batch(payloads, self.ai)
+
     def search(
         self,
         collection_id: str,
@@ -130,7 +170,13 @@ class ReadSide:
             if skip_auth
             else self.check_read_key(collection_id, read_api_key)
         )
-        ranked, count, facets = reader.search(params, self.ai)
+        if self._batchable(params):
+            ranked, count = self._batcher.submit(
+                self._batch_key(collection_id, params), params
+            )
+            facets = None
+        else:
+            ranked, count, facets = reader.search(params, self.ai)
         storage = self.doc_storage[collection_id]
         hits: List[SearchResultHit] = []
         for doc_id, score in ranked:

@@ -123,11 +123,20 @@ class OperationSender:
         with self._lock:
             self._offset = offset
 
-    def send(self, op: WriteOperation) -> Offset:
+    def send(self, op: WriteOperation, timeout: float = 30.0) -> Offset:
         with self._lock:
             self._offset += 1
             stamped = StampedOp(Offset(self._offset), op)
-        self._q.put(stamped)
+        try:
+            self._q.put(stamped, timeout=timeout)
+        except queue.Full:
+            # Backpressure with no consumer = deadlock; fail loudly instead
+            # (sync-mode callers must pump within channel capacity).
+            raise RuntimeError(
+                "op channel full after "
+                f"{timeout}s — is the read-side pump running? "
+                "(flush() more often in synchronous mode)"
+            ) from None
         return stamped.offset
 
     def send_batch(self, ops: List[WriteOperation]) -> Offset:

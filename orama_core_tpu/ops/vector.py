@@ -40,6 +40,27 @@ def brute_force_scores(
     return scores * filter_mask
 
 
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def brute_force_scores_batch(
+    vecs: jax.Array,         # [P, D] normalized
+    vec_docs: jax.Array,     # int32[P]
+    vec_valid: jax.Array,    # float32[P]
+    queries: jax.Array,      # f32[B, D] normalized
+    filter_mask: jax.Array,  # float32[Npad]
+    n_docs: int,
+) -> jax.Array:
+    """float32[B, n_docs] — the micro-batched serving path: one matmul for
+    the whole query batch (HBM corpus read amortized across B queries)."""
+    sims = jnp.dot(
+        queries.astype(vecs.dtype), vecs.T, preferred_element_type=jnp.float32
+    )  # [B, P]
+    sims = jnp.maximum(sims, 0.0) * vec_valid[None, :]
+    b = queries.shape[0]
+    scores = jnp.zeros((b, n_docs), dtype=jnp.float32)
+    scores = scores.at[:, vec_docs].add(sims)
+    return scores * filter_mask[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def batched_topk_sims(
     vecs: jax.Array,     # [P, D]

@@ -1,0 +1,76 @@
+"""Concurrency invariants — the reference's deliberate design point: commits
+exclude op application but never searches (commit_insert_mutex,
+collection.rs:69,198,614; tested upstream by
+test_read_commit_should_not_block_search, tests.rs:1372)."""
+
+import threading
+import time
+
+from orama_core_tpu.types import SearchParams
+
+MASTER, READ, WRITE = "master", "read-key", "write-key"
+
+
+def test_commit_does_not_block_search(tmp_engine):
+    tmp_engine.write_side.create_collection(MASTER, "c", READ, WRITE)
+    tmp_engine.flush()
+    docs = [
+        {"id": str(i), "body": f"document number {i} about topic {i % 7}"}
+        for i in range(300)
+    ]
+    tmp_engine.write_side.write("c", docs, WRITE)
+    tmp_engine.flush()
+
+    errors = []
+    results = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                r = tmp_engine.read_side.search(
+                    "c", SearchParams.from_json({"term": "document topic"}), READ
+                )
+                results.append(r.count)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    # run several commits while searches hammer the collection
+    for _ in range(3):
+        tmp_engine.commit()
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert not errors, errors
+    assert results and all(c == 300 for c in results), set(results)
+
+
+def test_concurrent_writes_and_searches(tmp_engine):
+    tmp_engine.write_side.create_collection(MASTER, "c", READ, WRITE)
+    tmp_engine.flush()
+    errors = []
+
+    def writer(base):
+        try:
+            for i in range(10):
+                tmp_engine.write_side.write(
+                    "c", [{"id": f"{base}-{i}", "body": f"payload {base} {i}"}], WRITE
+                )
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=20)
+    tmp_engine.flush()
+    assert not errors, errors
+    r = tmp_engine.read_side.search(
+        "c", SearchParams.from_json({"term": "payload", "limit": 50}), READ
+    )
+    assert r.count == 40

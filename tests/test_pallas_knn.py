@@ -1,0 +1,41 @@
+"""Fused kNN Pallas kernel vs dense reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orama_core_tpu.ops.pallas_knn import knn_topk
+
+
+@pytest.mark.parametrize("n,d,q,k,bn", [(1024, 128, 8, 10, 256), (512, 64, 16, 5, 128)])
+def test_knn_topk_matches_dense(n, d, q, k, bn):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    vals, idx = knn_topk(
+        jnp.asarray(vecs), jnp.asarray(queries), k=k, block_rows=bn, interpret=True
+    )
+    sims = queries @ vecs.T
+    ref_idx = np.argsort(-sims, axis=1)[:, :k]
+    got_v = np.asarray(vals)
+    got_i = np.asarray(idx)
+    for r in range(q):
+        np.testing.assert_allclose(
+            got_v[r], np.sort(sims[r])[::-1][:k], rtol=1e-5
+        )
+        # indices may differ on exact ties; compare via score values
+        np.testing.assert_allclose(
+            sims[r, got_i[r]], sims[r, ref_idx[r]], rtol=1e-5
+        )
+
+
+def test_knn_topk_descending_order():
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((256, 32)).astype(np.float32)
+    queries = rng.standard_normal((4, 32)).astype(np.float32)
+    vals, _ = knn_topk(
+        jnp.asarray(vecs), jnp.asarray(queries), k=8, block_rows=128, interpret=True
+    )
+    v = np.asarray(vals)
+    assert (np.diff(v, axis=1) <= 1e-6).all()
