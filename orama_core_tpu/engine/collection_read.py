@@ -133,12 +133,33 @@ def _bool_filter_mask(true_mask, has_mask, value: bool):
 class _DeviceCache:
     """Device copies of immutable committed structures, keyed by object id.
 
-    Entries die with their committed generation (commit replaces objects)."""
+    Entries die with their committed generation (commit replaces objects).
+
+    With ``cfg.mesh_shape`` set, row-dimension arrays (vectors, postings,
+    numeric columns) are placed sharded over the mesh's ``data`` axis —
+    the same jitted scoring programs then run SPMD with XLA-inserted
+    collectives (dense score arrays stay replicated; the explicit
+    shard_map fast path lives in parallel/sharded_search.py)."""
 
     def __init__(self, cfg: TpuConfig) -> None:
         self.cfg = cfg
         self._store: Dict[Tuple[int, Any], Any] = {}
         self._keepalive: Dict[int, Any] = {}
+        self._mesh = None
+        if cfg.mesh_shape:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(cfg.mesh_shape, tuple(cfg.mesh_axis_names))
+
+    def _put_rows(self, arr: jax.Array) -> jax.Array:
+        """Shard dim 0 over the data axis when a mesh is configured."""
+        if self._mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * arr.ndim
+        spec[0] = "data"
+        return jax.device_put(arr, NamedSharding(self._mesh, P(*spec)))
 
     def _get(self, obj: Any, tag: Any, build) -> Any:
         key = (id(obj), tag)
@@ -171,10 +192,10 @@ class _DeviceCache:
             pos = np.zeros(pp_pad, np.int32)
             pos[:pp] = s.positions
             return (
-                jnp.asarray(docs),
-                jnp.asarray(tf),
+                self._put_rows(jnp.asarray(docs)),
+                self._put_rows(jnp.asarray(tf)),
                 jnp.asarray(s.doc_lens_dense),
-                jnp.asarray(pos),
+                self._put_rows(jnp.asarray(pos)),
             )
 
         return self._get(s, "str", build)
@@ -194,9 +215,9 @@ class _DeviceCache:
             valid[:p] = 1.0
             dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
             return (
-                jnp.asarray(vecs, dtype=dtype),
-                jnp.asarray(docs),
-                jnp.asarray(valid),
+                self._put_rows(jnp.asarray(vecs, dtype=dtype)),
+                self._put_rows(jnp.asarray(docs)),
+                self._put_rows(jnp.asarray(valid)),
             )
 
         return self._get(v, "vec", build)
@@ -245,7 +266,11 @@ class _DeviceCache:
             docs[:n] = nidx.docs
             valid = np.zeros(n_pad, bool)
             valid[:n] = True
-            return jnp.asarray(vals), jnp.asarray(docs), jnp.asarray(valid)
+            return (
+                self._put_rows(jnp.asarray(vals)),
+                self._put_rows(jnp.asarray(docs)),
+                self._put_rows(jnp.asarray(valid)),
+            )
 
         return self._get(nidx, "num", build)
 

@@ -70,6 +70,16 @@ class AIService:
             return np.zeros((0, model_info(model).dim), dtype=np.float32)
         return np.concatenate(outs, axis=0)
 
+    def check_health(self) -> Dict[str, str]:
+        """Liveness probe (reference: gRPC CheckHealth, grpc/server.py:26-35):
+        runs one tiny embedding forward through the active backend."""
+        try:
+            out = self.embed_query(self.cfg.embedding_model, ["ping"])
+            ok = out.shape[0] == 1 and bool(np.isfinite(out).all())
+            return {"status": "ok" if ok else "degraded", "backend": self.cfg.backend}
+        except Exception as e:
+            return {"status": "error", "backend": self.cfg.backend, "error": str(e)}
+
     # -- chat -----------------------------------------------------------------
 
     def _get_llm(self):

@@ -1,1 +1,12 @@
-from . import bm25, facets, filters, fusion, topk, vector  # noqa: F401
+from . import (  # noqa: F401
+    bm25,
+    facets,
+    filters,
+    fusion,
+    ivf,
+    pallas_knn,
+    pq,
+    quant,
+    topk,
+    vector,
+)

@@ -55,6 +55,41 @@ def sharded_vector_topk(mesh: Mesh, k: int, shard_cap: int):
     return jax.jit(mapped)
 
 
+def sharded_int8_topk(mesh: Mesh, k: int, shard_cap: int):
+    """Compressed-corpus variant of sharded_vector_topk (BASELINE config 5:
+    int8 vectors at scale, document-sharded, all-gather top-k merge): each
+    shard scores its int8 slice on the MXU (int32 accumulation), rescales
+    by its per-row scales, local top-k, merge over ICI."""
+
+    def local(codes, scales, vec_docs, valid, query):
+        q_absmax = jnp.maximum(jnp.max(jnp.abs(query)), 1e-9)
+        q_scale = q_absmax / 127.0
+        q8 = jnp.clip(jnp.round(query / q_scale), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            codes, q8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sims = acc.astype(jnp.float32) * scales * q_scale
+        sims = jnp.where(valid > 0, sims, -jnp.inf)
+        shard = jax.lax.axis_index(DATA_AXIS)
+        v, i = jax.lax.top_k(sims, k)
+        gids = vec_docs[i] + shard * shard_cap
+        v_all = jax.lax.all_gather(v, DATA_AXIS, tiled=True)
+        g_all = jax.lax.all_gather(gids, DATA_AXIS, tiled=True)
+        vf, idx = jax.lax.top_k(v_all, k)
+        return vf, g_all[idx]
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated by the final all-gather+top_k
+    )
+    return jax.jit(mapped)
+
+
 def sharded_hybrid_step(mesh: Mesh, k: int, shard_cap: int, n_local_docs: int):
     """Full hybrid query step over the mesh: per-shard BM25 (CSR scatter) +
     vector matmul + RRF fusion + local top-k + all-gather merge.

@@ -154,6 +154,9 @@ def _make_handler(orama):
             if method == "GET" and path == "/health":
                 self._send(200, b"OK", "text/plain")
                 return 200
+            if method == "GET" and path == "/health/ai":
+                self._send(200, orama.ai.check_health())
+                return 200
             if method == "GET" and path == "/openapi.json":
                 self._send(200, openapi_spec())
                 return 200

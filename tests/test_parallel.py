@@ -39,6 +39,29 @@ def test_sharded_vector_topk_matches_dense(mesh8):
     assert set(np.asarray(gids).tolist()) == set(order.tolist())
 
 
+def test_sharded_int8_topk_matches_f32(mesh8):
+    from orama_core_tpu.ops.quant import quantize_int8
+    from orama_core_tpu.parallel.sharded_search import sharded_int8_topk
+
+    S, PL, D, K = 8, 16, 32, 5
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((S * PL, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    codes, scales = quantize_int8(jnp.asarray(vecs))
+    vec_docs = np.tile(np.arange(PL, dtype=np.int32), S)
+    valid = np.ones(S * PL, np.float32)
+    q = rng.standard_normal(D).astype(np.float32)
+
+    knn = sharded_int8_topk(mesh8, K, shard_cap=PL)
+    v, gids = knn(codes, scales, jnp.asarray(vec_docs), jnp.asarray(valid), jnp.asarray(q))
+
+    sims = vecs @ q
+    order = np.argsort(-sims)[:K]
+    got = set(np.asarray(gids).tolist())
+    # int8 rounding can flip near-ties at the boundary; require >=4/5 overlap
+    assert len(got & set(order.tolist())) >= K - 1
+
+
 def test_sharded_hybrid_step_runs(mesh8):
     S, LD, LP, LV, D, K = 8, 32, 64, 32, 16, 4
     rng = np.random.default_rng(1)
