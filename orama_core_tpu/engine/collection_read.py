@@ -362,7 +362,10 @@ class CollectionReader:
         if doc_id > self.max_doc_id:
             self.max_doc_id = doc_id
         if len(self._alive) < self.capacity:
-            grown = np.ones(self.capacity, dtype=np.float32)
+            # slots are dead until their InsertDocument op arrives (ghost
+            # slots in the padded capacity must never match empty-term /
+            # filter-only queries)
+            grown = np.zeros(self.capacity, dtype=np.float32)
             grown[: len(self._alive)] = self._alive
             self._alive = grown
             self._alive_version += 1
@@ -412,10 +415,9 @@ class CollectionReader:
                 )
         elif isinstance(op, InsertDocumentOp):
             self._grow(op.doc_id)
-            if self._alive[op.doc_id] == 0.0:
-                self._alive[op.doc_id] = 1.0
-                self._alive_version += 1
-                self.deleted.discard(op.doc_id)
+            self._alive[op.doc_id] = 1.0
+            self._alive_version += 1
+            self.deleted.discard(op.doc_id)
             self.doc_count += 1
         elif isinstance(op, IndexStringOp):
             self._grow(op.doc_id)
@@ -526,6 +528,12 @@ class CollectionReader:
         filter_mask: jax.Array,
     ) -> jax.Array:
         cap = self.capacity
+        if not term.strip():
+            # Empty term matches every (alive, filter-passing) document —
+            # the behavior the reference documents as intended but does not
+            # implement (tests.rs test_empty_term: "we should return all
+            # documents").
+            return filter_mask.astype(jnp.float32)
         scores = jnp.zeros((cap,), dtype=jnp.float32)
         steps = self.cfg.posting_bucket_steps
         tokens_cache: Dict[str, List[str]] = {}
@@ -896,7 +904,10 @@ class CollectionReader:
         reader.max_doc_id = manifest["max_doc_id"]
         reader.deleted = set(manifest.get("deleted", []))
         reader.committed_offset = manifest["offset"]
-        reader._alive = np.ones(reader.capacity, dtype=np.float32)
+        # dense doc ids: every id in [0, max_doc_id] was inserted once;
+        # deleted ones are masked, ghost slots beyond max_doc_id stay dead
+        reader._alive = np.zeros(reader.capacity, dtype=np.float32)
+        reader._alive[: reader.max_doc_id + 1] = 1.0
         for d in reader.deleted:
             if d < len(reader._alive):
                 reader._alive[d] = 0.0
