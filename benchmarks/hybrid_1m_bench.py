@@ -1,0 +1,181 @@
+"""Hybrid search benchmark at 1M docs (BASELINE.md config 4): BM25 +
+vector with a metadata filter and RRF fusion, through the full
+CollectionReader query path (host query resolution + device kernels).
+
+The committed index is synthesized directly as packed arrays (Zipf-ish
+posting lists over a 50k-term vocabulary, 1M x 384 bf16 vectors) and
+injected into a real CollectionReader — honest for query-path QPS, and it
+sidesteps the 1-core host's 13-minute ingest.
+
+    python benchmarks/hybrid_1m_bench.py [--docs 1000000] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_synthetic_reader(n_docs: int, n_terms: int, avg_postings: int, dim: int, seed=0):
+    from orama_core_tpu.config import TpuConfig
+    from orama_core_tpu.engine.collection_read import CollectionReader
+    from orama_core_tpu.index import (
+        CommittedNumberIndex,
+        CommittedStringIndex,
+        CommittedVectorIndex,
+        TermDict,
+    )
+    from orama_core_tpu.oplog import CreateFieldOp
+    from orama_core_tpu.types import TypedField, ValueType
+
+    rng = np.random.default_rng(seed)
+    log(f"synthesizing {n_docs} docs, {n_terms} terms ...")
+
+    # Zipf doc-frequencies: term t appears in ~ c/t^0.9 docs
+    ranks = np.arange(1, n_terms + 1, dtype=np.float64)
+    weights = 1.0 / ranks**0.9
+    total_postings = n_docs * avg_postings
+    df = np.maximum((weights / weights.sum() * total_postings).astype(np.int64), 1)
+    df = np.minimum(df, n_docs)
+
+    terms = [f"term{t:06d}" for t in range(n_terms)]  # lexicographic == id order
+    term_starts = np.zeros(n_terms + 1, dtype=np.int64)
+    np.cumsum(df, out=term_starts[1:])
+    p = int(term_starts[-1])
+    log(f"  {p/1e6:.1f}M postings")
+    post_docs = rng.integers(0, n_docs, p).astype(np.int32)
+    post_tf = rng.integers(1, 5, p).astype(np.float32)
+    pos_starts = np.arange(p + 1, dtype=np.int64)  # 1 position per posting
+    positions = rng.integers(0, 100, p).astype(np.int32)
+    doc_lens = rng.integers(20, 200, n_docs).astype(np.float32)
+
+    td = TermDict.__new__(TermDict)
+    td.terms = terms
+    string_idx = CommittedStringIndex(
+        term_dict=td,
+        term_starts=term_starts,
+        post_docs=post_docs,
+        post_tf=post_tf,
+        pos_starts=pos_starts,
+        positions=positions,
+        doc_lens_dense=doc_lens,
+        n_docs_with_field=n_docs,
+        total_len=int(doc_lens.sum()),
+    )
+
+    vecs = rng.standard_normal((n_docs, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vector_idx = CommittedVectorIndex(
+        dimension=dim, vecs=vecs, vec_docs=np.arange(n_docs, dtype=np.int32)
+    )
+
+    prices = rng.uniform(0, 100, n_docs).astype(np.float32)
+    order = np.argsort(prices)
+    number_idx = CommittedNumberIndex(
+        vals=prices[order], docs=order.astype(np.int32)
+    )
+
+    cfg = TpuConfig()
+    reader = CollectionReader("bench1m", "rk", None, cfg)
+    fields = [
+        TypedField(0, "body", ValueType.STRING),
+        TypedField(1, "embedding", ValueType.EMBEDDING, model="fake-base"),
+        TypedField(2, "price", ValueType.NUMBER),
+    ]
+    for f in fields:
+        reader._apply_locked(CreateFieldOp("bench1m", f))
+    reader.max_doc_id = n_docs - 1
+    reader._alive = np.ones(reader.capacity, dtype=np.float32)
+    reader._alive[n_docs:] = 0.0
+    reader.doc_count = n_docs
+    reader._string[0].committed = string_idx
+    reader._vector[1].committed = vector_idx
+    # fake-base model dim is 384; override the uncommitted dim to match
+    from orama_core_tpu.index import UncommittedVectorIndex
+
+    reader._vector[1].uncommitted = UncommittedVectorIndex(dim)
+    reader._number[2].committed = number_idx
+    return reader
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--terms", type=int, default=50_000)
+    ap.add_argument("--avg-postings", type=int, default=20)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+        )
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+        except Exception:
+            pass
+
+    from orama_core_tpu.models.ai_service import AIService
+    from orama_core_tpu.types import SearchParams
+
+    reader = build_synthetic_reader(args.docs, args.terms, args.avg_postings, args.dim)
+    ai = AIService()
+    rng = np.random.default_rng(42)
+
+    def rand_term(n_words):
+        # skew toward frequent terms like real queries do
+        ids = (rng.pareto(1.2, n_words) * 50).astype(int) % args.terms
+        return " ".join(f"term{t:06d}" for t in ids)
+
+    report = {}
+
+    def run(label, make_params):
+        params = [make_params(rand_term(rng.integers(1, 4))) for _ in range(args.queries)]
+        reader.search(params[0], ai)  # warm compiles for this shape family
+        reader.search(params[1], ai)
+        t0 = time.time()
+        hits = 0
+        for p in params:
+            ranked, count, _ = reader.search(p, ai)
+            hits += len(ranked)
+        dt = time.time() - t0
+        report[label] = round(len(params) / dt, 1)
+        log(f"{label}: {dt:.2f}s -> {report[label]} QPS (avg hits {hits/len(params):.1f})")
+
+    run("bm25_1m_qps", lambda t: SearchParams.from_json({"term": t}))
+    run(
+        "vector_1m_qps",
+        lambda t: SearchParams.from_json({"term": t, "mode": "vector"}),
+    )
+    run(
+        "hybrid_rrf_1m_qps",
+        lambda t: SearchParams.from_json({"term": t, "mode": "hybrid"}),
+    )
+    run(
+        "hybrid_filtered_1m_qps",
+        lambda t: SearchParams.from_json(
+            {"term": t, "mode": "hybrid", "where": {"price": {"lte": 50}}}
+        ),
+    )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

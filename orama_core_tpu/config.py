@@ -86,7 +86,9 @@ class TpuConfig:
     score_dtype: str = "float32"
     # Pad document capacity to multiples of this (static-shape buckets)
     doc_capacity_step: int = 8192
-    posting_bucket_steps: Tuple[int, ...] = (256, 1024, 4096, 16384, 65536, 262144)
+    # Few, coarse buckets: each (bucket-combination, capacity) pair is one
+    # compiled program; padded-slot compute is ~free next to a recompile
+    posting_bucket_steps: Tuple[int, ...] = (1024, 16384, 262144, 4194304)
     use_pallas: bool = True
     # Vector scoring path: "exact" (bf16 matmul), "int8" (quantized matmul),
     # "ivf" (clustered candidates above ivf_threshold, exact below)

@@ -31,6 +31,7 @@ from ..oplog import (
 from ..types import TypedField, ValueType
 
 AUTO_EMBEDDING_FIELD = "___orama_auto_embedding"
+MAX_EMBEDDING_CHUNKS = 8  # bound per-doc vector count for giant documents
 
 
 def _tokenize_and_stem(text: str, locale: str):
@@ -226,9 +227,23 @@ class CollectionWriter:
                 parts = string_values
             text = " ".join(p for p in parts if p).strip()
             if text:
-                emb_reqs.append(
-                    EmbeddingRequest(self.id, doc_id, f.field_id, f.model, text)
-                )
+                # Long inputs chunk into multiple vectors per document (the
+                # reference's acknowledged TODO, fields.rs:458-462); the
+                # vector index stores/sums multi-vector docs natively.
+                from ..models.registry import model_info
+                from ..nlp import Chunker, approx_token_count
+
+                budget = model_info(f.model).max_input_tokens
+                if approx_token_count(text) > budget:
+                    chunks = Chunker(max_tokens=budget).chunk_text(text)[
+                        :MAX_EMBEDDING_CHUNKS
+                    ]
+                else:
+                    chunks = [text]
+                for chunk in chunks:
+                    emb_reqs.append(
+                        EmbeddingRequest(self.id, doc_id, f.field_id, f.model, chunk)
+                    )
         return ops, emb_reqs
 
     def _index_ops_for(self, f: TypedField, doc_id: int, value: Any) -> List[Any]:

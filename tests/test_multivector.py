@@ -1,0 +1,44 @@
+"""Long-document chunking -> multi-vector docs (SURVEY §5 long-context)."""
+
+from orama_core_tpu.types import SearchParams
+
+MASTER, READ, WRITE = "master", "read-key", "write-key"
+
+
+def test_long_doc_gets_multiple_vectors(tmp_engine):
+    tmp_engine.write_side.create_collection(MASTER, "c", READ, WRITE)
+    tmp_engine.flush()
+    long_body = " ".join(
+        f"segment {i} about renewable solar energy systems" for i in range(400)
+    )
+    tmp_engine.write_side.write(
+        "c",
+        [
+            {"id": "long", "body": long_body},
+            {"id": "short", "body": "one short note about cooking"},
+        ],
+        WRITE,
+    )
+    tmp_engine.flush()
+    reader = tmp_engine.read_side.collections["c"]
+    vf = next(iter(reader._vector.values()))
+    per_doc = {}
+    for doc_id, m in vf.uncommitted.entries:
+        per_doc[doc_id] = per_doc.get(doc_id, 0) + len(m)
+    counts = sorted(per_doc.values())
+    assert counts[0] == 1          # short doc: one vector
+    assert counts[-1] > 1          # long doc: chunked into several
+    assert counts[-1] <= 8         # bounded
+
+    # multi-vector doc still searchable (scores sum across chunks)
+    res = tmp_engine.read_side.search(
+        "c", SearchParams.from_json({"term": "solar energy", "mode": "vector"}), READ
+    )
+    assert res.hits[0].id == "long"
+
+    # survives commit (vectors merge into the packed committed matrix)
+    tmp_engine.commit()
+    res = tmp_engine.read_side.search(
+        "c", SearchParams.from_json({"term": "solar energy", "mode": "vector"}), READ
+    )
+    assert res.hits[0].id == "long"
