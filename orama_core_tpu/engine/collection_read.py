@@ -22,7 +22,6 @@ import dataclasses
 import functools
 import os
 import threading
-import time
 from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -35,7 +34,6 @@ from ..index import (
     CommittedNumberIndex,
     CommittedStringIndex,
     CommittedVectorIndex,
-    GlobalInfo,
     UncommittedBoolIndex,
     UncommittedNumberIndex,
     UncommittedStringIndex,

@@ -21,12 +21,9 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 from ..nlp import get_parser
 from ..oplog import (
     CreateFieldOp,
-    DeleteDocumentsOp,
     IndexBoolOp,
     IndexNumberOp,
     IndexStringOp,
-    InsertDocumentOp,
-    OperationSender,
 )
 from ..types import TypedField, ValueType
 

@@ -14,7 +14,7 @@ right for embedding-model context limits.
 from __future__ import annotations
 
 import re
-from typing import List, Optional
+from typing import List
 
 _WORD = re.compile(r"\S+")
 _MD_HEADING = re.compile(r"^(#{1,6})\s", re.MULTILINE)

@@ -9,7 +9,7 @@ where e.g. UK/ZH have no Snowball stemmer (`nlp/mod.rs:100-108`).
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional
+from typing import Optional
 
 # All locales the reference accepts (locales.rs).
 LOCALES = (

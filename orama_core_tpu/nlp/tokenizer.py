@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import unicodedata
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Tuple
 
 from . import locales as _locales
 from .stemmer import get_stemmer

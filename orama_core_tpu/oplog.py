@@ -20,7 +20,7 @@ import queue
 import threading
 from typing import Any, Dict, List, Optional, Tuple
 
-from .types import TypedField, ValueType
+from .types import TypedField
 
 
 @dataclasses.dataclass(frozen=True)

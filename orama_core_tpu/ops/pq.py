@@ -16,7 +16,6 @@ encoding and scoring are all device programs.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,12 +13,9 @@ reconstruct without a lookup table.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import bm25 as bm25_ops
 from ..ops import fusion as fusion_ops

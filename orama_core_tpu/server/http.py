@@ -32,7 +32,7 @@ import re
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 from ..config import HttpConfig
 from ..types import ApiKeyError, CollectionNotFound, SearchParams
