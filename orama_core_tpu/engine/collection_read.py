@@ -765,6 +765,37 @@ class CollectionReader:
         ]
         return ranked, int(count), facets
 
+    def warmup(self, ai_service) -> int:
+        """Pre-compile the common query-shape programs (modes x phrase x
+        filter) so serving never pays a jit at first-query time — compiles
+        land at commit/load time instead. Returns programs warmed."""
+        n = 0
+        sample_terms = ["warmup"]
+        if self._string:
+            sf = next(iter(self._string.values()))
+            if sf.committed.n_terms:
+                t = sf.committed.term_dict.terms
+                sample_terms = [t[0], f"{t[0]} {t[len(t) // 2]}"]
+        number_field = next(
+            (f.name for f in self.fields.values() if f.type == ValueType.NUMBER),
+            None,
+        )
+        bodies: List[Dict[str, Any]] = []
+        for mode in ("fulltext", "vector", "hybrid"):
+            for term in sample_terms:
+                bodies.append({"term": term, "mode": mode})
+        if number_field:
+            bodies.append(
+                {"term": sample_terms[0], "where": {number_field: {"gte": 0}}}
+            )
+        for body in bodies:
+            try:
+                self.search(SearchParams.from_json(body), ai_service)
+                n += 1
+            except Exception:
+                pass  # warmup must never break serving
+        return n
+
     # -- facets (reference: collection.rs:1004-1126) --------------------------
 
     def compute_facets(

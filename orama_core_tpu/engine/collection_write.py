@@ -248,7 +248,20 @@ class CollectionWriter:
             texts = value if isinstance(value, list) else [value]
             text = " ".join(str(t) for t in texts)
             locale = f.locale or self.default_locale
-            data = _tokenize_and_stem(text, locale)
+            if locale == "en":
+                from .. import native
+
+                if native.available():
+                    # one native call: tokenize+stem+group per unique term
+                    terms_t, field_len = native.index_doc_en(text)
+                    return [
+                        IndexStringOp(
+                            self.id, doc_id, f.field_id,
+                            field_length=min(field_len, 65_534),
+                            terms=terms_t,
+                        )
+                    ]
+            data = get_parser(locale).tokenize_and_stem(text)
             terms: Dict[str, List[int]] = {}
             for position, (original, stemmeds) in enumerate(data):
                 terms.setdefault(original, []).append(position)

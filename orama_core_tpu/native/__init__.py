@@ -64,6 +64,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ] * 4
         lib.oramax_tokenize_free.argtypes = [ctypes.c_void_p]
 
+        lib.oramax_index_doc.restype = ctypes.c_void_p
+        lib.oramax_index_doc.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.oramax_index_doc_sizes.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.oramax_index_doc_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+        lib.oramax_index_doc_free.argtypes = [ctypes.c_void_p]
+
         lib.oramax_builder_new.restype = ctypes.c_void_p
         lib.oramax_builder_free.argtypes = [ctypes.c_void_p]
         lib.oramax_builder_insert.argtypes = [
@@ -121,6 +127,42 @@ def tokenize_and_stem_en(text: str) -> List[Tuple[str, List[str]]]:
         else:
             out[-1][1].append(tok)
     return out
+
+
+def index_doc_en(text: str):
+    """Whole-document EN indexing in one native call.
+
+    Returns (terms_dict {term: (positions...)}, field_length) — the exact
+    payload of IndexStringOp — with one Python object per *unique* term
+    instead of per token."""
+    lib = _load()
+    assert lib is not None
+    data = text.encode("utf-8")
+    h = lib.oramax_index_doc(data, len(data))
+    try:
+        sizes = np.zeros(4, np.int64)
+        lib.oramax_index_doc_sizes(h, sizes.ctypes.data)
+        n_terms, tb_len, n_pos, field_len = (int(x) for x in sizes)
+        if n_terms == 0:
+            return {}, 0
+        term_bytes = np.zeros(max(tb_len, 1), np.uint8)
+        term_offsets = np.zeros(n_terms + 1, np.int32)
+        pos_starts = np.zeros(n_terms + 1, np.int32)
+        positions = np.zeros(max(n_pos, 1), np.int32)
+        lib.oramax_index_doc_copy(
+            h, term_bytes.ctypes.data, term_offsets.ctypes.data,
+            pos_starts.ctypes.data, positions.ctypes.data,
+        )
+    finally:
+        lib.oramax_index_doc_free(h)
+    raw = term_bytes.tobytes()
+    pos_list = positions.tolist()
+    terms = {}
+    for i in range(n_terms):
+        terms[raw[term_offsets[i] : term_offsets[i + 1]].decode("utf-8")] = tuple(
+            pos_list[pos_starts[i] : pos_starts[i + 1]]
+        )
+    return terms, field_len
 
 
 class NativePostingBuilder:

@@ -346,6 +346,74 @@ void oramax_tokenize_copy(void* h, uint8_t* bytes_out, int32_t* offsets_out,
 void oramax_tokenize_free(void* h) { delete (TokenizeResult*)h; }
 
 // ---------------------------------------------------------------------------
+// whole-document indexing: tokenize+stem -> unique terms with position lists
+// in one call (the per-token Python round trip dominates the write path)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IndexDocResult {
+  std::string term_bytes;
+  std::vector<int32_t> term_offsets{0};
+  std::vector<int32_t> pos_starts{0};
+  std::vector<int32_t> positions;
+  int32_t field_length = 0;
+};
+
+}  // namespace
+
+void* oramax_index_doc(const uint8_t* text, int64_t len) {
+  // Reuse the tokenizer, then group positions per unique term.
+  auto* tok = (TokenizeResult*)oramax_tokenize(text, len, 1);
+  auto* res = new IndexDocResult();
+  std::unordered_map<std::string, std::vector<int32_t>> terms;
+  size_t n = tok->positions.size();
+  int32_t max_pos = -1;
+  for (size_t i = 0; i < n; i++) {
+    std::string t = tok->bytes.substr(
+        tok->offsets[i], tok->offsets[i + 1] - tok->offsets[i]);
+    terms[t].push_back(tok->positions[i]);
+    if (tok->kinds[i] == 0 && tok->positions[i] > max_pos)
+      max_pos = tok->positions[i];
+  }
+  oramax_tokenize_free(tok);
+  res->field_length = max_pos + 1;
+  // deterministic order (sorted) so op payloads are reproducible
+  std::vector<const std::string*> keys;
+  keys.reserve(terms.size());
+  for (auto& kv : terms) keys.push_back(&kv.first);
+  std::sort(keys.begin(), keys.end(),
+            [](const std::string* a, const std::string* b) { return *a < *b; });
+  for (auto* k : keys) {
+    res->term_bytes += *k;
+    res->term_offsets.push_back((int32_t)res->term_bytes.size());
+    auto& poss = terms[*k];
+    res->positions.insert(res->positions.end(), poss.begin(), poss.end());
+    res->pos_starts.push_back((int32_t)res->positions.size());
+  }
+  return res;
+}
+
+void oramax_index_doc_sizes(void* h, int64_t* out4) {
+  auto* r = (IndexDocResult*)h;
+  out4[0] = (int64_t)(r->term_offsets.size() - 1);  // n unique terms
+  out4[1] = (int64_t)r->term_bytes.size();
+  out4[2] = (int64_t)r->positions.size();
+  out4[3] = r->field_length;
+}
+
+void oramax_index_doc_copy(void* h, uint8_t* term_bytes, int32_t* term_offsets,
+                           int32_t* pos_starts, int32_t* positions) {
+  auto* r = (IndexDocResult*)h;
+  memcpy(term_bytes, r->term_bytes.data(), r->term_bytes.size());
+  memcpy(term_offsets, r->term_offsets.data(), r->term_offsets.size() * 4);
+  memcpy(pos_starts, r->pos_starts.data(), r->pos_starts.size() * 4);
+  memcpy(positions, r->positions.data(), r->positions.size() * 4);
+}
+
+void oramax_index_doc_free(void* h) { delete (IndexDocResult*)h; }
+
+// ---------------------------------------------------------------------------
 // posting builder: accumulate (term, doc, position) and pack CSR
 // ---------------------------------------------------------------------------
 
