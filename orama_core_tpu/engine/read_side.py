@@ -86,6 +86,9 @@ class ReadSide:
                     self.doc_storage[op.collection_id] = DocumentStorage(
                         os.path.join(self.cfg.data_dir, "docs", op.collection_id)
                     )
+            from ..server import metrics as m
+
+            m.COLLECTION_ADDED.inc(collection=op.collection_id)
         else:
             cid = op.collection_id
             reader = self.collections.get(cid)
@@ -103,6 +106,8 @@ class ReadSide:
 
     def pump(self, timeout: float = 0.0) -> int:
         """Apply everything currently in the channel; returns ops applied."""
+        from ..server import metrics as m
+
         n = 0
         while True:
             batch = self.rx.drain()
@@ -118,6 +123,9 @@ class ReadSide:
                 self.apply(stamped)
                 n += 1
             timeout = 0.0
+        if n:
+            m.COLLECTION_OPS.inc(n)
+            m.OPERATION_GAUGE.set(self.rx._q.qsize())
         return n
 
     # -- search (reference: read/mod.rs:127-179) ------------------------------
@@ -196,15 +204,18 @@ class ReadSide:
         return self._ops_since_commit >= self.cfg.insert_batch_commit_size
 
     def commit(self) -> None:
+        from ..server import metrics as m
+
         data_dir = ensure_dir(self.cfg.data_dir)
         with self._lock:
             collections = dict(self.collections)
         for cid, reader in collections.items():
-            reader.commit(
-                ensure_dir(os.path.join(data_dir, "collections", cid)),
-                self._applied_offset,
-            )
-            self.doc_storage[cid].commit()
+            with m.COMMIT_ELAPSED.time(side="read", collection=cid):
+                reader.commit(
+                    ensure_dir(os.path.join(data_dir, "collections", cid)),
+                    self._applied_offset,
+                )
+                self.doc_storage[cid].commit()
         atomic_write_json(
             os.path.join(data_dir, "info.json"),
             {"offset": self._applied_offset, "collections": sorted(collections)},

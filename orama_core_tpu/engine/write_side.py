@@ -134,6 +134,8 @@ class WriteSide:
             c = self._collection(collection_id)
         else:
             c = self.check_write_key(collection_id, write_api_key)
+        from ..server import metrics as m
+
         user_ids: List[str] = []
         for doc in documents:
             doc = dict(doc)
@@ -163,6 +165,8 @@ class WriteSide:
             for req in emb_reqs:
                 self._embedding_queue.put(req)
             self._ops_since_commit += len(ops) + 1
+            m.ADD_DOCUMENT.inc(collection=collection_id)
+        m.EMBEDDING_GAUGE.set(self._embedding_queue.qsize())
         return user_ids
 
     def delete_documents(
@@ -196,11 +200,15 @@ class WriteSide:
                 break
         if not batch:
             return 0
+        from ..server import metrics as m
+
+        m.PENDING_EMBEDDING_GAUGE.set(len(batch))
         by_model: Dict[str, List[EmbeddingRequest]] = {}
         for r in batch:
             by_model.setdefault(r.model, []).append(r)
         for model, reqs in by_model.items():
-            vecs = self.ai.embed_passage(model, [r.text for r in reqs])
+            with m.EMBED_CALC_ELAPSED.time(model=model):
+                vecs = self.ai.embed_passage(model, [r.text for r in reqs])
             for r, v in zip(reqs, vecs):
                 self.op_sender.send(
                     IndexEmbeddingOp(
@@ -210,6 +218,8 @@ class WriteSide:
                         (tuple(float(x) for x in v),),
                     )
                 )
+        m.PENDING_EMBEDDING_GAUGE.set(0)
+        m.EMBEDDING_GAUGE.set(self._embedding_queue.qsize())
         return len(batch)
 
     def drain_embeddings(self) -> None:
@@ -226,8 +236,10 @@ class WriteSide:
         return self._ops_since_commit >= self.cfg.insert_batch_commit_size
 
     def commit(self) -> None:
+        from ..server import metrics as m
+
         data_dir = ensure_dir(self.cfg.data_dir)
-        with self._lock:
+        with m.COMMIT_ELAPSED.time(side="write"), self._lock:
             total_docs = 0
             for cid, c in self.collections.items():
                 cdir = ensure_dir(os.path.join(data_dir, "collections", cid))
