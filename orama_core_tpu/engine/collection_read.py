@@ -757,9 +757,9 @@ class CollectionReader:
         scores = self.search_scores(params, ai_service)
         facets = self.compute_facets(scores, params.facets) if params.facets else None
         k = min(params.limit, self.capacity)
-        vals, idx, count = topk_ops.topk_with_count(scores, k)
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
+        # one host sync for the whole query (dispatches above are async;
+        # transfers are the expensive step on remote-device setups)
+        vals, idx, count = jax.device_get(topk_ops.topk_with_count(scores, k))
         ranked = [
             (int(d), float(s)) for d, s in zip(idx, vals) if s > 0.0
         ]
