@@ -47,17 +47,31 @@ class Orama:
     # -- background loops (reference: lib.rs:93-99, write/mod.rs:158-179) -----
 
     def _spawn_background(self) -> None:
+        from .utils import tracing
+
         def pump_loop():
+            # the reference op-pump panics on error (lib.rs:96 "OUCH!");
+            # here failures are logged loudly and the loop survives — a
+            # poisoned op must not silently kill ingestion forever
             while not self._stop.is_set():
-                n = self.read_side.pump(timeout=0.05)
-                if self.read_side.should_commit:
-                    self.read_side.commit()
+                try:
+                    n = self.read_side.pump(timeout=0.05)
+                    if self.read_side.should_commit:
+                        self.read_side.commit()
+                except Exception as e:
+                    tracing.log("error", f"op pump error (op dropped): {e!r}")
+                    n = 0
                 if n == 0:
                     time.sleep(0.01)
 
         def embedding_loop():
             while not self._stop.is_set():
-                n = self.write_side.process_embeddings()
+                try:
+                    n = self.write_side.process_embeddings()
+                except Exception as e:
+                    tracing.log("error", f"embedding loop error: {e!r}")
+                    n = 0
+                    time.sleep(0.5)  # back off on a failing model backend
                 if n == 0:
                     time.sleep(0.02)
 

@@ -189,11 +189,23 @@ class _DeviceCache:
             pp_pad = bucket_pad(max(pp, 1), steps)
             pos = np.zeros(pp_pad, np.int32)
             pos[:pp] = s.positions
+            # CSR offset tables, device-resident for span-resolved queries
+            # (padded by repeating the end offset: padded slots are empty)
+            t = len(s.term_starts)
+            t_pad = bucket_pad(t, steps)
+            tstarts = np.full(t_pad, s.term_starts[-1] if t else 0, np.int32)
+            tstarts[:t] = s.term_starts
+            ps = len(s.pos_starts)
+            ps_pad = p_pad + 1
+            pstarts = np.full(ps_pad, s.pos_starts[-1] if ps else 0, np.int32)
+            pstarts[:ps] = s.pos_starts
             return (
                 self._put_rows(jnp.asarray(docs)),
                 self._put_rows(jnp.asarray(tf)),
                 jnp.asarray(s.doc_lens_dense),
                 self._put_rows(jnp.asarray(pos)),
+                jnp.asarray(tstarts),
+                jnp.asarray(pstarts),
             )
 
         return self._get(s, "str", build)
@@ -549,35 +561,47 @@ class CollectionReader:
             gi = sf.committed.global_info() + sf.uncommitted.global_info()
             phrase = len(tokens) > 1
 
-            # committed segment on device
-            rq = sf.committed.resolve_tokens(tokens)
-            if not rq.is_empty:
-                g_idx, g_idf = rq.padded(steps)
-                d_docs, d_tf, d_lens, d_pos = self._device.string_arrays(sf.committed)
-                if phrase:
-                    pos_flat, pos_docs = sf.committed.resolve_positions(rq.gather_idx)
-                    gp = len(pos_flat)
-                    gp_pad = bucket_pad(max(gp, 1), steps)
-                    p_idx = np.zeros(gp_pad, np.int32)
-                    p_idx[:gp] = pos_flat
-                    p_docs = np.zeros(gp_pad, np.int32)
-                    p_docs[:gp] = pos_docs
-                    p_valid = np.zeros(gp_pad, np.float32)
-                    p_valid[:gp] = 1.0
-                    p_idx_d, p_docs_d, p_valid_d = (
-                        jnp.asarray(p_idx), jnp.asarray(p_docs), jnp.asarray(p_valid),
-                    )
-                else:
-                    p_idx_d = p_docs_d = jnp.zeros((1,), jnp.int32)
-                    p_valid_d = jnp.zeros((1,), jnp.float32)
-                field_scores = _fulltext_field_scores(
-                    d_docs, d_tf, d_lens, d_pos,
-                    jnp.asarray(g_idx), jnp.asarray(g_idf),
-                    p_idx_d, p_docs_d, p_valid_d,
-                    jnp.float32(field_boost), filter_mask, jnp.float32(gi.avgdl),
-                    n_docs=cap, phrase=phrase,
+            # committed segment on device: ship only per-token term-id spans
+            # (contiguous by construction); postings/idf resolve on device
+            committed = sf.committed
+            token_spans = [
+                committed.term_dict.prefix_range(t) for t in tokens
+            ]
+            token_spans = [(lo, hi) for lo, hi in token_spans if hi > lo]
+            if token_spans:
+                ts_host = committed.term_starts
+                g_total = int(
+                    sum(ts_host[hi] - ts_host[lo] for lo, hi in token_spans)
                 )
-                scores = scores + field_scores
+                if g_total > 0:
+                    max_tok = bucket_pad(len(token_spans), (8, 32))
+                    spans = np.zeros((max_tok, 2), np.int32)
+                    spans[: len(token_spans)] = token_spans
+                    g_budget = bucket_pad(g_total, steps)
+                    if phrase:
+                        pp_total = int(
+                            sum(
+                                committed.pos_starts[ts_host[hi]]
+                                - committed.pos_starts[ts_host[lo]]
+                                for lo, hi in token_spans
+                            )
+                        )
+                        pp_budget = bucket_pad(max(pp_total, 1), steps)
+                    else:
+                        pp_budget = 1
+                    d_docs, d_tf, d_lens, d_pos, d_tstarts, d_pstarts = (
+                        self._device.string_arrays(committed)
+                    )
+                    field_scores = bm25_ops.bm25_scores_from_spans(
+                        d_tstarts, d_docs, d_tf, d_lens, d_pstarts, d_pos,
+                        jnp.asarray(spans),
+                        jnp.float32(field_boost), filter_mask,
+                        jnp.float32(gi.avgdl),
+                        jnp.float32(committed.n_docs_with_field),
+                        n_docs=cap, g_budget=g_budget, pp_budget=pp_budget,
+                        phrase=phrase,
+                    )
+                    scores = scores + field_scores
 
             # uncommitted window on host
             if not sf.uncommitted.is_empty:

@@ -110,6 +110,81 @@ def phrase_boost_by_doc(
     return jnp.where(matched, boost, user_boost)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_docs", "g_budget", "pp_budget", "phrase")
+)
+def bm25_scores_from_spans(
+    term_starts: jax.Array,    # int32[T+1] CSR offsets (device-resident)
+    post_docs: jax.Array,      # int32[Ppad]
+    post_tf: jax.Array,        # float32[Ppad]
+    doc_lens: jax.Array,       # float32[Ncommitted]
+    pos_starts: jax.Array,     # int32[Ppad+1] (phrase only; pass post slice)
+    positions: jax.Array,      # int32[PPpad]  (phrase only)
+    spans: jax.Array,          # int32[MAXTOK, 2] term-id [lo, hi) per token
+    field_boost: jax.Array,    # float32[]
+    filter_mask: jax.Array,    # float32[Npad]
+    avgdl: jax.Array,          # float32[]
+    n_field_docs: jax.Array,   # float32[] N for idf
+    n_docs: int,
+    g_budget: int,             # static posting budget (host picks bucket)
+    pp_budget: int,            # static positions budget (phrase only)
+    phrase: bool,
+) -> jax.Array:
+    """Span-resolved BM25: the host ships only per-token term-id ranges
+    (prefix search on the sorted dictionary gives *contiguous* spans —
+    index/term-frequency/idf resolution all happens on device). Per-query
+    host→device traffic drops from O(matched postings) to O(tokens) —
+    decisive when host↔device latency dominates (remote/tunneled devices),
+    and it removes the host-side flatten work entirely."""
+    p_lo = term_starts[spans[:, 0]]
+    p_hi = term_starts[spans[:, 1]]
+    lens = (p_hi - p_lo).astype(jnp.int32)              # [MAXTOK]
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(lens)[:-1]])
+    total = jnp.sum(lens)
+    # gather_idx[j] = p_lo[k] + (j - offs[k]) for the k owning output slot j
+    shift = jnp.repeat(p_lo - offs, lens, total_repeat_length=g_budget)
+    gather_idx = shift + jnp.arange(g_budget, dtype=jnp.int32)
+    valid = (jnp.arange(g_budget) < total).astype(jnp.float32)
+    gather_idx = jnp.clip(gather_idx, 0, post_docs.shape[0] - 1)
+
+    # per-posting owning term -> ni -> idf, all from device-resident CSR
+    term_of = (
+        jnp.searchsorted(term_starts, gather_idx, side="right").astype(jnp.int32) - 1
+    )
+    ni = (term_starts[term_of + 1] - term_starts[term_of]).astype(jnp.float32)
+    idf = jnp.log1p(
+        jnp.maximum((n_field_docs - ni + 0.5) / (ni + 0.5), 0.0)
+    ) * valid
+
+    if phrase:
+        # positions of a token's postings are contiguous too: use the same
+        # span trick in position space for the phrase-boost inputs
+        pp_lo = pos_starts[p_lo]
+        pp_hi = pos_starts[p_hi]
+        plens = (pp_hi - pp_lo).astype(jnp.int32)
+        poffs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(plens)[:-1]])
+        ptotal = jnp.sum(plens)
+        pshift = jnp.repeat(pp_lo - poffs, plens, total_repeat_length=pp_budget)
+        p_idx = pshift + jnp.arange(pp_budget, dtype=jnp.int32)
+        p_valid = (jnp.arange(pp_budget) < ptotal).astype(jnp.float32)
+        p_idx = jnp.clip(p_idx, 0, positions.shape[0] - 1)
+        owning_post = (
+            jnp.searchsorted(pos_starts, p_idx, side="right").astype(jnp.int32) - 1
+        )
+        p_doc = post_docs[jnp.clip(owning_post, 0, post_docs.shape[0] - 1)]
+        boost_by_doc = phrase_boost_by_doc(
+            p_doc, positions[p_idx], p_valid, field_boost, n_docs
+        )
+    else:
+        boost_by_doc = jnp.ones((n_docs,), dtype=jnp.float32)
+        idf = idf * field_boost
+
+    return bm25_scores(
+        post_docs, post_tf, doc_lens, gather_idx, idf,
+        boost_by_doc, filter_mask, avgdl, n_docs,
+    )
+
+
 def idf_from_counts(ni, n_docs_with_field):
     """Host-side idf (numpy or jnp): ln1p((N - ni + 0.5) / (ni + 0.5))."""
     import numpy as np
