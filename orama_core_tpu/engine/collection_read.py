@@ -748,22 +748,117 @@ class CollectionReader:
                             )
         return scores
 
+    def search_fulltext_batch(
+        self, terms: List[str], boost: Dict[str, float], filter_mask: jax.Array
+    ) -> jax.Array:
+        """[B, cap] BM25 scores for a coalesced batch via vmapped span
+        scoring (committed segments; uncommitted windows scored host-side
+        per row, as in the single-query path)."""
+        cap = self.capacity
+        b = len(terms)
+        scores = jnp.zeros((b, cap), dtype=jnp.float32)
+        steps = self.cfg.posting_bucket_steps
+        for fid in self._string_properties(None):
+            f = self.fields[fid]
+            locale = f.locale or self.default_locale
+            parser = get_parser(locale)
+            token_lists = [parser.tokenize(t) for t in terms]
+            field_boost = float(boost.get(f.name, 1.0))
+            sf = self._string[fid]
+            committed = sf.committed
+            gi = committed.global_info() + sf.uncommitted.global_info()
+
+            span_rows = [
+                [
+                    (lo, hi)
+                    for lo, hi in (
+                        committed.term_dict.prefix_range(t) for t in tokens
+                    )
+                    if hi > lo
+                ]
+                for tokens in token_lists
+            ]
+            ts_host = committed.term_starts
+            g_totals = [
+                int(sum(ts_host[hi] - ts_host[lo] for lo, hi in row))
+                for row in span_rows
+            ]
+            phrase = any(len(t) > 1 for t in token_lists)
+            if max(g_totals, default=0) > 0:
+                max_tok = bucket_pad(
+                    max((len(r) for r in span_rows), default=1), (8, 32)
+                )
+                spans_b = np.zeros((b, max_tok, 2), np.int32)
+                for row, spans in enumerate(span_rows):
+                    spans_b[row, : len(spans)] = spans
+                g_budget = bucket_pad(max(g_totals), steps)
+                if phrase:
+                    pp_total = max(
+                        int(
+                            sum(
+                                committed.pos_starts[ts_host[hi]]
+                                - committed.pos_starts[ts_host[lo]]
+                                for lo, hi in row
+                            )
+                        )
+                        for row in span_rows
+                    )
+                    pp_budget = bucket_pad(max(pp_total, 1), steps)
+                else:
+                    pp_budget = 1
+                d_docs, d_tf, d_lens, d_pos, d_tstarts, d_pstarts = (
+                    self._device.string_arrays(committed)
+                )
+                scores = scores + bm25_ops.bm25_scores_from_spans_batch(
+                    d_tstarts, d_docs, d_tf, d_lens, d_pstarts, d_pos,
+                    jnp.asarray(spans_b),
+                    jnp.float32(field_boost), filter_mask,
+                    jnp.float32(gi.avgdl),
+                    jnp.float32(committed.n_docs_with_field),
+                    n_docs=cap, g_budget=g_budget, pp_budget=pp_budget,
+                    phrase=phrase,
+                )
+            if not sf.uncommitted.is_empty:
+                fm_host = np.asarray(filter_mask)
+                for row, tokens in enumerate(token_lists):
+                    host_out: Dict[int, float] = {}
+                    sf.uncommitted.search(
+                        tokens, field_boost, gi, fm_host, self.deleted, host_out
+                    )
+                    if host_out:
+                        idx, vals = self._padded_scatter(
+                            list(host_out.keys()), list(host_out.values())
+                        )
+                        scores = scores.at[row].set(
+                            _scatter_add_scores(scores[row], idx, vals)
+                        )
+        return scores
+
     def search_batch(
         self, params_list: List[SearchParams], ai_service
     ) -> List[Tuple[List[Tuple[int, float]], int]]:
-        """Batched vector-mode search for compatible queries (same filters/
-        properties). Facets are not part of the batched path."""
+        """Batched search for compatible queries (same mode/filters/boost/
+        fusion; no facets) — one device program scores the whole batch."""
         if not params_list:
             return []
-        filter_mask = self._filter_mask(params_list[0].where)
-        scores = self.search_vector_batch(
-            [p.term for p in params_list], ai_service, filter_mask
-        )
+        p0 = params_list[0]
+        filter_mask = self._filter_mask(p0.where)
+        terms = [p.term for p in params_list]
+        if p0.mode == SearchModeKind.VECTOR:
+            scores = self.search_vector_batch(terms, ai_service, filter_mask)
+        elif p0.mode == SearchModeKind.FULLTEXT:
+            scores = self.search_fulltext_batch(terms, p0.boost, filter_mask)
+        else:
+            ft = self.search_fulltext_batch(terms, p0.boost, filter_mask)
+            vec = self.search_vector_batch(terms, ai_service, filter_mask)
+            if p0.fusion == HybridFusion.MINMAX:
+                scores = jax.vmap(fusion_ops.minmax_fuse)(ft, vec)
+            else:
+                scores = jax.vmap(fusion_ops.rrf_fuse)(ft, vec)
         k = min(max(p.limit for p in params_list), self.capacity)
         vals, idx = jax.lax.top_k(scores, k)
-        counts = np.asarray(jnp.sum(scores > 0, axis=1))
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
+        counts = jnp.sum(scores > 0, axis=1)
+        vals, idx, counts = jax.device_get((vals, idx, counts))
         out = []
         for row, p in enumerate(params_list):
             ranked = [

@@ -143,12 +143,11 @@ class ReadSide:
         return reader
 
     def _batchable(self, params: SearchParams) -> bool:
-        from ..types import SearchModeKind
-
         return (
             self._batcher is not None
-            and params.mode == SearchModeKind.VECTOR
             and not params.facets
+            and params.properties is None
+            and bool(params.term.strip())
         )
 
     def _batch_key(self, collection_id: str, params: SearchParams):
@@ -157,10 +156,14 @@ class ReadSide:
         where_key = _json.dumps(
             {k: dataclasses_to_key(v) for k, v in sorted(params.where.items())}
         )
-        return (collection_id, where_key)
+        boost_key = _json.dumps(sorted(params.boost.items()))
+        return (
+            collection_id, params.mode.value, params.fusion.value,
+            where_key, boost_key,
+        )
 
     def _run_search_batch(self, key, payloads):
-        collection_id, _ = key
+        collection_id = key[0]
         reader = self._reader(collection_id)
         return reader.search_batch(payloads, self.ai)
 

@@ -185,6 +185,27 @@ def bm25_scores_from_spans(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_docs", "g_budget", "pp_budget", "phrase")
+)
+def bm25_scores_from_spans_batch(
+    term_starts, post_docs, post_tf, doc_lens, pos_starts, positions,
+    spans_b,        # int32[B, MAXTOK, 2]
+    field_boost, filter_mask, avgdl, n_field_docs,
+    n_docs: int, g_budget: int, pp_budget: int, phrase: bool,
+):
+    """[B, n_docs] — vmapped span scoring for coalesced query batches
+    (server/batcher.py): index arrays broadcast, spans vary per query."""
+    return jax.vmap(
+        lambda spans: bm25_scores_from_spans(
+            term_starts, post_docs, post_tf, doc_lens, pos_starts, positions,
+            spans, field_boost, filter_mask, avgdl, n_field_docs,
+            n_docs=n_docs, g_budget=g_budget, pp_budget=pp_budget,
+            phrase=phrase,
+        )
+    )(spans_b)
+
+
 def idf_from_counts(ni, n_docs_with_field):
     """Host-side idf (numpy or jnp): ln1p((N - ni + 0.5) / (ni + 0.5))."""
     import numpy as np

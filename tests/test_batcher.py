@@ -103,3 +103,49 @@ def test_batched_vector_search_matches_unbatched(tmp_path):
         assert outs[2].hits[0].id == "3"
     finally:
         engine.close()
+
+
+def test_batched_fulltext_and_hybrid_match_unbatched(tmp_path):
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    cfg.writer_side.commit_interval_sec = 3600
+    cfg.reader_side.commit_interval_sec = 3600
+    cfg.tpu.query_batching = True
+    cfg.tpu.batch_wait_ms = 5.0
+    engine = build_orama(cfg, start_background=False)
+    try:
+        engine.write_side.create_collection(MASTER, "c", READ, WRITE)
+        engine.write_side.write(
+            "c",
+            [
+                {"id": "1", "body": "machine learning on accelerators", "price": 5},
+                {"id": "2", "body": "machine tools in the workshop", "price": 15},
+                {"id": "3", "body": "gardening tips for spring", "price": 25},
+            ],
+            WRITE,
+        )
+        engine.flush()
+        engine.commit()
+        reader = engine.read_side.collections["c"]
+
+        for body in (
+            {"term": "machine learning"},
+            {"term": "machine", "where": {"price": {"lt": 20}}},
+            {"term": "gardening spring", "mode": "hybrid"},
+        ):
+            p = SearchParams.from_json(body)
+            batched = engine.read_side.search("c", p, READ)       # via batcher
+            ranked, count, _ = reader.search(p, engine.read_side.ai)  # direct
+            got = [(h.id, round(h.score, 4)) for h in batched.hits]
+            want = [
+                (
+                    engine.read_side.doc_storage["c"].get(d)["id"],
+                    round(s, 4),
+                )
+                for d, s in ranked
+            ]
+            assert got == want, body
+            assert batched.count == count, body
+    finally:
+        engine.close()
