@@ -90,36 +90,6 @@ def _scatter_add_scores(scores: jax.Array, idx: jax.Array, vals: jax.Array) -> j
     return scores.at[idx].add(vals)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _pad_mask(mask: jax.Array, n: int) -> jax.Array:
-    return jnp.pad(mask, (0, n - mask.shape[0]))
-
-
-@functools.partial(jax.jit, static_argnames=("n_docs", "phrase"))
-def _fulltext_field_scores(
-    post_docs, post_tf, doc_lens, positions,
-    g_idx, g_idf,
-    p_idx, p_docs, p_valid,
-    field_boost, filter_mask, avgdl,
-    n_docs: int, phrase: bool,
-):
-    """Fused committed-segment scoring for one text field: optional phrase
-    boost + CSR BM25 scatter, one XLA program."""
-    if phrase:
-        pos_vals = positions[p_idx]
-        boost_by_doc = bm25_ops.phrase_boost_by_doc(
-            p_docs, pos_vals, p_valid, field_boost, n_docs
-        )
-        idf = g_idf
-    else:
-        boost_by_doc = jnp.ones((n_docs,), dtype=jnp.float32)
-        idf = g_idf * field_boost
-    return bm25_ops.bm25_scores(
-        post_docs, post_tf, doc_lens, g_idx, idf,
-        boost_by_doc, filter_mask, avgdl, n_docs,
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("value",))
 def _bool_filter_mask(true_mask, has_mask, value: bool):
     return true_mask if value else has_mask * (1.0 - true_mask)
