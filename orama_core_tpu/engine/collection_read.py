@@ -544,7 +544,10 @@ class CollectionReader:
                     sum(ts_host[hi] - ts_host[lo] for lo, hi in token_spans)
                 )
                 if g_total > 0:
-                    max_tok = bucket_pad(len(token_spans), (8, 32))
+                    # fixed token capacity: one less static dimension =>
+                    # far fewer compiled program variants
+                    max_tok = 32
+                    token_spans = token_spans[:max_tok]
                     spans = np.zeros((max_tok, 2), np.int32)
                     spans[: len(token_spans)] = token_spans
                     g_budget = bucket_pad(g_total, steps)
@@ -755,12 +758,10 @@ class CollectionReader:
             ]
             phrase = any(len(t) > 1 for t in token_lists)
             if max(g_totals, default=0) > 0:
-                max_tok = bucket_pad(
-                    max((len(r) for r in span_rows), default=1), (8, 32)
-                )
+                max_tok = 32
                 spans_b = np.zeros((b, max_tok, 2), np.int32)
                 for row, spans in enumerate(span_rows):
-                    spans_b[row, : len(spans)] = spans
+                    spans_b[row, : len(spans[:max_tok])] = spans[:max_tok]
                 g_budget = bucket_pad(max(g_totals), steps)
                 if phrase:
                     pp_total = max(
