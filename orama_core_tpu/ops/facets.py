@@ -39,11 +39,11 @@ def number_facet_counts(
         & (num_vals[None, :] <= highs[:, None])
         & num_valid[None, :]
     ).astype(jnp.float32)  # [R, V]
-    r = lows.shape[0]
-    mask = jnp.zeros((r, n_docs), dtype=jnp.float32)
-    rows = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[:, None], in_range.shape)
-    cols = jnp.broadcast_to(num_docs[None, :], in_range.shape)
-    mask = mask.at[rows, cols].max(in_range)
+    mask = jax.vmap(
+        lambda row: jnp.maximum(
+            jax.ops.segment_max(row, num_docs, num_segments=n_docs), 0.0
+        )
+    )(in_range)
     return jnp.sum(mask * matched[None, :], axis=1).astype(jnp.int32)
 
 

@@ -33,8 +33,9 @@ def number_range_mask(
     ge = jnp.where(low_excl, num_vals > low, num_vals >= low)
     le = jnp.where(high_excl, num_vals < high, num_vals <= high)
     in_range = (ge & le & num_valid).astype(jnp.float32)
-    mask = jnp.zeros((n_docs,), dtype=jnp.float32)
-    return mask.at[num_docs].max(in_range)
+    return jnp.maximum(
+        jax.ops.segment_max(in_range, num_docs, num_segments=n_docs), 0.0
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_docs",))
@@ -46,8 +47,9 @@ def number_eq_mask(
     n_docs: int,
 ) -> jax.Array:
     eq = ((num_vals == value) & num_valid).astype(jnp.float32)
-    mask = jnp.zeros((n_docs,), dtype=jnp.float32)
-    return mask.at[num_docs].max(eq)
+    return jnp.maximum(
+        jax.ops.segment_max(eq, num_docs, num_segments=n_docs), 0.0
+    )
 
 
 @jax.jit

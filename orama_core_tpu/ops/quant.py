@@ -50,7 +50,7 @@ def int8_brute_force_scores(
     )
     sims = acc.astype(jnp.float32) * scales * q_scale
     sims = jnp.maximum(sims, 0.0) * vec_valid
-    scores = jnp.zeros((n_docs,), jnp.float32).at[vec_docs].add(sims)
+    scores = jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs)
     return scores * filter_mask
 
 

@@ -35,8 +35,7 @@ def brute_force_scores(
         vecs, query.astype(vecs.dtype), preferred_element_type=jnp.float32
     )
     sims = jnp.maximum(sims, 0.0) * vec_valid
-    scores = jnp.zeros((n_docs,), dtype=jnp.float32)
-    scores = scores.at[vec_docs].add(sims)
+    scores = jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs)
     return scores * filter_mask
 
 
@@ -55,9 +54,9 @@ def brute_force_scores_batch(
         queries.astype(vecs.dtype), vecs.T, preferred_element_type=jnp.float32
     )  # [B, P]
     sims = jnp.maximum(sims, 0.0) * vec_valid[None, :]
-    b = queries.shape[0]
-    scores = jnp.zeros((b, n_docs), dtype=jnp.float32)
-    scores = scores.at[:, vec_docs].add(sims)
+    scores = jax.vmap(
+        lambda row: jax.ops.segment_sum(row, vec_docs, num_segments=n_docs)
+    )(sims)
     return scores * filter_mask[None, :]
 
 

@@ -106,7 +106,7 @@ def sharded_hybrid_step(mesh: Mesh, k: int, shard_cap: int, n_local_docs: int):
         )
         sims = jnp.dot(vecs, query.astype(vecs.dtype), preferred_element_type=jnp.float32)
         sims = jnp.maximum(sims, 0.0) * vec_valid
-        vs = jnp.zeros((n_local_docs,), jnp.float32).at[vec_docs].add(sims)
+        vs = jax.ops.segment_sum(sims, vec_docs, num_segments=n_local_docs)
         vs = vs * filter_mask
         fused = fusion_ops.rrf_fuse(ft, vs)
         shard = jax.lax.axis_index(DATA_AXIS)
