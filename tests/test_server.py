@@ -214,6 +214,32 @@ def test_answer_sse(server):
     assert sources["message"]["count"] >= 1
 
 
+def test_planned_answer_sse(server):
+    engine, base = server
+    _setup_collection(engine, base)
+    req = urllib.request.Request(
+        base + "/v1/collections/c1/planned_answer?api-key=rk",
+        data=json.dumps({"query": "tell me about tpu"}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        events = []
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[6:]))
+    # the plan itself streams first, then each executed step
+    payloads = [json.loads(e["message"]) for e in events]
+    actions = [p["action"] for p in payloads]
+    assert actions[0] == "PLAN"
+    assert "PERFORM_ORAMA_SEARCH" in actions
+    assert "GIVE_REPLY" in actions
+    search_step = next(p for p in payloads if p["action"] == "PERFORM_ORAMA_SEARCH")
+    assert "hits" in json.loads(search_step["result"])
+
+
 def test_hooks_api(server):
     engine, base = server
     _setup_collection(engine, base)
