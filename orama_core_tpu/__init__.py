@@ -39,6 +39,20 @@ class Orama:
         self.hooks = HooksRuntime(_os.path.join(cfg.writer_side.data_dir, "hooks"))
         self.write_side = WriteSide(cfg.writer_side, tx, self.ai, hooks=self.hooks)
         self.read_side = ReadSide(cfg.reader_side, rx, self.ai, cfg.tpu)
+        self.wal = None
+        if cfg.writer_side.wal_enabled:
+            from .wal import WriteAheadLog
+
+            self.wal = WriteAheadLog(cfg.writer_side.data_dir)
+            tx.wal = self.wal
+            self.read_side.wal = self.wal
+            # crash recovery: replay the durable window beyond the last
+            # committed read-side offset (closes the reference's volatile-
+            # channel gap, SURVEY.md §5)
+            replayed = self.wal.replay(self.read_side._applied_offset)
+            for stamped in replayed:
+                self.read_side.apply(stamped)
+            tx.set_offset(max(tx.offset, self.wal.last_offset))
         self._stop = threading.Event()
         self._threads = []
         if start_background:
@@ -104,6 +118,8 @@ class Orama:
         """Make all writes visible to search: drain embeddings + apply ops."""
         self.write_side.drain_embeddings()
         self.read_side.pump()
+        if self.wal is not None:
+            self.wal.sync()
 
     def commit(self) -> None:
         """Commit both sides (reference: WriteSide::commit + ReadSide::commit)."""

@@ -47,6 +47,9 @@ class WriterSideConfig:
     commit_interval_sec: float = 60.0
     default_embedding_model: str = "fake-small"
     embedding_queue_limit: int = 10_000
+    # Durable op log: append ops to a WAL before the channel so the
+    # uncommitted window survives crashes (off = reference semantics)
+    wal_enabled: bool = False
 
 
 @dataclasses.dataclass

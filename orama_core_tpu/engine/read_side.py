@@ -58,6 +58,7 @@ class ReadSide:
         self._lock = threading.RLock()
         self._applied_offset = 0
         self._ops_since_commit = 0
+        self.wal = None  # optional WriteAheadLog, wired by Orama
         self._batcher = None
         if self.tpu_cfg.query_batching:
             from ..server.batcher import MicroBatcher
@@ -224,6 +225,8 @@ class ReadSide:
             {"offset": self._applied_offset, "collections": sorted(collections)},
         )
         self._ops_since_commit = 0
+        if self.wal is not None:
+            self.wal.truncate_through(self._applied_offset)
 
     def load(self) -> None:
         info = read_json(os.path.join(self.cfg.data_dir, "info.json"))

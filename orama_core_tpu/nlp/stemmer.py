@@ -164,8 +164,85 @@ def porter_stem(word: str) -> str:
     return w
 
 
+# --- light stemmers for major non-English locales ---------------------------
+# Suffix-stripping "light" stemmers (the published Savoy-style approach used
+# by Lucene's *LightStemmer family): far simpler than full Snowball but
+# captures plural/gender/verb endings that matter for recall. Conservative:
+# only strip when a reasonable stem length remains.
+
+
+def _strip_one(word: str, suffixes, min_stem: int) -> str:
+    for suf in suffixes:
+        if word.endswith(suf) and len(word) - len(suf) >= min_stem:
+            return word[: -len(suf)]
+    return word
+
+
+_FR_SUFFIXES = (
+    "issements", "issement", "atrices", "atrice", "ateurs", "ateur",
+    "trices", "ements", "erions", "assent", "issons", "issez",
+    "ement", "euses", "ences", "aient", "erons", "eront", "erais",
+    "erait", "antes", "ions", "ites", "ates", "euse", "ence", "ants",
+    "ante", "ires", "ient", "eurs", "ant", "ent", "ire", "ons",
+    "eur", "ez", "es", "s", "e",
+)
+
+_ES_SUFFIXES = (
+    "amientos", "imientos", "amiento", "imiento", "aciones", "uciones",
+    "adoras", "adores", "ancias", "acion", "ucion", "adora", "ador",
+    "ancia", "mente", "antes", "anzas", "istas", "ables", "ibles",
+    "anza", "icos", "icas", "ista", "able", "ible", "ante",
+    "osos", "osas", "ico", "ica", "oso", "osa", "ados", "idas",
+    "idos", "adas", "ado", "ida", "ido", "ada", "ar", "er", "ir",
+    "as", "os", "es", "a", "o", "e",
+)
+
+_DE_SUFFIXES = (
+    "keiten", "heiten", "ungen", "keit", "heit", "ung", "isch",
+    "lich", "end", "ern", "em", "en", "er", "es", "e", "s", "n",
+)
+
+_IT_SUFFIXES = (
+    "azioni", "azione", "amenti", "imenti", "amento", "imento",
+    "mente", "atori", "atore", "anze", "anza", "ici", "ica", "ico",
+    "iche", "ichi", "abili", "abile", "ibili", "ibile", "oso",
+    "osa", "osi", "ose", "are", "ere", "ire", "ato", "ata", "ati",
+    "ate", "uto", "uta", "uti", "ute", "ito", "ita", "iti", "ite",
+    "i", "e", "a", "o",
+)
+
+_PT_SUFFIXES = (
+    "amentos", "imentos", "amento", "imento", "adoras", "adores",
+    "acoes", "mente", "idade", "istas", "ista", "avel", "ivel",
+    "osos", "osas", "icos", "icas", "ados", "idos", "adas", "idas",
+    "ado", "ido", "ada", "ida", "oso", "osa", "ico", "ica",
+    "ar", "er", "ir", "os", "as", "es", "a", "o", "e", "s",
+)
+
+
+def _light_stemmer(suffixes, min_stem):
+    def stem(word: str) -> str:
+        if len(word) <= min_stem:
+            return word
+        return _strip_one(word, suffixes, min_stem)
+
+    return stem
+
+
+_LIGHT = {
+    "fr": _light_stemmer(_FR_SUFFIXES, 3),
+    "es": _light_stemmer(_ES_SUFFIXES, 3),
+    "de": _light_stemmer(_DE_SUFFIXES, 4),
+    "it": _light_stemmer(_IT_SUFFIXES, 3),
+    "pt": _light_stemmer(_PT_SUFFIXES, 3),
+}
+
+
 def get_stemmer(locale: str):
-    """Return a stem function for the locale, or None (identity)."""
+    """Return a stem function for the locale, or None (identity).
+
+    EN: full Porter; FR/ES/DE/IT/PT: light suffix stemmers; others:
+    identity (the reference also has stemmer-less locales)."""
     if locale == "en":
         return porter_stem
-    return None
+    return _LIGHT.get(locale)

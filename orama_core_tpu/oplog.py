@@ -113,6 +113,7 @@ class OperationSender:
         self._q = q
         self._lock = threading.Lock()
         self._offset = 0
+        self.wal = None  # optional WriteAheadLog (wal.py)
 
     @property
     def offset(self) -> int:
@@ -127,6 +128,8 @@ class OperationSender:
         with self._lock:
             self._offset += 1
             stamped = StampedOp(Offset(self._offset), op)
+        if self.wal is not None:
+            self.wal.append(stamped)
         try:
             self._q.put(stamped, timeout=timeout)
         except queue.Full:

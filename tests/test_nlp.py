@@ -65,6 +65,42 @@ def test_porter_stemmer_classics():
         assert porter_stem(word) == stem, (word, porter_stem(word), stem)
 
 
+def test_light_stemmers_collapse_inflections():
+    from orama_core_tpu.nlp.stemmer import get_stemmer
+
+    cases = {
+        "fr": [("chanteurs", "chanteuse"), ("nations", "nation")],
+        "es": [("gatos", "gato"), ("rapidos", "rapida")],
+        "de": [("kindern", "kinder"), ("schnellen", "schnelle")],
+        "it": [("gatti", "gatto"), ("nazioni", "nazione")],
+        "pt": [("gatos", "gato"), ("rapidas", "rapido")],
+    }
+    for locale, pairs in cases.items():
+        stem = get_stemmer(locale)
+        assert stem is not None, locale
+        for a, b in pairs:
+            sa, sb = stem(a), stem(b)
+            # both inflections reduce toward a shared prefix stem
+            assert sa[:3] == sb[:3], (locale, a, b, sa, sb)
+            assert len(sa) < len(a), (locale, a, sa)
+
+
+def test_stemmed_search_cross_inflection(tmp_engine):
+    tmp_engine.write_side.create_collection(
+        "master", "es", "r", "w", language="es"
+    )
+    tmp_engine.write_side.write(
+        "es", [{"id": "1", "t": "los gatos negros"}], "w"
+    )
+    tmp_engine.flush()
+    from orama_core_tpu.types import SearchParams
+
+    res = tmp_engine.read_side.search(
+        "es", SearchParams.from_json({"term": "gato"}), "r"
+    )
+    assert res.count == 1  # singular query matches plural doc via stem
+
+
 def test_cjk_tokenize():
     p = TextParser("zh")
     assert p.tokenize("你好世界 hello") == ["你", "好", "世", "界", "hello"]

@@ -1,0 +1,111 @@
+"""WAL durability: the uncommitted window survives a crash (an improvement
+over the reference's volatile channel, SURVEY.md §5)."""
+
+import json
+
+from orama_core_tpu import build_orama
+from orama_core_tpu.config import OramaxConfig
+from orama_core_tpu.types import SearchParams
+
+MASTER, READ, WRITE = "master", "rk", "wk"
+
+
+def _cfg(tmp_path, wal=True):
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    cfg.writer_side.commit_interval_sec = 3600
+    cfg.reader_side.commit_interval_sec = 3600
+    cfg.writer_side.wal_enabled = wal
+    return cfg
+
+
+def test_uncommitted_window_survives_crash(tmp_path):
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "durable hello"}], WRITE)
+    e.flush()
+    # "crash": no commit, no clean close — just drop the engine
+    del e
+
+    e2 = build_orama(cfg, start_background=False)
+    res = e2.read_side.search("c", SearchParams.from_json({"term": "durable"}), READ)
+    assert res.count == 1
+    assert res.hits[0].document["t"] == "durable hello"
+    e2.close()
+
+
+def test_wal_replays_only_beyond_committed_offset(tmp_path):
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "first"}], WRITE)
+    e.commit()   # committed + WAL truncated
+    e.write_side.write("c", [{"id": "2", "t": "second"}], WRITE)
+    e.flush()    # durable but uncommitted
+    del e
+
+    e2 = build_orama(cfg, start_background=False)
+    res = e2.read_side.search(
+        "c", SearchParams.from_json({"term": "first second"}), READ
+    )
+    assert {h.id for h in res.hits} == {"1", "2"}
+    assert e2.read_side.count_documents("c") == 2
+    # offsets continue past the replayed window (no duplicate offsets)
+    off_before = e2.write_side.op_sender.offset
+    e2.write_side.write("c", [{"id": "3", "t": "third"}], WRITE)
+    assert e2.write_side.op_sender.offset > off_before
+    e2.flush()
+    assert e2.read_side.count_documents("c") == 3
+    e2.close()
+
+
+def test_deletes_survive_crash(tmp_path):
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write(
+        "c", [{"id": "1", "t": "keep me"}, {"id": "2", "t": "delete me"}], WRITE
+    )
+    e.commit()
+    e.write_side.delete_documents("c", ["2"], WRITE)
+    e.flush()  # delete durable in WAL, not committed
+    del e
+
+    e2 = build_orama(cfg, start_background=False)
+    res = e2.read_side.search(
+        "c", SearchParams.from_json({"term": "keep delete"}), READ
+    )
+    assert {h.id for h in res.hits} == {"1"}
+    e2.close()
+
+
+def test_torn_wal_tail_tolerated(tmp_path):
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "solid"}], WRITE)
+    e.flush()
+    del e
+    # simulate a crash mid-append: garbage half-line at the tail
+    wal_path = tmp_path / "w" / "oplog.wal"
+    with open(wal_path, "ab") as f:
+        f.write(b'{"o": 999, "t": "Inser')
+    e2 = build_orama(cfg, start_background=False)
+    res = e2.read_side.search("c", SearchParams.from_json({"term": "solid"}), READ)
+    assert res.count == 1
+    e2.close()
+
+
+def test_without_wal_window_is_volatile(tmp_path):
+    """Reference semantics when disabled (documented behavior)."""
+    cfg = _cfg(tmp_path, wal=False)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "ephemeral"}], WRITE)
+    e.flush()
+    del e
+    e2 = build_orama(cfg, start_background=False)
+    assert "c" not in e2.read_side.collections
+    e2.close()
