@@ -220,6 +220,19 @@ class _DeviceCache:
 
         return self._get(v, "vec_int8", build)
 
+    def vector_pq_arrays(self, v: CommittedVectorIndex):
+        def build():
+            dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
+            return (
+                jnp.asarray(v.pq_codes),
+                jnp.asarray(v.pq_codebooks, dtype=jnp.float32),
+                jnp.asarray(v.vecs, dtype=dtype),
+                jnp.asarray(v.vec_docs),
+                jnp.asarray(np.ones(v.n_vectors, np.float32)),
+            )
+
+        return self._get(v, "vec_pq", build)
+
     def vector_ivf_arrays(self, v: CommittedVectorIndex):
         def build():
             dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
@@ -651,6 +664,22 @@ class CollectionReader:
             contrib = jnp.maximum(sims[0], 0.0)
             scores = jnp.zeros((cap,), jnp.float32).at[docs].add(contrib)
             return scores * filter_mask
+        if mode == "pq" and committed.has_pq:
+            from ..ops import pq as pq_ops
+
+            codes, books, vecs, vec_docs, valid = self._device.vector_pq_arrays(
+                committed
+            )
+            cand_k = min(
+                max(limit, 10) * self.cfg.ivf_candidate_expand, committed.n_vectors
+            )
+            sims, rows = pq_ops.pq_topk_rerank(
+                codes, books, vecs, valid, q_dev[None, :], k=cand_k, expand=1
+            )
+            docs = vec_docs[rows[0]]
+            contrib = jnp.maximum(sims[0], 0.0)
+            scores = jnp.zeros((cap,), jnp.float32).at[docs].add(contrib)
+            return scores * filter_mask
         if mode == "int8":
             from ..ops.quant import int8_brute_force_scores
 
@@ -975,6 +1004,11 @@ class CollectionReader:
                         and vf.committed.n_vectors >= self.cfg.ivf_threshold
                     ):
                         vf.committed.build_ivf()
+                    elif (
+                        self.cfg.vector_index == "pq"
+                        and vf.committed.n_vectors >= self.cfg.ivf_threshold
+                    ):
+                        vf.committed.build_pq()
             self.committed_offset = offset
             self.uncommitted_ops = 0
 

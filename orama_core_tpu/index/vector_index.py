@@ -77,6 +77,10 @@ class CommittedVectorIndex:
     ivf_cents: Optional[np.ndarray] = None   # [C, D]
     ivf_lists: Optional[np.ndarray] = None   # int32[C, cap]
     ivf_lens: Optional[np.ndarray] = None    # int32[C]
+    # optional PQ compression state (ops/pq.py — supersedes the reference's
+    # vestigial reductive-PQ demo, bin/embeddings/pq.rs)
+    pq_codebooks: Optional[np.ndarray] = None  # [M, C, D/M]
+    pq_codes: Optional[np.ndarray] = None      # uint8[P, M]
 
     @staticmethod
     def empty(dimension: int) -> "CommittedVectorIndex":
@@ -89,6 +93,34 @@ class CommittedVectorIndex:
     @property
     def has_ivf(self) -> bool:
         return self.ivf_cents is not None
+
+    @property
+    def has_pq(self) -> bool:
+        return self.pq_codebooks is not None
+
+    def build_pq(self, m: Optional[int] = None, n_codes: int = 256, seed: int = 0) -> None:
+        """Train per-subspace codebooks on device and encode the corpus.
+        M defaults to D/8 (8 dims per subspace, ~32x compression at f32)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import pq as pq_ops
+
+        if self.n_vectors == 0:
+            return
+        d = self.dimension
+        if m is None:
+            m = max(1, d // 8)
+        while d % m:
+            m -= 1
+        v = jnp.asarray(self.vecs)
+        books = pq_ops.pq_train(
+            v, jax.random.PRNGKey(seed), m=m,
+            n_codes=min(n_codes, max(self.n_vectors, 2)),
+        )
+        codes = pq_ops.pq_encode(v, books)
+        self.pq_codebooks = np.asarray(books, dtype=np.float32)
+        self.pq_codes = np.asarray(codes, dtype=np.uint8)
 
     def build_ivf(self, n_clusters: Optional[int] = None, seed: int = 0) -> None:
         """Cluster the corpus on device (spherical k-means) and pack member
@@ -152,6 +184,9 @@ class CommittedVectorIndex:
             out["ivf_cents"] = self.ivf_cents
             out["ivf_lists"] = self.ivf_lists
             out["ivf_lens"] = self.ivf_lens
+        if self.has_pq:
+            out["pq_codebooks"] = self.pq_codebooks
+            out["pq_codes"] = self.pq_codes
         return out
 
     @staticmethod
@@ -163,4 +198,6 @@ class CommittedVectorIndex:
             ivf_cents=arrays.get("ivf_cents"),
             ivf_lists=arrays.get("ivf_lists"),
             ivf_lens=arrays.get("ivf_lens"),
+            pq_codebooks=arrays.get("pq_codebooks"),
+            pq_codes=arrays.get("pq_codes"),
         )

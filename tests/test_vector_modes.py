@@ -52,6 +52,37 @@ def test_vector_mode_ranking(tmp_path, mode):
         e.close()
 
 
+def test_pq_mode_builds_and_searches(tmp_path):
+    e = _engine(tmp_path, "pq", ivf_threshold=1)
+    try:
+        e.write_side.create_collection(MASTER, "c", READ, WRITE)
+        e.write_side.write("c", DOCS, WRITE)
+        e.flush()
+        e.commit()
+        reader = e.read_side.collections["c"]
+        vf = next(iter(reader._vector.values()))
+        assert vf.committed.has_pq
+        assert vf.committed.pq_codes.dtype.name == "uint8"
+        res = e.read_side.search(
+            "c",
+            SearchParams.from_json(
+                {"term": "solar sunlight electricity", "mode": "vector"}
+            ),
+            READ,
+        )
+        # exact rerank restores precision on top of coarse ADC candidates
+        assert res.hits[0].id == "0"
+        e.commit()
+    finally:
+        e.close()
+    e2 = build_orama(e.cfg, start_background=False)
+    try:
+        vf = next(iter(e2.read_side.collections["c"]._vector.values()))
+        assert vf.committed.has_pq  # persisted + reloaded
+    finally:
+        e2.close()
+
+
 def test_ivf_mode_builds_and_searches(tmp_path):
     # tiny threshold so the 5-doc corpus gets an IVF structure
     e = _engine(tmp_path, "ivf", ivf_threshold=1, ivf_nprobe=4)
