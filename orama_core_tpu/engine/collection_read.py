@@ -169,10 +169,21 @@ class _DeviceCache:
             ps_pad = p_pad + 1
             pstarts = np.full(ps_pad, s.pos_starts[-1] if ps else 0, np.int32)
             pstarts[:ps] = s.pos_starts
+            # per-posting derived columns (commit-static): owning term's
+            # doc-frequency and owning doc's field length — removes the
+            # query-time searchsorted + random doc_lens gather
+            ni = np.zeros(p_pad, np.float32)
+            if p:
+                df = np.diff(s.term_starts).astype(np.float32)
+                ni[:p] = np.repeat(df, np.diff(s.term_starts))
+            plens_col = np.zeros(p_pad, np.float32)
+            if p:
+                plens_col[:p] = s.doc_lens_dense[s.post_docs]
             return (
                 self._put_rows(jnp.asarray(docs)),
                 self._put_rows(jnp.asarray(tf)),
-                jnp.asarray(s.doc_lens_dense),
+                self._put_rows(jnp.asarray(ni)),
+                self._put_rows(jnp.asarray(plens_col)),
                 self._put_rows(jnp.asarray(pos)),
                 jnp.asarray(tstarts),
                 jnp.asarray(pstarts),
@@ -519,6 +530,7 @@ class CollectionReader:
         properties: Optional[List[str]],
         boost: Dict[str, float],
         filter_mask: jax.Array,
+        masked: bool = True,
     ) -> jax.Array:
         cap = self.capacity
         if not term.strip():
@@ -575,17 +587,19 @@ class CollectionReader:
                         pp_budget = bucket_pad(max(pp_total, 1), steps)
                     else:
                         pp_budget = 1
-                    d_docs, d_tf, d_lens, d_pos, d_tstarts, d_pstarts = (
-                        self._device.string_arrays(committed)
-                    )
+                    (
+                        d_docs, d_tf, d_ni, d_plens, d_pos,
+                        d_tstarts, d_pstarts,
+                    ) = self._device.string_arrays(committed)
                     field_scores = bm25_ops.bm25_scores_from_spans(
-                        d_tstarts, d_docs, d_tf, d_lens, d_pstarts, d_pos,
+                        d_tstarts, d_docs, d_tf, d_ni, d_plens,
+                        d_pstarts, d_pos,
                         jnp.asarray(spans),
                         jnp.float32(field_boost), filter_mask,
                         jnp.float32(gi.avgdl),
                         jnp.float32(committed.n_docs_with_field),
                         n_docs=cap, g_budget=g_budget, pp_budget=pp_budget,
-                        phrase=phrase,
+                        phrase=phrase, masked=masked,
                     )
                     scores = scores + field_scores
 
@@ -696,16 +710,20 @@ class CollectionReader:
 
     def search_scores(self, params: SearchParams, ai_service) -> jax.Array:
         filter_mask = self._filter_mask(params.where)
+        # skip the per-posting mask gather when nothing can be masked
+        masked = bool(params.where) or bool(self.deleted)
         if params.mode == SearchModeKind.FULLTEXT:
             return self.search_fulltext(
-                params.term, params.properties, params.boost, filter_mask
+                params.term, params.properties, params.boost, filter_mask,
+                masked=masked,
             )
         if params.mode == SearchModeKind.VECTOR:
             return self.search_vector(
                 params.term, ai_service, filter_mask, params.limit
             )
         ft = self.search_fulltext(
-            params.term, params.properties, params.boost, filter_mask
+            params.term, params.properties, params.boost, filter_mask,
+            masked=masked,
         )
         vec = self.search_vector(params.term, ai_service, filter_mask, params.limit)
         if params.fusion == HybridFusion.MINMAX:
@@ -806,11 +824,11 @@ class CollectionReader:
                     pp_budget = bucket_pad(max(pp_total, 1), steps)
                 else:
                     pp_budget = 1
-                d_docs, d_tf, d_lens, d_pos, d_tstarts, d_pstarts = (
-                    self._device.string_arrays(committed)
-                )
+                (
+                    d_docs, d_tf, d_ni, d_plens, d_pos, d_tstarts, d_pstarts,
+                ) = self._device.string_arrays(committed)
                 scores = scores + bm25_ops.bm25_scores_from_spans_batch(
-                    d_tstarts, d_docs, d_tf, d_lens, d_pstarts, d_pos,
+                    d_tstarts, d_docs, d_tf, d_ni, d_plens, d_pstarts, d_pos,
                     jnp.asarray(spans_b),
                     jnp.float32(field_boost), filter_mask,
                     jnp.float32(gi.avgdl),
