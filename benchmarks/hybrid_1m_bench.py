@@ -159,7 +159,24 @@ def main() -> None:
         report[label] = round(len(params) / dt, 1)
         log(f"{label}: {dt:.2f}s -> {report[label]} QPS (avg hits {hits/len(params):.1f})")
 
+    def run_batched(label, mode, bs=32):
+        params = [
+            SearchParams.from_json({"term": rand_term(rng.integers(1, 4)), "mode": mode})
+            for _ in range(args.queries)
+        ]
+        reader.search_batch(params[:bs], ai)  # warm
+        t0 = time.time()
+        done = 0
+        for i in range(0, len(params), bs):
+            out = reader.search_batch(params[i : i + bs], ai)
+            done += len(out)
+        dt = time.time() - t0
+        report[label] = round(done / dt, 1)
+        log(f"{label}: {dt:.2f}s -> {report[label]} QPS (batch {bs})")
+
     run("bm25_1m_qps", lambda t: SearchParams.from_json({"term": t}))
+    run_batched("bm25_1m_batched_qps", "fulltext")
+    run_batched("hybrid_1m_batched_qps", "hybrid")
     run(
         "vector_1m_qps",
         lambda t: SearchParams.from_json({"term": t, "mode": "vector"}),
