@@ -882,6 +882,11 @@ class CollectionReader:
                         )
         return scores
 
+    # Per-batch device memory cap for vmapped fulltext scoring: B * g_budget
+    # slots x ~16 bytes of intermediates. Batches above the cap split into
+    # chunks (a vmapped 32 x 4.2M batch OOMs a v5e worker).
+    _BATCH_SLOT_BUDGET = 32 * 1024 * 1024
+
     def search_batch(
         self, params_list: List[SearchParams], ai_service
     ) -> List[Tuple[List[Tuple[int, float]], int]]:
@@ -890,6 +895,36 @@ class CollectionReader:
         if not params_list:
             return []
         p0 = params_list[0]
+        if p0.mode != SearchModeKind.VECTOR and len(params_list) > 1:
+            # estimate the posting budget this batch will hit and chunk to
+            # stay under the slot cap
+            worst = 0
+            for fid in self._string_properties(None):
+                sf = self._string[fid]
+                committed = sf.committed
+                ts_host = committed.term_starts
+                for p in params_list:
+                    tokens = get_parser(
+                        self.fields[fid].locale or self.default_locale
+                    ).tokenize(p.term)
+                    g = sum(
+                        int(ts_host[hi] - ts_host[lo])
+                        for lo, hi in (
+                            committed.term_dict.prefix_range(t) for t in tokens
+                        )
+                        if hi > lo
+                    )
+                    worst = max(worst, g)
+            if worst > 0:
+                g_budget = bucket_pad(worst, self.cfg.posting_bucket_steps)
+                max_b = max(1, self._BATCH_SLOT_BUDGET // g_budget)
+                if len(params_list) > max_b:
+                    out: List[Tuple[List[Tuple[int, float]], int]] = []
+                    for i in range(0, len(params_list), max_b):
+                        out.extend(
+                            self.search_batch(params_list[i : i + max_b], ai_service)
+                        )
+                    return out
         filter_mask = self._filter_mask(p0.where)
         terms = [p.term for p in params_list]
         if p0.mode == SearchModeKind.VECTOR:

@@ -93,6 +93,121 @@ def _knn_kernel(
         jax.lax.fori_loop(0, k, emit_round, (tv_ref[:], ti_ref[:]), unroll=True)
 
 
+def _knn_int8_kernel(
+    q_ref, v_ref, scale_ref, out_vals_ref, out_idx_ref, tv_ref, ti_ref,
+    k: int, n_valid: int,
+):
+    """int8 variant: corpus block is int8 [BN, D] + per-row scales; the
+    query arrives pre-quantized int8 with its scale folded into scale_ref
+    by the caller. Same streaming top-k as _knn_kernel."""
+    step = pl.program_id(0)
+    bn = v_ref.shape[0]
+
+    @pl.when(step == 0)
+    def _init():
+        tv_ref[:] = jnp.full(tv_ref.shape, NEG, jnp.float32)
+        ti_ref[:] = jnp.zeros(ti_ref.shape, jnp.int32)
+
+    acc = jax.lax.dot_general(
+        q_ref[:], v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [Q, BN] int32
+    sims = acc.astype(jnp.float32) * scale_ref[:].reshape(1, -1)
+
+    base = step * bn
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
+    sims = jnp.where(col_ids < n_valid, sims, NEG)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, tv_ref.shape, 1)
+
+    def round_body(j, carry):
+        sims, tv, ti = carry
+        m = jnp.max(sims, axis=1)
+        am_onehot = sims == m[:, None]
+        idx = jnp.min(jnp.where(am_onehot, col_ids, jnp.int32(2**30)), axis=1)
+        sims = jnp.where(am_onehot, NEG, sims)
+        minv = jnp.min(tv, axis=1)
+        min_onehot = tv == minv[:, None]
+        min_pos = jnp.min(jnp.where(min_onehot, kcol, jnp.int32(2**30)), axis=1)
+        do_replace = (m > minv)[:, None] & (kcol == min_pos[:, None])
+        tv = jnp.where(do_replace, m[:, None], tv)
+        ti = jnp.where(do_replace, idx[:, None], ti)
+        return sims, tv, ti
+
+    sims, tv, ti = jax.lax.fori_loop(0, k, round_body, (sims, tv_ref[:], ti_ref[:]))
+    tv_ref[:] = tv
+    ti_ref[:] = ti
+
+    @pl.when(step == pl.num_programs(0) - 1)
+    def _emit():
+        def emit_round(j, carry):
+            tv, ti = carry
+            m = jnp.max(tv, axis=1)
+            oh = tv == m[:, None]
+            pos = jnp.min(jnp.where(oh, kcol, jnp.int32(2**30)), axis=1)
+            sel = kcol == pos[:, None]
+            out_vals_ref[:, j] = m
+            out_idx_ref[:, j] = jnp.sum(jnp.where(sel, ti, 0), axis=1)
+            tv = jnp.where(sel, NEG, tv)
+            return tv, ti
+
+        jax.lax.fori_loop(0, k, emit_round, (tv_ref[:], ti_ref[:]), unroll=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "interpret", "n_valid")
+)
+def knn_topk_int8(
+    codes: jax.Array,     # int8[N, D]
+    scales: jax.Array,    # f32[N] per-row scales
+    queries: jax.Array,   # f32[Q, D] (quantized on the fly)
+    k: int = 10,
+    block_rows: int = 4096,
+    interpret: bool = False,
+    n_valid: int = -1,
+):
+    """Fused int8 kNN: ~2x less HBM traffic than bf16 at recall ~1."""
+    n, d = codes.shape
+    q = queries.shape[0]
+    assert n % block_rows == 0
+    if n_valid < 0:
+        n_valid = n
+    q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=-1, keepdims=True), 1e-9)
+    q_scale = q_absmax / 127.0
+    q8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+    # fold the (max) query scale into the per-row scales; per-query scale
+    # differences are rank-preserving within a query row, so fold exactly:
+    # sims[r, c] = acc * scales[c] * q_scale[r] — q_scale[r] is constant per
+    # row and does not change that row's ranking; use scales only.
+    kernel = functools.partial(_knn_int8_kernel, k=k, n_valid=n_valid)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((block_rows,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, k), jnp.float32),
+            jax.ShapeDtypeStruct((q, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q, k), jnp.float32),
+            pltpu.VMEM((q, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q8, codes, scales)
+    # rescale values per query for score fidelity (ranking already correct)
+    return vals * q_scale, idx
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "block_rows", "interpret", "n_valid")
 )

@@ -30,6 +30,32 @@ def test_knn_topk_matches_dense(n, d, q, k, bn):
         )
 
 
+def test_knn_topk_int8_matches_dense():
+    from orama_core_tpu.ops.pallas_knn import knn_topk_int8
+    from orama_core_tpu.ops.quant import quantize_int8
+
+    rng = np.random.default_rng(3)
+    n, d, q, k, bn = 1024, 64, 8, 10, 256
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    codes, scales = quantize_int8(jnp.asarray(vecs))
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    vals, idx = knn_topk_int8(
+        codes, scales, jnp.asarray(queries), k=k, block_rows=bn, interpret=True
+    )
+    sims = queries @ vecs.T
+    ref_idx = np.argsort(-sims, axis=1)[:, :k]
+    got = np.asarray(idx)
+    recall = np.mean(
+        [len(set(got[r]) & set(ref_idx[r])) / k for r in range(q)]
+    )
+    assert recall >= 0.9, recall
+    # returned values approximate the true sims of the returned rows
+    v = np.asarray(vals)
+    for r in range(q):
+        np.testing.assert_allclose(v[r], sims[r, got[r]], atol=0.05)
+
+
 def test_knn_topk_descending_order():
     rng = np.random.default_rng(1)
     vecs = rng.standard_normal((256, 32)).astype(np.float32)
