@@ -150,14 +150,28 @@ def main() -> None:
         params = [make_params(rand_term(rng.integers(1, 4))) for _ in range(args.queries)]
         reader.search(params[0], ai)  # warm compiles for this shape family
         reader.search(params[1], ai)
-        t0 = time.time()
+        lat = []
         hits = 0
+        t0 = time.time()
         for p in params:
+            tq = time.time()
             ranked, count, _ = reader.search(p, ai)
+            lat.append(time.time() - tq)
             hits += len(ranked)
         dt = time.time() - t0
+        lat.sort()
+        p50 = lat[len(lat) // 2]
+        p90 = lat[int(len(lat) * 0.9)]
         report[label] = round(len(params) / dt, 1)
-        log(f"{label}: {dt:.2f}s -> {report[label]} QPS (avg hits {hits/len(params):.1f})")
+        report[label + "_p50_ms"] = round(p50 * 1e3, 1)
+        # median-based steady-state QPS (compile outliers excluded)
+        report[label + "_steady_qps"] = round(1.0 / max(p50, 1e-9), 1)
+        log(
+            f"{label}: {dt:.2f}s -> {report[label]} QPS "
+            f"(p50 {p50*1e3:.0f}ms, p90 {p90*1e3:.0f}ms, "
+            f"steady ~{report[label + '_steady_qps']}/s, "
+            f"avg hits {hits/len(params):.1f})"
+        )
 
     def run_batched(label, mode, bs=32):
         params = [
