@@ -836,9 +836,11 @@ class CollectionReader:
             phrase = any(len(t) > 1 for t in token_lists)
             if max(g_totals, default=0) > 0:
                 max_tok = 32
-                spans_b = np.zeros((b, max_tok, 2), np.int32)
+                spans_b = np.zeros((len(terms), max_tok, 2), np.int32)
                 for row, spans in enumerate(span_rows):
-                    spans_b[row, : len(spans[:max_tok])] = spans[:max_tok]
+                    spans = spans[:max_tok]
+                    if spans:
+                        spans_b[row, : len(spans)] = spans
                 g_budget = bucket_pad(max(g_totals), steps)
                 if phrase:
                     pp_total = max(
@@ -917,7 +919,9 @@ class CollectionReader:
                     worst = max(worst, g)
             if worst > 0:
                 g_budget = bucket_pad(worst, self.cfg.posting_bucket_steps)
-                max_b = max(1, self._BATCH_SLOT_BUDGET // g_budget)
+                raw_max = max(1, self._BATCH_SLOT_BUDGET // g_budget)
+                # chunk to a batch *bucket* (padded B is what executes)
+                max_b = max((b for b in (4, 16, 64) if b <= raw_max), default=4)
                 if len(params_list) > max_b:
                     out: List[Tuple[List[Tuple[int, float]], int]] = []
                     for i in range(0, len(params_list), max_b):
@@ -926,7 +930,12 @@ class CollectionReader:
                         )
                     return out
         filter_mask = self._filter_mask(p0.where)
-        terms = [p.term for p in params_list]
+        # pad the batch dimension to a bucket: every distinct B is a separate
+        # compiled program, and serving produces many partial batch sizes.
+        # Padding queries use an empty term (zero scores everywhere).
+        b_real = len(params_list)
+        b_pad = bucket_pad(b_real, (4, 16, 64))
+        terms = [p.term for p in params_list] + [""] * (b_pad - b_real)
         if p0.mode == SearchModeKind.VECTOR:
             scores = self.search_vector_batch(terms, ai_service, filter_mask)
         elif p0.mode == SearchModeKind.FULLTEXT:
