@@ -102,6 +102,33 @@ def main() -> None:
     log(f"tpu (pallas fused): {ITERS} x {QB} queries in {dt:.3f}s -> "
         f"{qps:.1f} QPS ({dt/ITERS*1e3:.2f} ms per {QB}-query batch)")
 
+    # int8 fused kernel (half the HBM traffic of bf16)
+    try:
+        from orama_core_tpu.ops.pallas_knn import knn_topk_int8
+        from orama_core_tpu.ops.quant import quantize_int8
+
+        codes, scales = quantize_int8(vecs.astype(jnp.float32))
+
+        @jax.jit
+        def chain_int8(c, s, q, carry):
+            vv, _ = knn_topk_int8(
+                c, s, q + carry * 0.0, k=K, block_rows=BN,
+                n_valid=N,
+            )
+            return jnp.max(vv)
+
+        _ = np.asarray(chain_int8(codes, scales, queries, jnp.float32(0.0)))
+        t0 = time.time()
+        carry = jnp.float32(0.0)
+        for _ in range(ITERS):
+            carry = chain_int8(codes, scales, queries, carry)
+        _ = np.asarray(carry)
+        dt8 = time.time() - t0
+        log(f"tpu (pallas int8): {QB*ITERS/dt8:.1f} QPS "
+            f"({dt8/ITERS*1e3:.2f} ms per batch)")
+    except Exception as e:
+        log(f"int8 kernel path skipped: {e!r}")
+
     # recall@10 of the bf16 path vs f32 ground truth on a query subset
     sub = 8
     _, gt_idx = exact_f32(vecs[:N], queries[:sub])
