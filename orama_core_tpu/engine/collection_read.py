@@ -160,9 +160,14 @@ class _DeviceCache:
             tf = np.zeros(p_pad, np.float32)
             tf[:p] = s.post_tf
             pp = len(s.positions)
-            pp_pad = bucket_pad(max(pp, 1), steps)
+            pp_pad = bucket_pad(max(pp, 1), steps) + BLOCK
             pos = np.zeros(pp_pad, np.int32)
             pos[:pp] = s.positions
+            # owning doc per position (commit-static) for the blocked
+            # phrase path
+            pos_docs = np.zeros(pp_pad, np.int32)
+            if pp:
+                pos_docs[:pp] = np.repeat(s.post_docs, np.diff(s.pos_starts))
             # CSR offset tables, device-resident for span-resolved queries
             # (padded by repeating the end offset: padded slots are empty)
             t = len(s.term_starts)
@@ -189,6 +194,7 @@ class _DeviceCache:
                 self._put_rows(jnp.asarray(ni)),
                 self._put_rows(jnp.asarray(plens_col)),
                 self._put_rows(jnp.asarray(pos)),
+                self._put_rows(jnp.asarray(pos_docs)),
                 jnp.asarray(tstarts),
                 jnp.asarray(pstarts),
             )
@@ -572,9 +578,11 @@ class CollectionReader:
                 g_total = int(
                     sum(ts_host[hi] - ts_host[lo] for lo, hi in token_spans)
                 )
-                if g_total > 0 and not phrase:
+                if g_total > 0:
                     # blocked path: whole-BLOCK contiguous slices, no
-                    # fine-grained gather (ops/bm25.bm25_scores_blocked)
+                    # fine-grained gather (ops/bm25.bm25_scores_blocked);
+                    # per-doc factors (phrase boost, filter mask) distribute
+                    # over the contribution sum and multiply densely after
                     from ..ops.bm25 import BLOCK, build_block_plan
 
                     p_lo_list = [int(ts_host[lo]) for lo, hi in token_spans]
@@ -587,51 +595,37 @@ class CollectionReader:
                     nb = bucket_pad(max(need_blocks, 1), (16, 256, 4096, 65536))
                     b_starts, b_valid = build_block_plan(p_lo_list, p_len_list, nb)
                     (
-                        d_docs, d_tf, d_ni, d_plens, d_pos,
+                        d_docs, d_tf, d_ni, d_plens, d_pos, d_posdocs,
                         d_tstarts, d_pstarts,
                     ) = self._device.string_arrays(committed)
-                    scores = scores + bm25_ops.bm25_scores_blocked(
+                    raw = bm25_ops.bm25_scores_blocked(
                         d_docs, d_tf, d_ni, d_plens,
                         jnp.asarray(b_starts), jnp.asarray(b_valid),
-                        jnp.float32(field_boost), filter_mask,
+                        jnp.float32(1.0 if phrase else field_boost),
                         jnp.float32(gi.avgdl),
                         jnp.float32(committed.n_docs_with_field),
-                        n_docs=cap, n_blocks=nb, masked=masked,
+                        n_docs=cap, n_blocks=nb,
                     )
-                elif g_total > 0:
-                    # fixed token capacity: one less static dimension =>
-                    # far fewer compiled program variants
-                    max_tok = 32
-                    token_spans = token_spans[:max_tok]
-                    spans = np.zeros((max_tok, 2), np.int32)
-                    spans[: len(token_spans)] = token_spans
-                    g_budget = bucket_pad(g_total, steps)
                     if phrase:
-                        pp_total = int(
-                            sum(
-                                committed.pos_starts[ts_host[hi]]
-                                - committed.pos_starts[ts_host[lo]]
-                                for lo, hi in token_spans
-                            )
+                        ps_host = committed.pos_starts
+                        pp_lo = [int(ps_host[ts_host[lo]]) for lo, hi in token_spans]
+                        pp_len = [
+                            int(ps_host[ts_host[hi]] - ps_host[ts_host[lo]])
+                            for lo, hi in token_spans
+                        ]
+                        need_pb = sum((ln + BLOCK - 1) // BLOCK for ln in pp_len)
+                        npb = bucket_pad(max(need_pb, 1), (16, 256, 4096, 65536))
+                        pb_starts, pb_valid = build_block_plan(pp_lo, pp_len, npb)
+                        boost_by_doc = bm25_ops.phrase_boost_blocked(
+                            d_pos, d_posdocs,
+                            jnp.asarray(pb_starts), jnp.asarray(pb_valid),
+                            jnp.float32(field_boost),
+                            n_docs=cap, n_blocks=npb,
                         )
-                        pp_budget = bucket_pad(max(pp_total, 1), steps)
-                    else:
-                        pp_budget = 1
-                    (
-                        d_docs, d_tf, d_ni, d_plens, d_pos,
-                        d_tstarts, d_pstarts,
-                    ) = self._device.string_arrays(committed)
-                    field_scores = bm25_ops.bm25_scores_from_spans(
-                        d_tstarts, d_docs, d_tf, d_ni, d_plens,
-                        d_pstarts, d_pos,
-                        jnp.asarray(spans),
-                        jnp.float32(field_boost), filter_mask,
-                        jnp.float32(gi.avgdl),
-                        jnp.float32(committed.n_docs_with_field),
-                        n_docs=cap, g_budget=g_budget, pp_budget=pp_budget,
-                        phrase=phrase, masked=masked,
-                    )
-                    scores = scores + field_scores
+                        raw = raw * boost_by_doc
+                    if masked:
+                        raw = raw * filter_mask
+                    scores = scores + raw
 
             # uncommitted window on host
             if not sf.uncommitted.is_empty:
@@ -857,7 +851,8 @@ class CollectionReader:
                 else:
                     pp_budget = 1
                 (
-                    d_docs, d_tf, d_ni, d_plens, d_pos, d_tstarts, d_pstarts,
+                    d_docs, d_tf, d_ni, d_plens, d_pos, d_posdocs,
+                    d_tstarts, d_pstarts,
                 ) = self._device.string_arrays(committed)
                 scores = scores + bm25_ops.bm25_scores_from_spans_batch(
                     d_tstarts, d_docs, d_tf, d_ni, d_plens, d_pstarts, d_pos,

@@ -248,9 +248,7 @@ def build_block_plan(p_lo, p_len, n_blocks_budget: int):
     return starts, valid
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_docs", "n_blocks", "masked")
-)
+@functools.partial(jax.jit, static_argnames=("n_docs", "n_blocks"))
 def bm25_scores_blocked(
     post_docs: jax.Array,      # int32[Ppad]
     post_tf: jax.Array,        # float32[Ppad]
@@ -259,12 +257,10 @@ def bm25_scores_blocked(
     block_starts: jax.Array,   # int32[nb]
     block_valid: jax.Array,    # int32[nb]
     field_boost: jax.Array,    # float32[]
-    filter_mask: jax.Array,    # float32[Npad]
     avgdl: jax.Array,          # float32[]
     n_field_docs: jax.Array,   # float32[]
     n_docs: int,
     n_blocks: int,
-    masked: bool = True,
 ) -> jax.Array:
     """Block-sliced BM25: posting spans are read as whole contiguous BLOCK
     slices (vmapped dynamic_slice => XLA gather with a BLOCK slice size —
@@ -290,11 +286,36 @@ def bm25_scores_blocked(
     denom = tf + K1 * (1.0 - B + B * lens / jnp.maximum(avgdl, 1e-9))
     contrib = idf * field_boost * tf * (K1 + 1.0) / jnp.maximum(denom, 1e-9)
     contrib = contrib * valid
-    if masked:
-        contrib = contrib * filter_mask[docs]
+    # per-doc factors (filter mask, phrase boost) distribute over the sum:
+    # callers multiply the dense result instead of gathering per posting
     return jax.ops.segment_sum(
         contrib.reshape(-1), docs.reshape(-1), num_segments=n_docs
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "n_blocks"))
+def phrase_boost_blocked(
+    positions: jax.Array,      # int32[PPpad]
+    pos_docs: jax.Array,       # int32[PPpad] owning doc per position (commit-static)
+    pblock_starts: jax.Array,  # int32[nb] block plan over position space
+    pblock_valid: jax.Array,   # int32[nb]
+    user_boost: jax.Array,     # float32[]
+    n_docs: int,
+    n_blocks: int,
+) -> jax.Array:
+    """Blocked-read variant of phrase_boost_by_doc: position spans per token
+    are contiguous, so (position, owning-doc) stream in as whole BLOCKs."""
+
+    def slice_blocks(arr):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(arr, (s,), (BLOCK,))
+        )(pblock_starts)
+
+    pos = slice_blocks(positions).reshape(-1)
+    docs = slice_blocks(pos_docs).reshape(-1)
+    inblock = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, BLOCK), 1)
+    valid = (inblock < pblock_valid[:, None]).astype(jnp.float32).reshape(-1)
+    return phrase_boost_by_doc(docs, pos, valid, user_boost, n_docs)
 
 
 def idf_from_counts(ni, n_docs_with_field):
