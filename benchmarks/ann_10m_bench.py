@@ -11,6 +11,7 @@ pathological case and unrepresentative of real encoders).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -67,19 +68,26 @@ def main() -> None:
 
     modes = make_modes(k_modes)
 
-    @jax.jit
-    def make_corpus(modes, kw, kn):
-        which = jax.random.randint(kw, (N,), 0, args.modes)
-        noise = jax.random.normal(kn, (N, D), jnp.bfloat16).astype(jnp.float32)
+    CHUNK = 1_000_000
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill_chunk(buf, modes, kw, kn, start):
+        which = jax.random.randint(kw, (CHUNK,), 0, args.modes)
+        noise = jax.random.normal(kn, (CHUNK, D), jnp.float32)
         # noise scaled so its *norm* is ~0.25 of the unit mode vector
         # (an unscaled 0.25*N(0,I) at D=384 has norm ~5 — pure noise)
         v = modes[which] + (0.25 / np.sqrt(D)) * noise
-        return (v / jnp.linalg.norm(v, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        v = (v / jnp.linalg.norm(v, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(buf, v, (start, 0))
 
     t0 = time.time()
-    vecs = make_corpus(modes, k_which, k_noise)
+    assert N % CHUNK == 0
+    vecs = jnp.zeros((N, D), jnp.bfloat16)
+    for ci in range(N // CHUNK):
+        kw, kn = jax.random.split(jax.random.fold_in(k_which, ci))
+        vecs = fill_chunk(vecs, modes, kw, kn, ci * CHUNK)
     _ = np.asarray(vecs[0, 0])
-    log(f"corpus built in {time.time()-t0:.1f}s")
+    log(f"corpus built (chunked) in {time.time()-t0:.1f}s")
 
     # queries = perturbed corpus points (near-duplicate retrieval regime)
     @jax.jit
@@ -112,7 +120,7 @@ def main() -> None:
     log(f"kmeans ({args.clusters} clusters on {args.train_sample} sample) "
         f"in {time.time()-t0:.1f}s")
     t0 = time.time()
-    assign = np.asarray(ivf.assign_clusters(vecs, cents))
+    assign = ivf.assign_clusters_chunked(vecs, cents)
     lists, lens, cap = ivf.build_ivf_lists(assign, args.clusters)
     log(f"assign+pack in {time.time()-t0:.1f}s (cluster cap {cap})")
 

@@ -61,6 +61,21 @@ def assign_clusters(vecs: jax.Array, cents: jax.Array) -> jax.Array:
     return jnp.argmax(sims, axis=1).astype(jnp.int32)
 
 
+def assign_clusters_chunked(
+    vecs: jax.Array, cents: jax.Array, chunk: int = 1_000_000
+):
+    """Row-chunked assignment: the [P, C] similarity matrix of a 10M corpus
+    would not fit HBM in one piece."""
+    import numpy as np
+
+    out = np.zeros(vecs.shape[0], dtype=np.int32)
+    for i in range(0, vecs.shape[0], chunk):
+        out[i : i + chunk] = np.asarray(
+            assign_clusters(vecs[i : i + chunk], cents)
+        )
+    return out
+
+
 def build_ivf_lists(
     assign: np.ndarray, n_clusters: int, cap_quantile: float = 0.98
 ) -> Tuple[np.ndarray, np.ndarray, int]:
