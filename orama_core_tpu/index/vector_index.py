@@ -138,7 +138,7 @@ class CommittedVectorIndex:
         n_clusters = min(n_clusters, max(1, p))
         v = jnp.asarray(self.vecs)
         cents = ivf_ops.kmeans(v, jax.random.PRNGKey(seed), n_clusters, iters=10)
-        assign = np.asarray(ivf_ops.assign_clusters(v, cents))
+        assign = ivf_ops.assign_clusters_chunked(v, cents)
         lists, lens, _ = ivf_ops.build_ivf_lists(assign, n_clusters)
         self.ivf_cents = np.asarray(cents, dtype=np.float32)
         self.ivf_lists = lists
