@@ -30,6 +30,10 @@ def openapi_spec() -> Dict[str, Any]:
         "paths": {
             "/": {"get": _op("Welcome", "none", body=False)},
             "/health": {"get": _op("Health check", "none", body=False)},
+            "/health/ai": {
+                "get": _op("AI service health (embedding probe)", "none", body=False)
+            },
+            "/openapi.json": {"get": _op("OpenAPI spec", "none", body=False)},
             "/metrics": {"get": _op("Prometheus metrics", "none", body=False)},
             "/v1/collections": {
                 "get": _op("List collections", "Bearer master key", body=False)
