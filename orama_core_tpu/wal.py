@@ -14,7 +14,7 @@ import dataclasses
 import json
 import os
 import threading
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, List
 
 from . import oplog
 from .types import TypedField, ValueType
