@@ -603,7 +603,11 @@ class CollectionReader:
                         jnp.asarray(b_starts), jnp.asarray(b_valid),
                         jnp.float32(1.0 if phrase else field_boost),
                         jnp.float32(gi.avgdl),
-                        jnp.float32(committed.n_docs_with_field),
+                        # idf N is the COMBINED committed+uncommitted doc
+                        # count — the reference scores the committed segment
+                        # with the shared GlobalInfo (collection.rs:930-951,
+                        # committed/string.rs:355), not the committed-only N.
+                        jnp.float32(gi.total_documents),
                         n_docs=cap, n_blocks=nb,
                     )
                     if phrase:
@@ -827,42 +831,60 @@ class CollectionReader:
                 int(sum(ts_host[hi] - ts_host[lo] for lo, hi in row))
                 for row in span_rows
             ]
-            phrase = any(len(t) > 1 for t in token_lists)
+            # Phrase boosting is PER ROW (a single-token query coalesced
+            # with a multi-token one must not get position-dependent phrase
+            # boosts) — split the batch by phrase flag and score each group
+            # with its own kernel call. The micro-batcher keys on a phrase
+            # hint so mixed groups are rare.
             if max(g_totals, default=0) > 0:
                 max_tok = 32
-                spans_b = np.zeros((len(terms), max_tok, 2), np.int32)
-                for row, spans in enumerate(span_rows):
-                    spans = spans[:max_tok]
-                    if spans:
-                        spans_b[row, : len(spans)] = spans
-                g_budget = bucket_pad(max(g_totals), steps)
-                if phrase:
-                    pp_total = max(
-                        int(
-                            sum(
-                                committed.pos_starts[ts_host[hi]]
-                                - committed.pos_starts[ts_host[lo]]
-                                for lo, hi in row
-                            )
-                        )
-                        for row in span_rows
-                    )
-                    pp_budget = bucket_pad(max(pp_total, 1), steps)
-                else:
-                    pp_budget = 1
+                groups: Dict[bool, List[int]] = {}
+                for row, tokens in enumerate(token_lists):
+                    groups.setdefault(len(tokens) > 1, []).append(row)
                 (
                     d_docs, d_tf, d_ni, d_plens, d_pos, d_posdocs,
                     d_tstarts, d_pstarts,
                 ) = self._device.string_arrays(committed)
-                scores = scores + bm25_ops.bm25_scores_from_spans_batch(
-                    d_tstarts, d_docs, d_tf, d_ni, d_plens, d_pstarts, d_pos,
-                    jnp.asarray(spans_b),
-                    jnp.float32(field_boost), filter_mask,
-                    jnp.float32(gi.avgdl),
-                    jnp.float32(committed.n_docs_with_field),
-                    n_docs=cap, g_budget=g_budget, pp_budget=pp_budget,
-                    phrase=phrase,
-                )
+                for phrase, rows in sorted(groups.items()):
+                    g_tot = [g_totals[r] for r in rows]
+                    if max(g_tot, default=0) <= 0:
+                        continue
+                    spans_b = np.zeros((len(rows), max_tok, 2), np.int32)
+                    for i, r in enumerate(rows):
+                        spans = span_rows[r][:max_tok]
+                        if spans:
+                            spans_b[i, : len(spans)] = spans
+                    g_budget = bucket_pad(max(g_tot), steps)
+                    if phrase:
+                        pp_total = max(
+                            int(
+                                sum(
+                                    committed.pos_starts[ts_host[hi]]
+                                    - committed.pos_starts[ts_host[lo]]
+                                    for lo, hi in span_rows[r]
+                                )
+                            )
+                            for r in rows
+                        )
+                        pp_budget = bucket_pad(max(pp_total, 1), steps)
+                    else:
+                        pp_budget = 1
+                    sub = bm25_ops.bm25_scores_from_spans_batch(
+                        d_tstarts, d_docs, d_tf, d_ni, d_plens, d_pstarts, d_pos,
+                        jnp.asarray(spans_b),
+                        jnp.float32(field_boost), filter_mask,
+                        jnp.float32(gi.avgdl),
+                        # combined committed+uncommitted N — reference shares
+                        # GlobalInfo across segments (collection.rs:930-951)
+                        jnp.float32(gi.total_documents),
+                        n_docs=cap, g_budget=g_budget, pp_budget=pp_budget,
+                        phrase=phrase,
+                    )
+                    if len(rows) == b:
+                        scores = scores + sub
+                    else:
+                        ridx = jnp.asarray(np.asarray(rows, np.int32))
+                        scores = scores.at[ridx].add(sub)
             if not sf.uncommitted.is_empty:
                 fm_host = np.asarray(filter_mask)
                 for row, tokens in enumerate(token_lists):

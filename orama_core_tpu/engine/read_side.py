@@ -158,9 +158,15 @@ class ReadSide:
             {k: dataclasses_to_key(v) for k, v in sorted(params.where.items())}
         )
         boost_key = _json.dumps(sorted(params.boost.items()))
+        # Phrase hint: multi-word terms get position-dependent phrase boosts
+        # while single-word terms must not — keep them in separate batches so
+        # search_fulltext_batch usually scores one homogeneous group (it also
+        # splits per-row as the correctness backstop; this key just avoids the
+        # extra compiled program shapes a mixed batch would need).
+        phrase_hint = len(params.term.split()) > 1
         return (
             collection_id, params.mode.value, params.fusion.value,
-            where_key, boost_key,
+            where_key, boost_key, phrase_hint,
         )
 
     def _run_search_batch(self, key, payloads):
