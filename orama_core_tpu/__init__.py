@@ -52,7 +52,15 @@ class Orama:
             replayed = self.wal.replay(self.read_side._applied_offset)
             for stamped in replayed:
                 self.read_side.apply(stamped)
-            tx.set_offset(max(tx.offset, self.wal.last_offset))
+            # The sender counter must clear EVERY offset the read side has
+            # ever applied, not just what survives in the WAL — the read side
+            # truncates the WAL at each commit, so after a crash with a stale
+            # write-side info.json, wal.last_offset alone would reuse offsets
+            # the read side already consumed (regressing _applied_offset and
+            # breaking subsequent replay/truncation).
+            tx.set_offset(
+                max(tx.offset, self.wal.last_offset, self.read_side._applied_offset)
+            )
         self._stop = threading.Event()
         self._threads = []
         if start_background:

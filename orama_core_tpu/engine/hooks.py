@@ -74,11 +74,23 @@ def _static_eval(code: str) -> Optional[Union[List[str], str]]:
 
 
 class HooksRuntime:
-    def __init__(self, data_dir: Optional[str] = None) -> None:
+    def __init__(
+        self,
+        data_dir: Optional[str] = None,
+        allow_subprocess: Optional[bool] = None,
+    ) -> None:
         self._lock = threading.Lock()
         # (collection, name) -> code (str) or python callable
         self._hooks: Dict[Tuple[str, str], Union[str, Callable]] = {}
-        self._node = shutil.which("node")
+        # Subprocess node execution is OPT-IN: unlike the reference's
+        # sandboxed embedded V8, `node -e` runs with full process privileges
+        # (fs, network, env) — a write-api-key holder must not get arbitrary
+        # code execution by default. Enable via allow_subprocess=True or
+        # ORAMAX_HOOKS_SUBPROCESS=1; when enabled, node runs with its
+        # permission model (no fs/net grants).
+        if allow_subprocess is None:
+            allow_subprocess = os.environ.get("ORAMAX_HOOKS_SUBPROCESS") == "1"
+        self._node = shutil.which("node") if allow_subprocess else None
         self.data_dir = data_dir
         if data_dir:
             self._load()
@@ -126,23 +138,40 @@ class HooksRuntime:
             return None
         if callable(hook):
             return hook(document)
+        # constant-return hooks never need a JS engine — the dominant shape,
+        # and sandboxed by construction
         static = _static_eval(hook)
-        if static is not None and self._node is None:
+        if static is not None:
             return static
         if self._node is None:
-            raise RuntimeError("hook requires a JS engine but none is available")
-        # IIFE wrapper returning JSON — the deno runner's pattern
+            raise RuntimeError(
+                "hook requires a JS engine: subprocess execution is disabled "
+                "by default (opt in with ORAMAX_HOOKS_SUBPROCESS=1) and the "
+                "hook is not statically evaluable"
+            )
+        # IIFE wrapper returning JSON — the deno runner's pattern; node runs
+        # under its permission model (no fs/net/env-write grants)
         script = (
             f"{hook}\nconst __doc = {json.dumps(document)};\n"
             f"process.stdout.write(JSON.stringify("
             f"{SELECT_EMBEDDING_PROPERTIES}(__doc)));"
         )
-        out = subprocess.run(
-            [self._node, "-e", script],
-            capture_output=True,
-            timeout=5.0,
-            text=True,
-        )
+        try:
+            out = subprocess.run(
+                [self._node, "--permission", "-e", script],
+                capture_output=True,
+                timeout=5.0,
+                text=True,
+            )
+            if out.returncode != 0 and "--permission" in (out.stderr or ""):
+                # older node without the permission model: refuse rather than
+                # silently run unsandboxed
+                raise RuntimeError(
+                    "node lacks the permission model (--permission); "
+                    "refusing to run hook unsandboxed"
+                )
+        except subprocess.TimeoutExpired as e:
+            raise RuntimeError(f"hook timed out after {e.timeout}s") from None
         if out.returncode != 0:
             raise RuntimeError(f"hook failed: {out.stderr.strip()[:500]}")
         return json.loads(out.stdout)

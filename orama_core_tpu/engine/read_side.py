@@ -56,6 +56,14 @@ class ReadSide:
         self.collections: Dict[str, CollectionReader] = {}
         self.doc_storage: Dict[str, DocumentStorage] = {}
         self._lock = threading.RLock()
+        # Serializes op application against commits: the pump thread and the
+        # commit-interval thread must not interleave (an op applied mid-commit
+        # would be recorded as committed — and its WAL entry truncated — while
+        # living only in the in-memory window, losing it on crash). apply()
+        # holds it per op; commit() holds it for the whole body, mirroring the
+        # reference's commit_insert_mutex (collection.rs:198,614) at side
+        # scope. Searches never take it.
+        self._apply_commit_lock = threading.RLock()
         self._applied_offset = 0
         self._ops_since_commit = 0
         self.wal = None  # optional WriteAheadLog, wired by Orama
@@ -73,6 +81,10 @@ class ReadSide:
     # -- op application (reference: read/mod.rs:181-249) ----------------------
 
     def apply(self, stamped: StampedOp) -> None:
+        with self._apply_commit_lock:
+            self._apply_locked(stamped)
+
+    def _apply_locked(self, stamped: StampedOp) -> None:
         op = stamped.op
         if isinstance(op, CreateCollectionOp):
             with self._lock:
@@ -217,22 +229,28 @@ class ReadSide:
         from ..server import metrics as m
 
         data_dir = ensure_dir(self.cfg.data_dir)
-        with self._lock:
-            collections = dict(self.collections)
-        for cid, reader in collections.items():
-            with m.COMMIT_ELAPSED.time(side="read", collection=cid):
-                reader.commit(
-                    ensure_dir(os.path.join(data_dir, "collections", cid)),
-                    self._applied_offset,
-                )
-                self.doc_storage[cid].commit()
-        atomic_write_json(
-            os.path.join(data_dir, "info.json"),
-            {"offset": self._applied_offset, "collections": sorted(collections)},
-        )
-        self._ops_since_commit = 0
-        if self.wal is not None:
-            self.wal.truncate_through(self._applied_offset)
+        # Exclusive vs op application (and vs a concurrent commit from the
+        # other background thread): the offset is snapshotted ONCE and no op
+        # can be applied mid-commit, so every merged segment, info.json, and
+        # the WAL truncation all describe exactly the ops <= snapshot.
+        with self._apply_commit_lock:
+            snapshot = self._applied_offset
+            with self._lock:
+                collections = dict(self.collections)
+            for cid, reader in collections.items():
+                with m.COMMIT_ELAPSED.time(side="read", collection=cid):
+                    reader.commit(
+                        ensure_dir(os.path.join(data_dir, "collections", cid)),
+                        snapshot,
+                    )
+                    self.doc_storage[cid].commit()
+            atomic_write_json(
+                os.path.join(data_dir, "info.json"),
+                {"offset": snapshot, "collections": sorted(collections)},
+            )
+            self._ops_since_commit = 0
+            if self.wal is not None:
+                self.wal.truncate_through(snapshot)
 
     def load(self) -> None:
         info = read_json(os.path.join(self.cfg.data_dir, "info.json"))

@@ -167,6 +167,9 @@ class WriteSide:
             self._ops_since_commit += len(ops) + 1
             m.ADD_DOCUMENT.inc(collection=collection_id)
         m.EMBEDDING_GAUGE.set(self._embedding_queue.qsize())
+        # durability point: the insert is acknowledged only after the WAL
+        # batch is fsync'd (one fsync per write() call, not per op)
+        self.op_sender.sync_wal()
         return user_ids
 
     def delete_documents(
@@ -184,6 +187,7 @@ class WriteSide:
         if doc_ids:
             self.op_sender.send(DeleteDocumentsOp(collection_id, tuple(doc_ids)))
             self._ops_since_commit += 1
+            self.op_sender.sync_wal()
         return len(doc_ids)
 
     # -- embedding pipeline (reference: write/embedding.rs:88-125) ------------
@@ -220,6 +224,7 @@ class WriteSide:
                 )
         m.PENDING_EMBEDDING_GAUGE.set(0)
         m.EMBEDDING_GAUGE.set(self._embedding_queue.qsize())
+        self.op_sender.sync_wal()
         return len(batch)
 
     def drain_embeddings(self) -> None:

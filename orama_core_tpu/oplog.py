@@ -148,6 +148,12 @@ class OperationSender:
             last = self.send(op)
         return last
 
+    def sync_wal(self) -> None:
+        """Group-commit: flush+fsync the WAL once per acknowledged batch
+        (append itself only buffers — callers sync before acknowledging)."""
+        if self.wal is not None:
+            self.wal.sync()
+
     def pending(self) -> int:
         return self._q.qsize()
 

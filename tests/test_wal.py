@@ -109,3 +109,46 @@ def test_without_wal_window_is_volatile(tmp_path):
     e2 = build_orama(cfg, start_background=False)
     assert "c" not in e2.read_side.collections
     e2.close()
+
+
+def test_stale_write_info_does_not_regress_offsets(tmp_path):
+    """Read side truncates the WAL at each commit; if the write side's
+    info.json is stale (write-side commit never ran), the sender counter on
+    reload must still clear every offset the read side already applied —
+    otherwise replay/truncation break (double-replay or skipped ops)."""
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "one"}], WRITE)
+    e.flush()
+    e.commit()  # both sides persisted at offset X
+    e.write_side.write("c", [{"id": "2", "t": "two"}], WRITE)
+    e.flush()
+    applied = e.read_side._applied_offset
+    # read-side commit only: truncates the WAL; write-side info.json is now
+    # STALE (still at offset X < applied)
+    e.read_side.commit()
+    del e
+
+    e2 = build_orama(cfg, start_background=False)
+    # the sender must resume past everything the read side applied
+    assert e2.write_side.op_sender.offset >= applied
+    e2.write_side.write("c", [{"id": "3", "t": "three"}], WRITE)
+    e2.flush()
+    assert e2.read_side.count_documents("c") == 3
+    res = e2.read_side.search("c", SearchParams.from_json({"term": "three"}), READ)
+    assert {h.id for h in res.hits} == {"3"}
+    e2.close()
+
+
+def test_wal_fsynced_before_ack(tmp_path):
+    """Acknowledged inserts must be ON DISK (not just in userspace buffers)
+    when write() returns — read the WAL file from a separate handle."""
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "acked"}], WRITE)
+    with open(e.wal.path, "rb") as f:
+        raw = f.read()
+    assert b"acked" in raw  # durable at acknowledge time, before any flush()
+    e.close()
