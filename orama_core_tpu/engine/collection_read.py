@@ -301,6 +301,238 @@ class _DeviceCache:
 
         return self._get(b, ("bool", cap), build)
 
+    # ---- sharded (shard-local doc-id space) layouts --------------------------
+    #
+    # With a data mesh, committed structures are repacked at cache-build time
+    # into per-shard stacks: doc d lives on shard d // local_cap at local id
+    # d % local_cap. The shard_map programs in parallel/sharded_engine.py
+    # consume these; dense arrays never replicate (VERDICT r1 item 3).
+
+    @property
+    def n_shards(self) -> int:
+        if self._mesh is None:
+            return 1
+        from ..parallel.mesh import DATA_AXIS
+
+        return self._mesh.shape.get(DATA_AXIS, 1)
+
+    def _put_stacked(self, arr: np.ndarray, dtype=None) -> jax.Array:
+        from ..parallel.sharded_engine import data_sharding
+
+        a = jnp.asarray(arr, dtype=dtype) if dtype is not None else jnp.asarray(arr)
+        return jax.device_put(a, data_sharding(self._mesh, arr.ndim))
+
+    def zeros_sharded(self, cap_s: int) -> jax.Array:
+        key = ("zeros_sh", cap_s)
+        hit = self._store.get((0, key))
+        if hit is None:
+            hit = self._put_stacked(np.zeros(cap_s, np.float32))
+            self._store[(0, key)] = hit
+        return hit
+
+    @staticmethod
+    def _shard_perm(global_docs: np.ndarray, local_cap: int, n_shards: int):
+        """Stable partition of row-arrays by owning shard: returns (perm,
+        shard offsets [S+1], local doc ids in perm order)."""
+        owner = global_docs // local_cap
+        perm = np.argsort(owner, kind="stable")
+        counts = np.bincount(owner, minlength=n_shards)
+        offs = np.zeros(n_shards + 1, np.int64)
+        offs[1:] = np.cumsum(counts)
+        local = (global_docs[perm] % local_cap).astype(np.int32)
+        return perm, offs, local
+
+    def sharded_string_arrays(self, s: CommittedStringIndex, local_cap: int):
+        def build():
+            from ..ops.bm25 import BLOCK
+
+            S = self.n_shards
+            steps = self.cfg.posting_bucket_steps
+            p = len(s.post_docs)
+            t_count = np.diff(s.term_starts).astype(np.int64)
+            T = len(t_count)
+            if p == 0:
+                p_pad = bucket_pad(1, steps) + BLOCK
+                z_i = np.zeros((S, p_pad), np.int32)
+                z_f = np.zeros((S, p_pad), np.float32)
+                return (
+                    self._put_stacked(z_i), self._put_stacked(z_f),
+                    self._put_stacked(z_f), self._put_stacked(z_f),
+                    self._put_stacked(z_i), self._put_stacked(z_i),
+                    np.zeros((S, T + 1), np.int64),
+                    [np.zeros(1, np.int64) for _ in range(S)],
+                )
+            perm, offs, local_docs = self._shard_perm(
+                s.post_docs.astype(np.int64), local_cap, S
+            )
+            owner = s.post_docs.astype(np.int64) // local_cap
+            # per-shard CSR term offsets (host, for query-time block plans)
+            term_of_post = np.repeat(np.arange(T, dtype=np.int64), t_count)
+            key = term_of_post * S + owner
+            ts_counts = np.bincount(key, minlength=T * S).reshape(T, S)
+            ts_sh = np.zeros((S, T + 1), np.int64)
+            ts_sh[:, 1:] = np.cumsum(ts_counts.T, axis=1)
+            # permuted posting columns (stable sort keeps term-major order)
+            tf_p = s.post_tf[perm]
+            ni_p = np.repeat(t_count.astype(np.float32), t_count)[perm]
+            plens_p = s.doc_lens_dense[s.post_docs[perm]].astype(np.float32)
+            # positions: gather each posting's run in perm order
+            run_lens = np.diff(s.pos_starts).astype(np.int64)[perm]
+            run_starts = s.pos_starts[:-1][perm]
+            total_pos = int(run_lens.sum())
+            if total_pos:
+                roffs = np.concatenate(([0], np.cumsum(run_lens)[:-1]))
+                gidx = np.repeat(run_starts - roffs, run_lens) + np.arange(
+                    total_pos, dtype=np.int64
+                )
+                pos_p = s.positions[gidx]
+            else:
+                pos_p = np.zeros(0, np.int32)
+            posdocs_p = np.repeat(local_docs, run_lens)
+            pos_per_shard = np.asarray(
+                [int(run_lens[offs[si]:offs[si + 1]].sum()) for si in range(S)],
+                np.int64,
+            )
+            pos_offs = np.zeros(S + 1, np.int64)
+            pos_offs[1:] = np.cumsum(pos_per_shard)
+
+            p_pad = bucket_pad(max(int(np.diff(offs).max()), 1), steps) + BLOCK
+            pp_pad = bucket_pad(max(int(pos_per_shard.max()), 1), steps) + BLOCK
+            docs_st = np.zeros((S, p_pad), np.int32)
+            tf_st = np.zeros((S, p_pad), np.float32)
+            ni_st = np.zeros((S, p_pad), np.float32)
+            plens_st = np.zeros((S, p_pad), np.float32)
+            pos_st = np.zeros((S, pp_pad), np.int32)
+            posdocs_st = np.zeros((S, pp_pad), np.int32)
+            pos_starts_sh: List[np.ndarray] = []
+            for si in range(S):
+                a, b = int(offs[si]), int(offs[si + 1])
+                docs_st[si, : b - a] = local_docs[a:b]
+                tf_st[si, : b - a] = tf_p[a:b]
+                ni_st[si, : b - a] = ni_p[a:b]
+                plens_st[si, : b - a] = plens_p[a:b]
+                pa, pb = int(pos_offs[si]), int(pos_offs[si + 1])
+                pos_st[si, : pb - pa] = pos_p[pa:pb]
+                posdocs_st[si, : pb - pa] = posdocs_p[pa:pb]
+                psh = np.zeros(b - a + 1, np.int64)
+                psh[1:] = np.cumsum(run_lens[a:b])
+                pos_starts_sh.append(psh)
+            return (
+                self._put_stacked(docs_st),
+                self._put_stacked(tf_st),
+                self._put_stacked(ni_st),
+                self._put_stacked(plens_st),
+                self._put_stacked(pos_st),
+                self._put_stacked(posdocs_st),
+                ts_sh,
+                pos_starts_sh,
+            )
+
+        return self._get(s, ("str_sh", local_cap), build)
+
+    def sharded_vector_arrays(self, v: CommittedVectorIndex, local_cap: int):
+        def build():
+            S = self.n_shards
+            steps = self.cfg.posting_bucket_steps
+            perm, offs, local_docs = self._shard_perm(
+                v.vec_docs.astype(np.int64), local_cap, S
+            )
+            p_l = bucket_pad(max(int(np.diff(offs).max()), 1), steps)
+            vecs_st = np.zeros((S, p_l, v.dimension), np.float32)
+            docs_st = np.zeros((S, p_l), np.int32)
+            valid_st = np.zeros((S, p_l), np.float32)
+            vp = v.vecs[perm]
+            for si in range(S):
+                a, b = int(offs[si]), int(offs[si + 1])
+                vecs_st[si, : b - a] = vp[a:b]
+                docs_st[si, : b - a] = local_docs[a:b]
+                valid_st[si, : b - a] = 1.0
+            dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
+            return (
+                self._put_stacked(vecs_st, dtype=dtype),
+                self._put_stacked(docs_st),
+                self._put_stacked(valid_st),
+            )
+
+        return self._get(v, ("vec_sh", local_cap), build)
+
+    def sharded_vector_int8_arrays(self, v: CommittedVectorIndex, local_cap: int):
+        def build():
+            from ..ops.quant import quantize_int8
+
+            S = self.n_shards
+            steps = self.cfg.posting_bucket_steps
+            perm, offs, local_docs = self._shard_perm(
+                v.vec_docs.astype(np.int64), local_cap, S
+            )
+            codes, scales = quantize_int8(jnp.asarray(v.vecs, jnp.float32))
+            codes = np.asarray(codes)
+            scales = np.asarray(scales)
+            p_l = bucket_pad(max(int(np.diff(offs).max()), 1), steps)
+            codes_st = np.zeros((S, p_l, v.dimension), np.int8)
+            scales_st = np.zeros((S, p_l), np.float32)
+            docs_st = np.zeros((S, p_l), np.int32)
+            valid_st = np.zeros((S, p_l), np.float32)
+            cp, sp = codes[perm], scales[perm]
+            for si in range(S):
+                a, b = int(offs[si]), int(offs[si + 1])
+                codes_st[si, : b - a] = cp[a:b]
+                scales_st[si, : b - a] = sp[a:b]
+                docs_st[si, : b - a] = local_docs[a:b]
+                valid_st[si, : b - a] = 1.0
+            return (
+                self._put_stacked(codes_st),
+                self._put_stacked(scales_st),
+                self._put_stacked(docs_st),
+                self._put_stacked(valid_st),
+            )
+
+        return self._get(v, ("vec_int8_sh", local_cap), build)
+
+    def sharded_number_arrays(self, nidx: CommittedNumberIndex, local_cap: int):
+        def build():
+            S = self.n_shards
+            steps = self.cfg.posting_bucket_steps
+            n = len(nidx.vals)
+            if n == 0:
+                n_pad = bucket_pad(1, steps)
+                return (
+                    self._put_stacked(np.full((S, n_pad), np.nan, np.float32)),
+                    self._put_stacked(np.zeros((S, n_pad), np.int32)),
+                    self._put_stacked(np.zeros((S, n_pad), bool)),
+                )
+            perm, offs, local_docs = self._shard_perm(
+                nidx.docs.astype(np.int64), local_cap, S
+            )
+            n_pad = bucket_pad(max(int(np.diff(offs).max()), 1), steps)
+            vals_st = np.full((S, n_pad), np.nan, np.float32)
+            docs_st = np.zeros((S, n_pad), np.int32)
+            valid_st = np.zeros((S, n_pad), bool)
+            vp = nidx.vals[perm]
+            for si in range(S):
+                a, b = int(offs[si]), int(offs[si + 1])
+                vals_st[si, : b - a] = vp[a:b]
+                docs_st[si, : b - a] = local_docs[a:b]
+                valid_st[si, : b - a] = True
+            return (
+                self._put_stacked(vals_st),
+                self._put_stacked(docs_st),
+                self._put_stacked(valid_st),
+            )
+
+        return self._get(nidx, ("num_sh", local_cap), build)
+
+    def sharded_bool_arrays(self, b: CommittedBoolIndex, cap_s: int):
+        def build():
+            true_mask = np.zeros(cap_s, np.float32)
+            has_mask = np.zeros(cap_s, np.float32)
+            n = min(len(b.true_mask), cap_s)
+            true_mask[:n] = b.true_mask[:n]
+            has_mask[:n] = b.has_mask[:n]
+            return self._put_stacked(true_mask), self._put_stacked(has_mask)
+
+        return self._get(b, ("bool_sh", cap_s), build)
+
 
 # --- field state -------------------------------------------------------------
 
@@ -392,6 +624,17 @@ class CollectionReader:
         m = jnp.asarray(self._alive[:cap])
         self._alive_device = (self._alive_version, cap, m)
         return m
+
+    def _alive_mask_sharded(self, cap_s: int) -> jax.Array:
+        cached = getattr(self, "_alive_device_sh", None)
+        if cached and cached[0] == self._alive_version and cached[1] == cap_s:
+            return cached[2]
+        m = np.zeros(cap_s, np.float32)
+        n = min(len(self._alive), cap_s)
+        m[:n] = self._alive[:n]
+        dev = self._device._put_stacked(m)
+        self._alive_device_sh = (self._alive_version, cap_s, dev)
+        return dev
 
     # -- op application (reference: collection.rs:608-681) --------------------
 
@@ -978,10 +1221,338 @@ class CollectionReader:
             out.append((ranked, int(counts[row])))
         return out
 
+    # -- sharded serving path (mesh mode) --------------------------------------
+    #
+    # With tpu.mesh_shape configured, queries run as shard_map programs over
+    # per-shard committed layouts: local scoring with the single-chip kernels,
+    # per-shard top-k, one all-gather merge — O(shards*k) cross-device bytes
+    # per query instead of replicating dense [cap] arrays (VERDICT r1 item 3;
+    # the reference's search loop collection.rs:684-781 as a sharded kernel).
+    # Facet queries and IVF/PQ vector modes fall back to the replicated path.
+
+    def _sharded_ctx(self):
+        mesh = self._device._mesh
+        S = self._device.n_shards
+        cap = self.capacity
+        local_cap = -(-cap // S)
+        return mesh, S, local_cap, local_cap * S
+
+    def _use_sharded(self, params: SearchParams) -> bool:
+        if self._device._mesh is None or self._device.n_shards < 2:
+            return False
+        if params.facets:
+            return False
+        if params.mode != SearchModeKind.FULLTEXT and self.cfg.vector_index in (
+            "ivf", "pq",
+        ):
+            # sharded IVF/PQ layouts not built yet — replicated path is exact
+            return False
+        return True
+
+    class _MaskAt:
+        """Dict-backed stand-in for a dense host mask, valid only at the
+        uncommitted window's doc ids (gathered from the sharded mask)."""
+
+        __slots__ = ("m",)
+
+        def __init__(self, mapping: Dict[int, float]) -> None:
+            self.m = mapping
+
+        def __getitem__(self, i) -> float:
+            return self.m[int(i)]
+
+    def _host_mask_at(
+        self, mask: jax.Array, docs, masked: bool, local_cap: int
+    ):
+        """Mask values at (few) global doc ids without pulling [cap] to host."""
+        if not masked:
+            return None
+        doc_list = [int(d) for d in docs]
+        if not doc_list:
+            return self._MaskAt({})
+        from ..parallel import sharded_engine as se
+
+        idx, _ = self._padded_scatter(doc_list, [0.0] * len(doc_list))
+        vals = np.asarray(
+            se.gather_values(self._device._mesh, local_cap)(mask, idx)
+        )
+        return self._MaskAt({d: float(vals[i]) for i, d in enumerate(doc_list)})
+
+    def _filter_mask_sharded(self, where: Dict[str, Any]) -> jax.Array:
+        from ..parallel import sharded_engine as se
+
+        mesh, S, local_cap, cap_s = self._sharded_ctx()
+        mask = self._alive_mask_sharded(cap_s)
+        for field_name, filt in where.items():
+            fid = self.field_by_name.get(field_name)
+            if fid is None:
+                raise ValueError(f'Cannot filter by "{field_name}": unknown field')
+            f = self.fields[fid]
+            if isinstance(filt, NumberFilter):
+                if f.type != ValueType.NUMBER:
+                    raise ValueError(f'"{field_name}" is not a number field')
+                nf = self._number[fid]
+                vals, docs, valid = self._device.sharded_number_arrays(
+                    nf.committed, local_cap
+                )
+                if filt.op == "eq":
+                    m = se.number_eq_mask(mesh, local_cap)(
+                        vals, docs, valid, jnp.float32(filt.value)
+                    )
+                else:
+                    lo, hi, lx, hx = nf.committed.filter_bounds(filt)
+                    m = se.number_range_mask(mesh, local_cap)(
+                        vals, docs, valid,
+                        jnp.float32(lo), jnp.float32(hi),
+                        jnp.array(lx), jnp.array(hx),
+                    )
+                unc = (
+                    nf.uncommitted.filter_docs(filt)
+                    if not nf.uncommitted.is_empty else set()
+                )
+            elif isinstance(filt, BoolFilter):
+                if f.type != ValueType.BOOL:
+                    raise ValueError(f'"{field_name}" is not a bool field')
+                bf = self._bool[fid]
+                true_mask, has_mask = self._device.sharded_bool_arrays(
+                    bf.committed, cap_s
+                )
+                m = _bool_filter_mask(true_mask, has_mask, bool(filt.value))
+                unc = (
+                    bf.uncommitted.filter_docs(filt.value)
+                    if not bf.uncommitted.is_empty else set()
+                )
+            else:
+                raise TypeError(f"unknown filter {filt!r}")
+            if unc:
+                idx, vals_ = self._padded_scatter(sorted(unc), [1.0] * len(unc))
+                m = jnp.minimum(
+                    se.scatter_add(mesh, local_cap)(m, idx, vals_), 1.0
+                )
+            mask = filter_ops.combine_masks(mask, m)
+        return mask
+
+    def _fulltext_scores_sharded(
+        self,
+        term: str,
+        properties: Optional[List[str]],
+        boost: Dict[str, float],
+        filter_mask: jax.Array,
+        masked: bool,
+    ) -> jax.Array:
+        from ..parallel import sharded_engine as se
+        from ..ops.bm25 import BLOCK, build_block_plan
+
+        mesh, S, local_cap, cap_s = self._sharded_ctx()
+        if not term.strip():
+            return filter_mask.astype(jnp.float32)
+        scores = self._device.zeros_sharded(cap_s)
+        plan_steps = (16, 256, 4096, 65536)
+        tokens_cache: Dict[str, List[str]] = {}
+        for fid in self._string_properties(properties):
+            f = self.fields[fid]
+            locale = f.locale or self.default_locale
+            tokens = tokens_cache.get(locale)
+            if tokens is None:
+                tokens = get_parser(locale).tokenize(term)
+                tokens_cache[locale] = tokens
+            if not tokens:
+                continue
+            field_boost = float(boost.get(f.name, 1.0))
+            sf = self._string[fid]
+            gi = sf.committed.global_info() + sf.uncommitted.global_info()
+            phrase = len(tokens) > 1
+
+            committed = sf.committed
+            token_spans = [committed.term_dict.prefix_range(t) for t in tokens]
+            token_spans = [(lo, hi) for lo, hi in token_spans if hi > lo]
+            if token_spans:
+                ts_global = committed.term_starts
+                g_total = int(
+                    sum(ts_global[hi] - ts_global[lo] for lo, hi in token_spans)
+                )
+                if g_total > 0:
+                    (
+                        d_docs, d_tf, d_ni, d_plens, d_pos, d_posdocs,
+                        ts_sh, pos_starts_sh,
+                    ) = self._device.sharded_string_arrays(committed, local_cap)
+                    # per-shard block plans (host, O(tokens * shards) ints)
+                    lo_sh = [
+                        [int(ts_sh[si, lo]) for lo, hi in token_spans]
+                        for si in range(S)
+                    ]
+                    len_sh = [
+                        [
+                            int(ts_sh[si, hi] - ts_sh[si, lo])
+                            for lo, hi in token_spans
+                        ]
+                        for si in range(S)
+                    ]
+                    need = max(
+                        sum((ln + BLOCK - 1) // BLOCK for ln in lens)
+                        for lens in len_sh
+                    )
+                    nb = bucket_pad(max(need, 1), plan_steps)
+                    b_starts = np.zeros((S, nb), np.int32)
+                    b_valid = np.zeros((S, nb), np.int32)
+                    for si in range(S):
+                        b_starts[si], b_valid[si] = build_block_plan(
+                            lo_sh[si], len_sh[si], nb
+                        )
+                    raw = se.blocked_bm25(mesh, local_cap, nb, masked)(
+                        d_docs, d_tf, d_ni, d_plens,
+                        jnp.asarray(b_starts), jnp.asarray(b_valid),
+                        jnp.float32(1.0 if phrase else field_boost),
+                        jnp.float32(gi.avgdl),
+                        jnp.float32(gi.total_documents),
+                        filter_mask,
+                    )
+                    if phrase:
+                        pp_lo = [
+                            [
+                                int(pos_starts_sh[si][ts_sh[si, lo]])
+                                for lo, hi in token_spans
+                            ]
+                            for si in range(S)
+                        ]
+                        pp_len = [
+                            [
+                                int(
+                                    pos_starts_sh[si][ts_sh[si, hi]]
+                                    - pos_starts_sh[si][ts_sh[si, lo]]
+                                )
+                                for lo, hi in token_spans
+                            ]
+                            for si in range(S)
+                        ]
+                        need_pb = max(
+                            sum((ln + BLOCK - 1) // BLOCK for ln in lens)
+                            for lens in pp_len
+                        )
+                        npb = bucket_pad(max(need_pb, 1), plan_steps)
+                        pb_starts = np.zeros((S, npb), np.int32)
+                        pb_valid = np.zeros((S, npb), np.int32)
+                        for si in range(S):
+                            pb_starts[si], pb_valid[si] = build_block_plan(
+                                pp_lo[si], pp_len[si], npb
+                            )
+                        boost_by_doc = se.blocked_phrase_boost(
+                            mesh, local_cap, npb
+                        )(
+                            d_pos, d_posdocs,
+                            jnp.asarray(pb_starts), jnp.asarray(pb_valid),
+                            jnp.float32(field_boost),
+                        )
+                        raw = raw * boost_by_doc
+                    scores = scores + raw
+
+            if not sf.uncommitted.is_empty:
+                host_out: Dict[int, float] = {}
+                fm = self._host_mask_at(
+                    filter_mask, sf.uncommitted.doc_lens.keys(), masked, local_cap
+                )
+                sf.uncommitted.search(
+                    tokens, field_boost, gi, fm, self.deleted, host_out
+                )
+                if host_out:
+                    idx, vals = self._padded_scatter(
+                        list(host_out.keys()), list(host_out.values())
+                    )
+                    scores = se.scatter_add(mesh, local_cap)(scores, idx, vals)
+        return scores
+
+    def _vector_scores_sharded(
+        self, term: str, ai_service, filter_mask: jax.Array
+    ) -> jax.Array:
+        from ..parallel import sharded_engine as se
+
+        mesh, S, local_cap, cap_s = self._sharded_ctx()
+        scores = self._device.zeros_sharded(cap_s)
+        by_model: Dict[str, List[int]] = {}
+        for fid, f in self.fields.items():
+            if f.type == ValueType.EMBEDDING and f.model:
+                by_model.setdefault(f.model, []).append(fid)
+        for model, fids in by_model.items():
+            q = ai_service.embed_query(model, [term])[0]
+            qn = q / max(float(np.linalg.norm(q)), 1e-12)
+            q_dev = jnp.asarray(qn, dtype=jnp.float32)
+            for fid in fids:
+                vf = self._vector[fid]
+                if not vf.committed.is_empty:
+                    if self.cfg.vector_index == "int8":
+                        codes, scales, docs, valid = (
+                            self._device.sharded_vector_int8_arrays(
+                                vf.committed, local_cap
+                            )
+                        )
+                        raw = se.vector_scores_int8(mesh, local_cap)(
+                            codes, scales, docs, valid, q_dev, filter_mask
+                        )
+                    else:
+                        vecs, docs, valid = self._device.sharded_vector_arrays(
+                            vf.committed, local_cap
+                        )
+                        raw = se.vector_scores(mesh, local_cap)(
+                            vecs, docs, valid, q_dev, filter_mask
+                        )
+                    scores = scores + raw
+                if not vf.uncommitted.is_empty:
+                    host_out: Dict[int, float] = {}
+                    fm = self._host_mask_at(
+                        filter_mask,
+                        {d for d, _ in vf.uncommitted.entries},
+                        True,
+                        local_cap,
+                    )
+                    vf.uncommitted.search(qn, fm, self.deleted, host_out)
+                    if host_out:
+                        idx, vals = self._padded_scatter(
+                            list(host_out.keys()), list(host_out.values())
+                        )
+                        scores = se.scatter_add(mesh, local_cap)(
+                            scores, idx, vals
+                        )
+        return scores
+
+    def _search_sharded(
+        self, params: SearchParams, ai_service
+    ) -> Tuple[List[Tuple[int, float]], int]:
+        from ..parallel import sharded_engine as se
+
+        mesh, S, local_cap, cap_s = self._sharded_ctx()
+        filter_mask = self._filter_mask_sharded(params.where)
+        masked = bool(params.where) or bool(self.deleted)
+        k = min(params.limit, cap_s)
+        if params.mode == SearchModeKind.FULLTEXT:
+            ft = self._fulltext_scores_sharded(
+                params.term, params.properties, params.boost, filter_mask, masked
+            )
+            out = se.topk_with_count(mesh, k, local_cap)(ft)
+        elif params.mode == SearchModeKind.VECTOR:
+            vec = self._vector_scores_sharded(params.term, ai_service, filter_mask)
+            out = se.topk_with_count(mesh, k, local_cap)(vec)
+        else:
+            ft = self._fulltext_scores_sharded(
+                params.term, params.properties, params.boost, filter_mask, masked
+            )
+            vec = self._vector_scores_sharded(params.term, ai_service, filter_mask)
+            if params.fusion == HybridFusion.MINMAX:
+                out = se.minmax_topk(mesh, k, local_cap)(ft, vec)
+            else:
+                out = se.rrf_topk(
+                    mesh, k, se.rrf_candidate_count(k), local_cap
+                )(ft, vec)
+        vals, gids, count = jax.device_get(out)
+        ranked = [(int(d), float(s)) for d, s in zip(gids, vals) if s > 0.0]
+        return ranked, int(count)
+
     def search(
         self, params: SearchParams, ai_service
     ) -> Tuple[List[Tuple[int, float]], int, Optional[Dict[str, FacetResult]]]:
         """Returns (ranked [(doc_id, score)], match count, facets)."""
+        if self._use_sharded(params):
+            ranked, count = self._search_sharded(params, ai_service)
+            return ranked, count, None
         scores = self.search_scores(params, ai_service)
         facets = self.compute_facets(scores, params.facets) if params.facets else None
         k = min(params.limit, self.capacity)

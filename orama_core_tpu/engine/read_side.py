@@ -158,6 +158,9 @@ class ReadSide:
     def _batchable(self, params: SearchParams) -> bool:
         return (
             self._batcher is not None
+            # mesh mode serves per-query through the shard_map path — the
+            # batch kernels are a single-chip amortization
+            and not self.tpu_cfg.mesh_shape
             and not params.facets
             and params.properties is None
             and bool(params.term.strip())
