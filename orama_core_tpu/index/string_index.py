@@ -268,107 +268,133 @@ class CommittedStringIndex:
                 return native_packed
 
         # 1. merged term dictionary
-        new_dict, remap_a, remap_b = TermDict.merge(
+        new_dict, remap_a_l, remap_b_l = TermDict.merge(
             self.term_dict, uncommitted.terms.keys()
         )
         t_new = len(new_dict)
+        remap_a = np.asarray(remap_a_l, dtype=np.int64)
+        remap_b = np.asarray(remap_b_l, dtype=np.int64)
 
-        # postings per new term id: (docs, tfs, positions-per-posting)
-        doc_parts: List[np.ndarray] = []
-        tf_parts: List[np.ndarray] = []
-        pos_len_parts: List[np.ndarray] = []
-        pos_parts: List[np.ndarray] = []
-        term_counts = np.zeros(t_new, dtype=np.int64)
-
-        # committed side, filtered for deletions
-        committed_by_new: Dict[int, int] = {new_id: old_id for old_id, new_id in enumerate(remap_a)}
-        unc_terms_sorted = sorted(uncommitted.terms)
-        unc_by_new: Dict[int, str] = {
-            new_id: term for term, new_id in zip(unc_terms_sorted, remap_b)
-        }
-
-        del_arr: Optional[np.ndarray] = None
-        if deleted:
+        # 2. committed source. With deletions, compact once (boolean-mask
+        # copies + one ragged position gather); otherwise the committed
+        # arrays are used as-is. Either way the committed stream KEEPS ITS
+        # ORDER in the merged output, so the merge is a BLOCK INSERT of the
+        # window into the committed stream — a handful of O(P) mask-copy
+        # passes, no per-posting index arrays, no per-term Python. (The array
+        # analog of the reference's streaming MergedIterator merge,
+        # committed/string.rs:91-189.)
+        p_old = len(self.post_docs)
+        t_old = len(self.term_starts) - 1
+        c_docs, c_tf = self.post_docs, self.post_tf
+        c_plen = np.diff(self.pos_starts)
+        c_positions = self.positions
+        c_term_counts = np.diff(self.term_starts)
+        if deleted and p_old:
             del_arr = np.zeros(capacity, dtype=bool)
             del_arr[list(deleted)] = True
+            keep = ~del_arr[self.post_docs]
+            if not keep.all():
+                c_docs = self.post_docs[keep]
+                c_tf = self.post_tf[keep]
+                kept_plen = c_plen[keep]
+                c_positions = self.positions[
+                    flatten_ranges(self.pos_starts[:-1][keep], kept_plen)
+                ]
+                c_plen = kept_plen
+                kept_cum = np.zeros(p_old + 1, dtype=np.int64)
+                np.cumsum(keep, out=kept_cum[1:])
+                c_term_counts = (
+                    kept_cum[self.term_starts[1:]]
+                    - kept_cum[self.term_starts[:-1]]
+                )
+        p_c = len(c_docs)
 
-        for new_id in range(t_new):
-            docs_list: List[np.ndarray] = []
-            tfs_list: List[np.ndarray] = []
-            plens_list: List[np.ndarray] = []
-            ppos_list: List[np.ndarray] = []
+        # 3. uncommitted source, term-sorted — one flat pass over the
+        # window's (term, doc) pairs (window-sized Python only)
+        unc_terms_sorted = sorted(uncommitted.terms)
+        u_nid_l: List[int] = []
+        u_tcount_l: List[int] = []
+        u_docs_l: List[int] = []
+        u_tf_l: List[float] = []
+        u_plen_l: List[int] = []
+        u_pos_l: List[int] = []
+        for term, nid in zip(unc_terms_sorted, remap_b_l):
+            bucket = uncommitted.terms[term]
+            n_term = 0
+            for d in sorted(bucket):
+                if d in deleted:
+                    continue
+                plist = bucket[d]
+                u_docs_l.append(d)
+                u_tf_l.append(float(len(plist)))
+                u_plen_l.append(len(plist))
+                u_pos_l.extend(sorted(plist))
+                n_term += 1
+            if n_term:
+                u_nid_l.append(nid)
+                u_tcount_l.append(n_term)
+        u_docs = np.asarray(u_docs_l, dtype=np.int32)
+        u_tf = np.asarray(u_tf_l, dtype=np.float32)
+        u_plen = np.asarray(u_plen_l, dtype=np.int64)
+        u_positions = np.asarray(u_pos_l, dtype=np.int32)
+        u_nid = np.asarray(u_nid_l, dtype=np.int64)
+        u_tcounts = np.asarray(u_tcount_l, dtype=np.int64)
+        p_u = len(u_docs)
 
-            old_id = committed_by_new.get(new_id)
-            if old_id is not None:
-                lo, hi = int(self.term_starts[old_id]), int(self.term_starts[old_id + 1])
-                docs = self.post_docs[lo:hi]
-                keep = None
-                if del_arr is not None:
-                    keep = ~del_arr[docs]
-                if keep is None or keep.all():
-                    docs_k = docs
-                    tfs_k = self.post_tf[lo:hi]
-                    starts = self.pos_starts[lo:hi]
-                    lens = self.pos_starts[lo + 1 : hi + 1] - starts
-                    flat = flatten_ranges(starts, lens)
-                    docs_list.append(docs_k)
-                    tfs_list.append(tfs_k)
-                    plens_list.append(lens)
-                    ppos_list.append(self.positions[flat])
-                elif keep.any():
-                    docs_k = docs[keep]
-                    starts = self.pos_starts[lo:hi][keep]
-                    lens = (self.pos_starts[lo + 1 : hi + 1] - self.pos_starts[lo:hi])[keep]
-                    flat = flatten_ranges(starts, lens)
-                    docs_list.append(docs_k)
-                    tfs_list.append(self.post_tf[lo:hi][keep])
-                    plens_list.append(lens)
-                    ppos_list.append(self.positions[flat])
-
-            term = unc_by_new.get(new_id)
-            if term is not None:
-                bucket = uncommitted.terms[term]
-                u_docs = [d for d in sorted(bucket) if d not in deleted]
-                if u_docs:
-                    docs_list.append(np.asarray(u_docs, dtype=np.int32))
-                    tfs_list.append(
-                        np.asarray([len(bucket[d]) for d in u_docs], dtype=np.float32)
-                    )
-                    plens_list.append(
-                        np.asarray([len(bucket[d]) for d in u_docs], dtype=np.int64)
-                    )
-                    ppos_list.append(
-                        np.concatenate(
-                            [np.asarray(sorted(bucket[d]), dtype=np.int32) for d in u_docs]
-                        )
-                        if u_docs
-                        else np.zeros(0, np.int32)
-                    )
-
-            if docs_list:
-                doc_parts.append(np.concatenate(docs_list))
-                tf_parts.append(np.concatenate(tfs_list))
-                pos_len_parts.append(np.concatenate(plens_list))
-                pos_parts.append(np.concatenate(ppos_list))
-                term_counts[new_id] = len(doc_parts[-1])
-
-        post_docs = (
-            np.concatenate(doc_parts) if doc_parts else np.zeros(0, np.int32)
-        ).astype(np.int32)
-        post_tf = (
-            np.concatenate(tf_parts) if tf_parts else np.zeros(0, np.float32)
-        ).astype(np.float32)
-        pos_lens = (
-            np.concatenate(pos_len_parts) if pos_len_parts else np.zeros(0, np.int64)
-        )
-        positions = (
-            np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int32)
-        ).astype(np.int32)
-
+        # 4. block insert: per new term, committed block then window block
+        counts_c_new = np.zeros(t_new, dtype=np.int64)
+        if t_old:
+            counts_c_new[remap_a] = c_term_counts
+        counts_u_new = np.zeros(t_new, dtype=np.int64)
+        if len(u_nid):
+            counts_u_new[u_nid] = u_tcounts
+        term_counts = counts_c_new + counts_u_new
         term_starts = np.zeros(t_new + 1, dtype=np.int64)
         np.cumsum(term_counts, out=term_starts[1:])
-        pos_starts = np.zeros(len(post_docs) + 1, dtype=np.int64)
+        p_new = p_c + p_u
+
+        # destination slots of the window postings (O(window) ints): term n's
+        # window block starts after its committed block
+        if p_u:
+            u_rank = np.arange(p_u, dtype=np.int64) - np.repeat(
+                np.cumsum(u_tcounts) - u_tcounts, u_tcounts
+            )
+            u_term = np.repeat(u_nid, u_tcounts)
+            dest_u = term_starts[u_term] + counts_c_new[u_term] + u_rank
+        else:
+            dest_u = np.zeros(0, dtype=np.int64)
+
+        c_mask = np.ones(p_new, dtype=bool)
+        c_mask[dest_u] = False
+
+        def insert_blocks(c_arr, u_arr, dtype):
+            out = np.empty(p_new, dtype=dtype)
+            out[c_mask] = c_arr
+            out[dest_u] = u_arr
+            return out
+
+        post_docs = insert_blocks(c_docs, u_docs, np.int32)
+        post_tf = insert_blocks(c_tf, u_tf, np.float32)
+        pos_lens = insert_blocks(c_plen, u_plen, np.int64)
+
+        pos_starts = np.zeros(p_new + 1, dtype=np.int64)
         np.cumsum(pos_lens, out=pos_starts[1:])
+        # positions stream: committed runs keep their relative order, so the
+        # complement of the window runs' destination slots (from the NEW
+        # pos_starts) enumerates them in order — two mask copies, no gathers
+        pp_new = len(c_positions) + len(u_positions)
+        if pp_new:
+            positions = np.empty(pp_new, dtype=np.int32)
+            if p_u:
+                u_pos_dest = flatten_ranges(pos_starts[dest_u], u_plen)
+                p_mask = np.ones(pp_new, dtype=bool)
+                p_mask[u_pos_dest] = False
+                positions[p_mask] = c_positions
+                positions[u_pos_dest] = u_positions
+            else:
+                positions[:] = c_positions
+        else:
+            positions = np.zeros(0, dtype=np.int32)
 
         # dense doc lens over the (possibly grown) capacity
         doc_lens = np.zeros(capacity, dtype=np.float32)

@@ -28,18 +28,26 @@ def bucket_pad(n: int, steps) -> int:
     return round_up(n, last)
 
 
-def flatten_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+def flatten_ranges(
+    starts: np.ndarray, lens: np.ndarray, dtype=np.int64
+) -> np.ndarray:
     """Vectorized concatenation of [s, s+len) ranges.
 
     flatten_ranges([2, 10], [3, 2]) -> [2, 3, 4, 10, 11]
+
+    ``dtype=np.int32`` halves memory traffic when the caller knows every
+    index fits (the commit repack's hot path on a bandwidth-bound host).
     """
-    starts = np.asarray(starts, dtype=np.int64)
-    lens = np.asarray(lens, dtype=np.int64)
-    total = int(lens.sum())
+    starts = np.asarray(starts, dtype=dtype)
+    lens = np.asarray(lens, dtype=dtype)
+    total = int(lens.sum(dtype=np.int64))
     if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    shifts = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
-    return shifts + np.arange(total, dtype=np.int64)
+        return np.zeros(0, dtype=dtype)
+    shifts = np.repeat(
+        starts - np.concatenate((np.zeros(1, dtype), np.cumsum(lens, dtype=dtype)[:-1])),
+        lens,
+    )
+    return shifts + np.arange(total, dtype=dtype)
 
 
 __all__ = [

@@ -157,3 +157,74 @@ def test_string_roundtrip_arrays():
     assert c2.term_dict.terms == c.term_dict.terms
     assert c2.post_docs.tolist() == c.post_docs.tolist()
     assert c2.total_len == c.total_len
+
+
+def test_incremental_merge_equals_one_shot():
+    """Two incremental commits (with deletes in between) must produce the
+    same CSR as folding everything into one window — locks the block-insert
+    repack against the semantics of the per-term reference merge."""
+    import numpy as np
+    from orama_core_tpu.index.string_index import (
+        CommittedStringIndex, UncommittedStringIndex,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"v{i:02d}" for i in range(40)]
+
+    def window(doc_range, deleted=()):
+        u = UncommittedStringIndex()
+        for d in doc_range:
+            terms = {}
+            for j in range(rng.integers(2, 6)):
+                t = vocab[int(rng.integers(0, len(vocab)))]
+                terms.setdefault(t, []).append(j)
+            u.insert(d, sum(len(p) for p in terms.values()),
+                     {k: tuple(v) for k, v in terms.items()})
+        return u
+
+    rng = np.random.default_rng(5)
+    w1 = window(range(0, 60))
+    rng = np.random.default_rng(6)
+    w2 = window(range(60, 100))
+    deleted = {3, 17, 61}
+
+    cap = 128
+    # incremental: empty -> w1 -> (w2 + deletes)
+    inc = CommittedStringIndex.empty(cap).merge(w1, cap)
+    inc = inc.merge(w2, cap, deleted=deleted)
+
+    # one-shot: everything in a single window, deletes applied up front
+    rng = np.random.default_rng(5)
+    all_w = window(range(0, 60))
+    rng = np.random.default_rng(6)
+    w2b = window(range(60, 100))
+    for term, bucket in w2b.terms.items():
+        for d, pos in bucket.items():
+            all_w.insert(d, 0, {})
+            all_w.terms.setdefault(term, {}).setdefault(d, []).extend(pos)
+    # fix doc lens for the combined window
+    all_w.doc_lens.update(w2b.doc_lens)
+    all_w.total_len = sum(all_w.doc_lens.values())
+    all_w.remove_docs(deleted)
+    one = CommittedStringIndex.empty(cap).merge(all_w, cap)
+
+    assert inc.term_dict.terms == one.term_dict.terms
+    assert np.array_equal(inc.term_starts, one.term_starts)
+    assert np.array_equal(inc.post_tf, one.post_tf)
+    assert np.array_equal(np.sort(inc.post_docs), np.sort(one.post_docs))
+    # per-term posting sets match (order within a term may interleave
+    # committed-then-window, which scoring is invariant to)
+    for t in range(len(inc.term_dict)):
+        lo, hi = inc.term_starts[t], inc.term_starts[t + 1]
+        assert sorted(inc.post_docs[lo:hi]) == sorted(one.post_docs[lo:hi]), t
+    assert inc.n_docs_with_field == one.n_docs_with_field
+    assert inc.total_len == one.total_len
+    # positions: same multiset per (term, doc)
+    def pos_map(ix):
+        out = {}
+        for t in range(len(ix.term_dict)):
+            for p in range(int(ix.term_starts[t]), int(ix.term_starts[t + 1])):
+                run = ix.positions[ix.pos_starts[p]:ix.pos_starts[p + 1]]
+                out[(t, int(ix.post_docs[p]))] = sorted(int(x) for x in run)
+        return out
+    assert pos_map(inc) == pos_map(one)
