@@ -132,7 +132,9 @@ def encode(
         w = jax.nn.softmax(logits + attn_bias, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", w.astype(dt), v).reshape(b, l, cfg.hidden)
         x = _ln(x.astype(jnp.float32) + _dense(ctx.astype(dt), layer["o"], dt), layer["ln1"]).astype(dt)
-        h = jax.nn.gelu(_dense(x, layer["up"], dt)).astype(dt)
+        # BERT-family uses exact (erf) gelu — approximate=True diverges from
+        # real BGE/E5 checkpoints
+        h = jax.nn.gelu(_dense(x, layer["up"], dt), approximate=False).astype(dt)
         x = _ln(x.astype(jnp.float32) + _dense(h, layer["down"], dt), layer["ln2"]).astype(dt)
     x = x.astype(jnp.float32)
     if "proj" in params:

@@ -136,6 +136,7 @@ def load_llm_checkpoint(path: str):
         mlp=hf["intermediate_size"],
         max_len=min(hf.get("max_position_embeddings", 2048), 4096),
         rope_theta=hf.get("rope_theta", 10_000.0),
+        rms_eps=hf.get("rms_norm_eps", 1e-6),
     )
 
     def g(name):
@@ -153,19 +154,23 @@ def load_llm_checkpoint(path: str):
     }
     for i in range(cfg.layers):
         lp = f"model.layers.{i}."
-        params["layers"].append(
-            {
-                "ln1": g(lp + "input_layernorm.weight"),
-                "wq": g(lp + "self_attn.q_proj.weight").T,
-                "wk": g(lp + "self_attn.k_proj.weight").T,
-                "wv": g(lp + "self_attn.v_proj.weight").T,
-                "wo": g(lp + "self_attn.o_proj.weight").T,
-                "ln2": g(lp + "post_attention_layernorm.weight"),
-                "w_gate": g(lp + "mlp.gate_proj.weight").T,
-                "w_up": g(lp + "mlp.up_proj.weight").T,
-                "w_down": g(lp + "mlp.down_proj.weight").T,
-            }
-        )
+        layer = {
+            "ln1": g(lp + "input_layernorm.weight"),
+            "wq": g(lp + "self_attn.q_proj.weight").T,
+            "wk": g(lp + "self_attn.k_proj.weight").T,
+            "wv": g(lp + "self_attn.v_proj.weight").T,
+            "wo": g(lp + "self_attn.o_proj.weight").T,
+            "ln2": g(lp + "post_attention_layernorm.weight"),
+            "w_gate": g(lp + "mlp.gate_proj.weight").T,
+            "w_up": g(lp + "mlp.up_proj.weight").T,
+            "w_down": g(lp + "mlp.down_proj.weight").T,
+        }
+        # Qwen2 carries q/k/v biases (service/models.py's Qwen2.5 default)
+        if lp + "self_attn.q_proj.bias" in sd:
+            layer["bq"] = g(lp + "self_attn.q_proj.bias")
+            layer["bk"] = g(lp + "self_attn.k_proj.bias")
+            layer["bv"] = g(lp + "self_attn.v_proj.bias")
+        params["layers"].append(layer)
     tokenizer = None
     try:
         from transformers import AutoTokenizer

@@ -39,6 +39,7 @@ class LlmConfig:
     mlp: int = 1024
     max_len: int = 1024
     rope_theta: float = 10_000.0
+    rms_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
 
     @property
@@ -81,13 +82,15 @@ def init_params(rng: jax.Array, cfg: LlmConfig) -> Dict[str, Any]:
     return params
 
 
-def param_specs(cfg: LlmConfig) -> Dict[str, Any]:
+def param_specs(cfg: LlmConfig, with_bias: bool = False) -> Dict[str, Any]:
     col = P(None, "model")
     row = P("model", None)
     layer = {
         "ln1": P(), "wq": col, "wk": col, "wv": col, "wo": row,
         "ln2": P(), "w_gate": col, "w_up": col, "w_down": row,
     }
+    if with_bias:
+        layer = dict(layer, bq=P("model"), bk=P("model"), bv=P("model"))
     return {
         "tok_emb": P(),
         "out_norm": P(),
@@ -134,10 +137,18 @@ def forward(
     rep = cfg.heads // cfg.kv_heads
 
     for li, layer in enumerate(params["layers"]):
-        h = _rms(x, layer["ln1"])
-        q = (h @ layer["wq"].astype(dt)).reshape(b, t, cfg.heads, hd)
-        k = (h @ layer["wk"].astype(dt)).reshape(b, t, cfg.kv_heads, hd)
-        v = (h @ layer["wv"].astype(dt)).reshape(b, t, cfg.kv_heads, hd)
+        h = _rms(x, layer["ln1"], cfg.rms_eps)
+        q = h @ layer["wq"].astype(dt)
+        k = h @ layer["wk"].astype(dt)
+        v = h @ layer["wv"].astype(dt)
+        # Qwen2-family attention projections carry biases (q/k/v only)
+        if "bq" in layer:
+            q = q + layer["bq"].astype(dt)
+            k = k + layer["bk"].astype(dt)
+            v = v + layer["bv"].astype(dt)
+        q = q.reshape(b, t, cfg.heads, hd)
+        k = k.reshape(b, t, cfg.kv_heads, hd)
+        v = v.reshape(b, t, cfg.kv_heads, hd)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
@@ -168,12 +179,12 @@ def forward(
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v_rep).reshape(b, t, -1)
         x = x + ctx @ layer["wo"].astype(dt)
 
-        h = _rms(x, layer["ln2"])
+        h = _rms(x, layer["ln2"], cfg.rms_eps)
         gate = jax.nn.silu(h @ layer["w_gate"].astype(dt))
         up = h @ layer["w_up"].astype(dt)
         x = x + (gate * up) @ layer["w_down"].astype(dt)
 
-    x = _rms(x, params["out_norm"])
+    x = _rms(x, params["out_norm"], cfg.rms_eps)
     logits = (x.astype(jnp.float32)) @ params["lm_head"]
     return logits, new_cache
 
