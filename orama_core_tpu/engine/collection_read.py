@@ -201,6 +201,45 @@ class _DeviceCache:
 
         return self._get(s, "str", build)
 
+    def phrase_docmajor_arrays(self, s: CommittedStringIndex, cap: int):
+        """Commit-static doc-major position stream for the sort-free phrase
+        kernel (ops/bm25.phrase_boost_docmajor): every (doc, pos, term) of
+        the field packed as sorted int64 keys + term payload, sorted ONCE on
+        device per generation, plus the per-doc CSR bounds (host numpy)."""
+
+        def build():
+            from ..ops.bm25 import PAD_DOC
+
+            steps = self.cfg.posting_bucket_steps
+            pp = len(s.positions)
+            pp_pad = bucket_pad(max(pp, 1), steps)
+            run_lens = np.diff(s.pos_starts)
+            pos_doc = np.repeat(s.post_docs, run_lens)
+            tcounts = np.diff(s.term_starts)
+            pos_term = np.repeat(
+                np.repeat(
+                    np.arange(len(tcounts), dtype=np.int32), tcounts
+                ),
+                run_lens,
+            )
+            d_col = np.full(pp_pad, PAD_DOC, np.int32)
+            d_col[:pp] = pos_doc
+            p_col = np.zeros(pp_pad, np.int32)
+            p_col[:pp] = s.positions
+            t_col = np.zeros(pp_pad, np.int32)
+            t_col[:pp] = pos_term
+            # one device sort per generation (the query path never sorts)
+            d_dev, p_dev, t_dev = jax.lax.sort(
+                (jnp.asarray(d_col), jnp.asarray(p_col), jnp.asarray(t_col)),
+                num_keys=2,
+            )
+            counts = np.bincount(pos_doc, minlength=cap).astype(np.int32)[:cap]
+            bounds = np.zeros(cap + 1, np.int32)
+            np.cumsum(counts, out=bounds[1:])
+            return d_dev, p_dev, t_dev, jnp.asarray(bounds)
+
+        return self._get(s, ("phrase_dm", cap), build)
+
     # vector -----------------------------------------------------------------
 
     def vector_arrays(self, v: CommittedVectorIndex):
@@ -854,20 +893,19 @@ class CollectionReader:
                         n_docs=cap, n_blocks=nb,
                     )
                     if phrase:
-                        ps_host = committed.pos_starts
-                        pp_lo = [int(ps_host[ts_host[lo]]) for lo, hi in token_spans]
-                        pp_len = [
-                            int(ps_host[ts_host[hi]] - ps_host[ts_host[lo]])
-                            for lo, hi in token_spans
-                        ]
-                        need_pb = sum((ln + BLOCK - 1) // BLOCK for ln in pp_len)
-                        npb = bucket_pad(max(need_pb, 1), (16, 256, 4096, 65536))
-                        pb_starts, pb_valid = build_block_plan(pp_lo, pp_len, npb)
-                        boost_by_doc = bm25_ops.phrase_boost_blocked(
-                            d_pos, d_posdocs,
-                            jnp.asarray(pb_starts), jnp.asarray(pb_valid),
-                            jnp.float32(field_boost),
-                            n_docs=cap, n_blocks=npb,
+                        # sort-free doc-major phrase kernel: commit-static
+                        # stream + spans, one compiled program per generation
+                        # (ops/bm25.phrase_boost_docmajor)
+                        d_dev, p_dev, t_dev, bounds = (
+                            self._device.phrase_docmajor_arrays(committed, cap)
+                        )
+                        max_tok = 32
+                        spans_a = np.zeros((max_tok, 2), np.int32)
+                        for si, (lo, hi) in enumerate(token_spans[:max_tok]):
+                            spans_a[si] = (lo, hi)
+                        boost_by_doc = bm25_ops.phrase_boost_docmajor(
+                            d_dev, p_dev, t_dev, bounds, jnp.asarray(spans_a),
+                            jnp.float32(field_boost), n_docs=cap,
                         )
                         raw = raw * boost_by_doc
                     if masked:

@@ -143,3 +143,71 @@ def test_topk():
     vals, idx, count = topk.topk_with_count(scores, 3)
     assert idx.tolist() == [1, 3, 0]
     assert int(count) == 3
+
+
+def test_phrase_docmajor_matches_sort_kernel():
+    """The sort-free doc-major phrase kernel must reproduce
+    phrase_boost_by_doc exactly on random corpora (dups from stem/original
+    shared positions, multi-term spans, adjacency chains)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import jax
+
+    from orama_core_tpu.ops import bm25 as b
+
+    rng = np.random.default_rng(9)
+    n_docs, n_terms = 40, 25
+    # synthetic committed layout: postings per term -> positions per posting
+    post_docs, run_lens, positions, term_of_post = [], [], [], []
+    for t in range(n_terms):
+        docs = sorted(rng.choice(n_docs, size=rng.integers(1, 6), replace=False))
+        for d in docs:
+            k = int(rng.integers(1, 4))
+            post_docs.append(d)
+            term_of_post.append(t)
+            run_lens.append(k)
+            positions.extend(sorted(rng.choice(12, size=k, replace=False)))
+    post_docs = np.asarray(post_docs, np.int64)
+    run_lens = np.asarray(run_lens, np.int64)
+    positions = np.asarray(positions, np.int64)
+    pos_doc = np.repeat(post_docs, run_lens)
+    pos_term = np.repeat(np.asarray(term_of_post, np.int32), run_lens)
+
+    spans = np.zeros((32, 2), np.int32)
+    spans[0] = (2, 5)     # multi-term span (prefix expansion)
+    spans[1] = (7, 8)
+    spans[2] = (11, 14)
+
+    # gold: the sort-based kernel over matched positions only
+    m = ((pos_term >= 2) & (pos_term < 5)) | (pos_term == 7) | (
+        (pos_term >= 11) & (pos_term < 14)
+    )
+    gold = np.asarray(
+        b.phrase_boost_by_doc(
+            jnp.asarray(pos_doc[m], jnp.int32),
+            jnp.asarray(positions[m], jnp.int32),
+            jnp.ones(int(m.sum()), jnp.float32),
+            jnp.float32(1.5),
+            n_docs=n_docs,
+        )
+    )
+
+    # doc-major stream over ALL positions
+    order = np.lexsort((positions, pos_doc))
+    d_col = np.full(512, b.PAD_DOC, np.int32)
+    p_col = np.zeros(512, np.int32)
+    t_col = np.zeros(512, np.int32)
+    d_col[: len(positions)] = pos_doc[order]
+    p_col[: len(positions)] = positions[order]
+    t_col[: len(positions)] = pos_term[order]
+    counts = np.bincount(pos_doc, minlength=n_docs)
+    bounds = np.zeros(n_docs + 1, np.int32)
+    np.cumsum(counts, out=bounds[1:])
+    got = np.asarray(
+        b.phrase_boost_docmajor(
+            jnp.asarray(d_col), jnp.asarray(p_col), jnp.asarray(t_col),
+            jnp.asarray(bounds), jnp.asarray(spans), jnp.float32(1.5),
+            n_docs=n_docs,
+        )
+    )
+    assert np.allclose(got, gold), np.nonzero(got != gold)
