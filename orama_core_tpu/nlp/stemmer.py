@@ -238,11 +238,54 @@ _LIGHT = {
 }
 
 
+# Snowball algorithms via NLTK's pure-Python implementations — the same
+# algorithm family the reference uses through rust-stemmers
+# (nlp/mod.rs:35-108). Covers 14 of the reference's 17 stemmer locales;
+# EL/TA/TR have no NLTK Snowball port and stem to identity (documented gap).
+_SNOWBALL_LANG = {
+    "ar": "arabic", "da": "danish", "de": "german", "en": "english",
+    "es": "spanish", "fr": "french", "hu": "hungarian", "it": "italian",
+    "nl": "dutch", "no": "norwegian", "pt": "portuguese", "ro": "romanian",
+    "ru": "russian", "sv": "swedish",
+}
+_SNOWBALL_CACHE: dict = {}
+
+
+def _snowball(locale: str):
+    fn = _SNOWBALL_CACHE.get(locale)
+    if fn is not None:
+        return fn if fn is not False else None
+    try:
+        from nltk.stem.snowball import SnowballStemmer
+
+        st = SnowballStemmer(_SNOWBALL_LANG[locale])
+    except Exception:
+        _SNOWBALL_CACHE[locale] = False
+        return None
+    cache: dict = {}
+
+    def stem(word: str) -> str:
+        s = cache.get(word)
+        if s is None:
+            s = st.stem(word)
+            cache[word] = s  # vocabulary is Zipfian — memoize hot words
+        return s
+
+    _SNOWBALL_CACHE[locale] = stem
+    return stem
+
+
 def get_stemmer(locale: str):
     """Return a stem function for the locale, or None (identity).
 
-    EN: full Porter; FR/ES/DE/IT/PT: light suffix stemmers; others:
-    identity (the reference also has stemmer-less locales)."""
+    Snowball (NLTK) for the reference's stemmer locales; fallbacks when
+    NLTK is unavailable: full Porter for EN, light suffix stemmers for
+    FR/ES/DE/IT/PT; identity otherwise (the reference also has
+    stemmer-less locales, nlp/mod.rs:37-108)."""
+    if locale in _SNOWBALL_LANG:
+        sb = _snowball(locale)
+        if sb is not None:
+            return sb
     if locale == "en":
         return porter_stem
     return _LIGHT.get(locale)

@@ -151,6 +151,12 @@ detta at utan varit hur ingen mitt ni bli blev oss din dessa nagra deras blir
 mina samma vilken er sadan vart dina vars vem vilka ocksa
 """)
 
+# remaining reference locales (24 tables) live in the generated data module
+from .stop_words_extra import TABLES as _EXTRA  # noqa: E402
+
+for _loc, _words in _EXTRA.items():
+    _TABLES.setdefault(_loc, _words)
+
 EMPTY: FrozenSet[str] = frozenset()
 
 
