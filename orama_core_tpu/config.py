@@ -94,11 +94,17 @@ class TpuConfig:
     posting_bucket_steps: Tuple[int, ...] = (1024, 16384, 262144, 4194304)
     use_pallas: bool = True
     # Vector scoring path: "exact" (bf16 matmul), "int8" (quantized matmul),
-    # "ivf" (clustered candidates above ivf_threshold, exact below)
+    # "ivf" (clustered candidates above ivf_threshold, exact below),
+    # "pq" (ADC + exact rerank), "ivf_pq" (IVF partitions + PQ candidate
+    # scan + exact rerank — the scale mode)
     vector_index: str = "exact"
     ivf_threshold: int = 50_000
     ivf_nprobe: int = 16
     ivf_candidate_expand: int = 8
+    # autotune nprobe at commit against brute-force ground truth until
+    # recall@10 >= target (index/vector_index.tune_nprobe)
+    ivf_autotune: bool = True
+    ivf_autotune_target: float = 0.95
     # Serving micro-batching: coalesce concurrent vector queries into one
     # batched device call (server/batcher.py)
     query_batching: bool = False

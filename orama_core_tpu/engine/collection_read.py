@@ -293,6 +293,21 @@ class _DeviceCache:
 
         return self._get(v, "vec_pq", build)
 
+    def vector_ivfpq_arrays(self, v: CommittedVectorIndex):
+        def build():
+            dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
+            return (
+                jnp.asarray(v.pq_codes),
+                jnp.asarray(v.pq_codebooks, dtype=jnp.float32),
+                jnp.asarray(v.vecs, dtype=dtype),
+                jnp.asarray(v.ivf_cents, dtype=jnp.float32),
+                jnp.asarray(v.ivf_lists),
+                jnp.asarray(v.ivf_lens),
+                jnp.asarray(v.vec_docs),
+            )
+
+        return self._get(v, "vec_ivfpq", build)
+
     def vector_ivf_arrays(self, v: CommittedVectorIndex):
         def build():
             dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
@@ -970,6 +985,23 @@ class CollectionReader:
         """Dispatch the committed-segment vector scoring path:
         exact bf16 matmul | int8 matmul | IVF candidates + scatter."""
         mode = self.cfg.vector_index
+        if mode == "ivf_pq" and committed.has_ivf and committed.has_pq:
+            from ..ops import ivf as ivf_ops
+
+            (
+                codes, books, vecs, cents, lists, lens, vec_docs,
+            ) = self._device.vector_ivfpq_arrays(committed)
+            expand = committed.tuned_expand or self.cfg.ivf_candidate_expand
+            cand_k = min(max(limit, 10) * expand, committed.n_vectors)
+            nprobe = committed.tuned_nprobe or self.cfg.ivf_nprobe
+            sims, rows = ivf_ops.ivf_pq_search(
+                codes, books, vecs, cents, lists, lens, q_dev[None, :],
+                nprobe=min(nprobe, lists.shape[0]), k=cand_k, expand=expand,
+            )
+            docs = vec_docs[rows[0]]
+            contrib = jnp.maximum(sims[0], 0.0)
+            scores = jnp.zeros((cap,), jnp.float32).at[docs].add(contrib)
+            return scores * filter_mask
         if mode == "ivf" and committed.has_ivf:
             from ..ops import ivf as ivf_ops
 
@@ -979,9 +1011,10 @@ class CollectionReader:
             cand_k = min(
                 max(limit, 10) * self.cfg.ivf_candidate_expand, committed.n_vectors
             )
+            nprobe = committed.tuned_nprobe or self.cfg.ivf_nprobe
             sims, rows = ivf_ops.ivf_search(
                 vecs, cents, lists, lens, q_dev[None, :],
-                nprobe=min(self.cfg.ivf_nprobe, lists.shape[0]), k=cand_k,
+                nprobe=min(nprobe, lists.shape[0]), k=cand_k,
             )
             docs = vec_docs[rows[0]]
             contrib = jnp.maximum(sims[0], 0.0)
@@ -1281,7 +1314,7 @@ class CollectionReader:
         if params.facets:
             return False
         if params.mode != SearchModeKind.FULLTEXT and self.cfg.vector_index in (
-            "ivf", "pq",
+            "ivf", "pq", "ivf_pq",
         ):
             # sharded IVF/PQ layouts not built yet — replicated path is exact
             return False
@@ -1717,16 +1750,24 @@ class CollectionReader:
                     vf.committed = old.merge(vf.uncommitted, deleted)
                     vf.uncommitted = UncommittedVectorIndex(old.dimension)
                     self._device.drop(old)
-                    if (
-                        self.cfg.vector_index == "ivf"
-                        and vf.committed.n_vectors >= self.cfg.ivf_threshold
-                    ):
+                    big = vf.committed.n_vectors >= self.cfg.ivf_threshold
+                    if self.cfg.vector_index == "ivf" and big:
                         vf.committed.build_ivf()
-                    elif (
-                        self.cfg.vector_index == "pq"
-                        and vf.committed.n_vectors >= self.cfg.ivf_threshold
-                    ):
+                        if self.cfg.ivf_autotune:
+                            vf.committed.tune_nprobe(
+                                target_recall=self.cfg.ivf_autotune_target
+                            )
+                    elif self.cfg.vector_index == "pq" and big:
                         vf.committed.build_pq()
+                    elif self.cfg.vector_index == "ivf_pq" and big:
+                        # the combined scale mode: IVF partitions + PQ ADC
+                        # candidate scan + exact rerank (ops/ivf.ivf_pq_search)
+                        vf.committed.build_ivf()
+                        vf.committed.build_pq()
+                        if self.cfg.ivf_autotune:
+                            vf.committed.tune_nprobe(
+                                target_recall=self.cfg.ivf_autotune_target
+                            )
             self.committed_offset = offset
             self.uncommitted_ops = 0
 

@@ -81,6 +81,10 @@ class CommittedVectorIndex:
     # vestigial reductive-PQ demo, bin/embeddings/pq.rs)
     pq_codebooks: Optional[np.ndarray] = None  # [M, C, D/M]
     pq_codes: Optional[np.ndarray] = None      # uint8[P, M]
+    # (nprobe, ADC expand) chosen by tune_nprobe() against brute-force
+    # ground truth (None => use the config defaults)
+    tuned_nprobe: Optional[int] = None
+    tuned_expand: Optional[int] = None
 
     @staticmethod
     def empty(dimension: int) -> "CommittedVectorIndex":
@@ -144,6 +148,74 @@ class CommittedVectorIndex:
         self.ivf_lists = lists
         self.ivf_lens = lens
 
+    def tune_nprobe(
+        self,
+        k: int = 10,
+        target_recall: float = 0.95,
+        n_sample: int = 128,
+        expand: int = 10,
+        seed: int = 7,
+    ) -> Optional[int]:
+        """Autotune nprobe against brute-force ground truth (VERDICT r1 item
+        10): sample held-out-style queries (perturbed corpus rows), double
+        nprobe until recall@k >= target. Sets and returns ``tuned_nprobe``."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import ivf as ivf_ops
+
+        if not self.has_ivf or self.n_vectors < 2 * k:
+            return None
+        rng = np.random.default_rng(seed)
+        n_sample = min(n_sample, self.n_vectors)
+        rows = rng.choice(self.n_vectors, size=n_sample, replace=False)
+        q = self.vecs[rows] + 0.05 * rng.standard_normal(
+            (n_sample, self.dimension)
+        ).astype(np.float32)
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        q_dev = jnp.asarray(q)
+        v_dev = jnp.asarray(self.vecs)
+        # brute-force ground truth (chunk queries to bound memory)
+        sims = jnp.dot(q_dev, v_dev.T, preferred_element_type=jnp.float32)
+        _, gt = jax.lax.top_k(sims, k)
+        gt = np.asarray(gt)
+        cents = jnp.asarray(self.ivf_cents)
+        lists = jnp.asarray(self.ivf_lists)
+        lens = jnp.asarray(self.ivf_lens)
+        n_clusters = self.ivf_lists.shape[0]
+        def recall_at(nprobe: int, exp: int) -> float:
+            if self.has_pq:
+                _, ids = ivf_ops.ivf_pq_search(
+                    jnp.asarray(self.pq_codes), jnp.asarray(self.pq_codebooks),
+                    v_dev, cents, lists, lens, q_dev,
+                    nprobe=nprobe, k=k, expand=exp,
+                )
+            else:
+                _, ids = ivf_ops.ivf_search(
+                    v_dev, cents, lists, lens, q_dev, nprobe=nprobe, k=k
+                )
+            ids = np.asarray(ids)
+            hits = sum(len(set(ids[i]) & set(gt[i])) for i in range(n_sample))
+            return hits / float(n_sample * k)
+
+        # grow nprobe until the target or a plateau; a plateau with PQ means
+        # the ADC candidate budget is the bottleneck — grow expand instead
+        nprobe, prev = 1, -1.0
+        while True:
+            recall = recall_at(nprobe, expand)
+            if recall >= target_recall or nprobe >= n_clusters:
+                break
+            if self.has_pq and prev >= 0 and recall - prev < 0.005:
+                break
+            prev = recall
+            nprobe = min(nprobe * 2, n_clusters)
+        while self.has_pq and recall < target_recall and expand < 128:
+            expand *= 2
+            recall = recall_at(nprobe, expand)
+        self.tuned_nprobe = int(nprobe)
+        self.tuned_expand = int(expand)
+        return self.tuned_nprobe
+
     @property
     def n_vectors(self) -> int:
         return len(self.vec_docs)
@@ -187,10 +259,16 @@ class CommittedVectorIndex:
         if self.has_pq:
             out["pq_codebooks"] = self.pq_codebooks
             out["pq_codes"] = self.pq_codes
+        if self.tuned_nprobe is not None:
+            out["tuned_nprobe"] = np.asarray([self.tuned_nprobe], np.int64)
+        if self.tuned_expand is not None:
+            out["tuned_expand"] = np.asarray([self.tuned_expand], np.int64)
         return out
 
     @staticmethod
     def from_arrays(arrays: Dict[str, np.ndarray]) -> "CommittedVectorIndex":
+        tuned = arrays.get("tuned_nprobe")
+        tuned_e = arrays.get("tuned_expand")
         return CommittedVectorIndex(
             dimension=int(arrays["dim"][0]),
             vecs=arrays["vecs"].astype(np.float32),
@@ -200,4 +278,6 @@ class CommittedVectorIndex:
             ivf_lens=arrays.get("ivf_lens"),
             pq_codebooks=arrays.get("pq_codebooks"),
             pq_codes=arrays.get("pq_codes"),
+            tuned_nprobe=int(tuned[0]) if tuned is not None else None,
+            tuned_expand=int(tuned_e[0]) if tuned_e is not None else None,
         )

@@ -142,6 +142,70 @@ def ivf_search(
     return v, jnp.take_along_axis(cand_flat, i, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "expand"))
+def ivf_pq_search(
+    codes: jax.Array,      # uint8[P, M] PQ codes (the scan reads these, not vecs)
+    codebooks: jax.Array,  # [M, C, ds]
+    vecs: jax.Array,       # [P, D] full-precision rows (rerank only)
+    cents: jax.Array,      # [Cl, D] IVF centroids
+    lists: jax.Array,      # int32[Cl, cap]
+    list_lens: jax.Array,  # int32[Cl]
+    queries: jax.Array,    # [Q, D]
+    nprobe: int,
+    k: int,
+    expand: int = 10,
+):
+    """IVF + PQ + exact rerank (VERDICT r1 item 10; the engine's scale
+    vector mode): probe ``nprobe`` clusters, score their members by PQ ADC
+    (bandwidth: M bytes/row instead of 2-4*D), take k*expand candidates,
+    rerank those rows exactly. Returns (scores [Q, k], row ids [Q, k]).
+
+    Replaces the reference's HNSW recall/speed trade (committed/vector.rs:
+    36-236) with a partition+compression trade that keeps the MXU busy."""
+    q_n = queries.shape[0]
+    cap = lists.shape[1]
+    csims = jnp.dot(
+        queries, cents.T.astype(queries.dtype), preferred_element_type=jnp.float32
+    )
+    _, probe = jax.lax.top_k(csims, nprobe)                 # [Q, nprobe]
+    cand_flat = lists[probe].reshape(q_n, nprobe * cap)     # [Q, N]
+    cand_lens = list_lens[probe]                            # [Q, nprobe]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (nprobe, cap), 1)
+    valid = (pos[None] < cand_lens[:, :, None]).reshape(q_n, nprobe * cap)
+
+    # ADC over candidates: per-subspace LUT gather, [Q, N] accumulator
+    m, c, ds = codebooks.shape
+    qsub = queries.reshape(q_n, m, ds).transpose(1, 0, 2)   # [M, Q, ds]
+    lut = jnp.einsum(
+        "mqd,mcd->mqc", qsub, codebooks, preferred_element_type=jnp.float32
+    )                                                       # [M, Q, C]
+    codes_cand = codes[cand_flat].astype(jnp.int32)         # [Q, N, M]
+
+    def body(acc, inputs):
+        lut_m, code_m = inputs                              # [Q, C], [Q, N]
+        return acc + jnp.take_along_axis(lut_m, code_m, axis=1), None
+
+    acc0 = jnp.zeros((q_n, nprobe * cap), jnp.float32)
+    adc, _ = jax.lax.scan(
+        body, acc0, (lut, codes_cand.transpose(2, 0, 1))
+    )
+    adc = jnp.where(valid, adc, -jnp.inf)
+    ck = min(k * expand, nprobe * cap)
+    _, ci = jax.lax.top_k(adc, ck)                          # [Q, ck]
+    rows = jnp.take_along_axis(cand_flat, ci, axis=1)
+    # exact rerank on full-precision rows
+    cand_vecs = vecs[rows]                                  # [Q, ck, D]
+    sims = jnp.einsum(
+        "qd,qcd->qc", queries.astype(cand_vecs.dtype), cand_vecs,
+        preferred_element_type=jnp.float32,
+    )
+    sims = jnp.where(
+        jnp.take_along_axis(valid, ci, axis=1), sims, -jnp.inf
+    )
+    v, i = jax.lax.top_k(sims, k)
+    return v, jnp.take_along_axis(rows, i, axis=1)
+
+
 def ivf_recall_at_k(vecs_np, cents, lists, lens, queries_np, nprobe, k=10) -> float:
     """Host harness: recall vs exact brute force (tuning helper)."""
     v, ids = ivf_search(

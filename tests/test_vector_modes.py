@@ -113,3 +113,83 @@ def test_ivf_mode_builds_and_searches(tmp_path):
         assert res.hits[0].id == "1"
     finally:
         e2.close()
+
+
+def test_ivf_pq_mode_builds_searches_and_tunes(tmp_path):
+    """The combined scale mode (VERDICT r1 item 10): IVF partitions + PQ
+    ADC candidate scan + exact rerank, with nprobe autotuned at commit
+    against brute-force ground truth, persisted and reloaded."""
+    e = _engine(tmp_path, "ivf_pq", ivf_threshold=1)
+    try:
+        e.write_side.create_collection(MASTER, "c", READ, WRITE)
+        e.write_side.write("c", DOCS, WRITE)
+        e.flush()
+        e.commit()
+        reader = e.read_side.collections["c"]
+        vf = next(iter(reader._vector.values()))
+        assert vf.committed.has_ivf and vf.committed.has_pq
+        res = e.read_side.search(
+            "c",
+            SearchParams.from_json(
+                {"term": "solar sunlight electricity", "mode": "vector"}
+            ),
+            READ,
+        )
+        assert res.hits[0].id == "0"
+        e.commit()
+    finally:
+        e.close()
+    e2 = build_orama(e.cfg, start_background=False)
+    try:
+        vf = next(iter(e2.read_side.collections["c"]._vector.values()))
+        assert vf.committed.has_ivf and vf.committed.has_pq
+    finally:
+        e2.close()
+
+
+def test_ivf_pq_recall_and_autotune():
+    """Op-level: ivf_pq_search recall@10 >= 0.95 after tune_nprobe on a
+    clustered synthetic corpus; tuned nprobe persists through arrays."""
+    import jax.numpy as jnp
+
+    from orama_core_tpu.index.vector_index import CommittedVectorIndex
+    from orama_core_tpu.ops import ivf as ivf_ops
+
+    rng = np.random.default_rng(0)
+    n, d, n_clusters_true = 20_000, 64, 50
+    cents = rng.standard_normal((n_clusters_true, d)).astype(np.float32)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters_true, n)
+    vecs = cents[assign] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    idx = CommittedVectorIndex(
+        dimension=d, vecs=vecs, vec_docs=np.arange(n, dtype=np.int32)
+    )
+    idx.build_ivf()
+    idx.build_pq()
+    tuned = idx.tune_nprobe(k=10, target_recall=0.95, n_sample=64)
+    assert tuned is not None and tuned >= 1
+
+    # measure recall on fresh queries at the tuned nprobe
+    q = vecs[rng.choice(n, 32, replace=False)] + 0.05 * rng.standard_normal(
+        (32, d)
+    ).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    sims = q @ vecs.T
+    gt = np.argsort(-sims, axis=1)[:, :10]
+    _, ids = ivf_ops.ivf_pq_search(
+        jnp.asarray(idx.pq_codes), jnp.asarray(idx.pq_codebooks),
+        jnp.asarray(vecs), jnp.asarray(idx.ivf_cents),
+        jnp.asarray(idx.ivf_lists), jnp.asarray(idx.ivf_lens),
+        jnp.asarray(q), nprobe=tuned, k=10, expand=idx.tuned_expand,
+    )
+    ids = np.asarray(ids)
+    recall = np.mean(
+        [len(set(ids[i]) & set(gt[i])) / 10.0 for i in range(len(q))]
+    )
+    assert recall >= 0.95, (recall, tuned)
+
+    # tuned nprobe round-trips persistence
+    again = CommittedVectorIndex.from_arrays(idx.to_arrays())
+    assert again.tuned_nprobe == tuned
