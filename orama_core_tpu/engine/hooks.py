@@ -36,6 +36,7 @@ SELECT_EMBEDDING_PROPERTIES = "selectEmbeddingProperties"
 VALID_HOOK_NAMES = (SELECT_EMBEDDING_PROPERTIES,)
 
 _RETURN_LITERAL = re.compile(r"return\s+(\[[^;]*\]|'[^']*'|\"[^\"]*\")\s*;?", re.S)
+_UNSUPPORTED = object()  # minijs couldn't run the hook (outside the subset)
 
 
 class HookValidationError(ValueError):
@@ -102,14 +103,30 @@ class HooksRuntime:
             raise HookValidationError(f"unknown hook {name!r}")
         if isinstance(code, str):
             _validate_js(code)
-            if self._node is None and _static_eval(code) is None:
+            # validation mirrors the reference's oxc parse check
+            # (hooks.rs:104-112): the bundled interpreter must parse it, or a
+            # fallback tier must be able to run it
+            if not self._parseable(code):
                 raise HookValidationError(
-                    "no JS engine available and the hook is not a constant-"
-                    "return function; install node or register a Python callable"
+                    "hook uses JS outside the supported subset "
+                    "(engine/minijs.py) and no other execution tier can run "
+                    "it; simplify the hook or register a Python callable"
                 )
         with self._lock:
             self._hooks[(collection_id, name)] = code
         self._persist()
+
+    def _parseable(self, code: str) -> bool:
+        from . import minijs
+
+        try:
+            minijs._Parser(minijs._tokenize(code)).parse_program()
+            return True
+        except minijs.MiniJsError:
+            pass
+        if _static_eval(code) is not None:
+            return True
+        return self._node is not None
 
     def get_hook(self, collection_id: str, name: str):
         with self._lock:
@@ -138,16 +155,34 @@ class HooksRuntime:
             return None
         if callable(hook):
             return hook(document)
-        # constant-return hooks never need a JS engine — the dominant shape,
-        # and sandboxed by construction
+        # tier 1: the bundled sandboxed interpreter (engine/minijs.py) — the
+        # replacement for the reference's embedded V8 thread (js/deno.rs):
+        # dynamic hooks run in-process with no host access and a step budget
+        from . import minijs
+
+        try:
+            value = minijs.run_hook(hook, SELECT_EMBEDDING_PROPERTIES, document)
+        except minijs.MiniJsError:
+            value = _UNSUPPORTED
+        if value is not _UNSUPPORTED:
+            if value is None:
+                return None  # hook declined: no override
+            if isinstance(value, str):
+                return value
+            if isinstance(value, list) and all(isinstance(x, str) for x in value):
+                return value
+            raise RuntimeError(
+                f"hook returned unsupported value {type(value).__name__}"
+            )
+        # tier 2: constant-return extraction (no engine needed at all)
         static = _static_eval(hook)
         if static is not None:
             return static
         if self._node is None:
             raise RuntimeError(
-                "hook requires a JS engine: subprocess execution is disabled "
-                "by default (opt in with ORAMAX_HOOKS_SUBPROCESS=1) and the "
-                "hook is not statically evaluable"
+                "hook requires JS outside the supported subset: subprocess "
+                "execution is disabled by default (opt in with "
+                "ORAMAX_HOOKS_SUBPROCESS=1)"
             )
         # IIFE wrapper returning JSON — the deno runner's pattern; node runs
         # under its permission model (no fs/net/env-write grants)
