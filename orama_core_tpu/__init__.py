@@ -31,7 +31,32 @@ class Orama:
 
     def __init__(self, cfg: OramaxConfig, start_background: bool = True) -> None:
         self.cfg = cfg
-        self.ai = AIService(cfg.ai)
+        if cfg.ai.remote_url:
+            from .rpc import RemoteAIService
+
+            self.ai = RemoteAIService(cfg.ai.remote_url)
+        else:
+            self.ai = AIService(cfg.ai)
+        self._grpc_server = None
+        if cfg.ai.grpc_port is not None and not cfg.ai.remote_url:
+            from .rpc import serve_ai
+
+            def _planner(text, collection_id, messages):
+                # serve PlannedAnswer like the reference sidecar does
+                # (ai_server planned_answer); engine-side steps run here
+                import json as _json
+
+                from .engine.answer import PartyPlanner
+
+                for ev in PartyPlanner(self.read_side).run(
+                    collection_id, text, conversation=messages, skip_auth=True
+                ):
+                    yield _json.dumps(ev), False
+                yield "", True
+
+            self._grpc_server, self.grpc_port = serve_ai(
+                self.ai, port=cfg.ai.grpc_port, planner=_planner
+            )
         tx, rx = channel(cfg.writer_side.channel_capacity)
         from .engine.hooks import HooksRuntime
         import os as _os
@@ -139,6 +164,10 @@ class Orama:
         self._stop.set()
         for t in self._threads:
             t.join(timeout=2.0)
+        if self._grpc_server is not None:
+            self._grpc_server.stop(grace=1.0)
+        if hasattr(self.ai, "close"):
+            self.ai.close()
 
 
 def build_orama(cfg: Optional[OramaxConfig] = None, start_background: bool = True) -> Orama:

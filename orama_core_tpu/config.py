@@ -75,6 +75,13 @@ class AiConfig:
     llm_model: str = "fake-llm"
     hf_model_path: Optional[str] = None  # load real weights if given
     max_batch_size: int = 64
+    # Remote model backend: when set (host:port), the engine consumes models
+    # over gRPC (rpc/client.py) instead of running them in-process —
+    # the reference's GPU-sidecar deployment shape (src/ai/mod.rs:42-199).
+    remote_url: Optional[str] = None
+    # When set, also EXPOSE this process's in-process models over gRPC so
+    # remote engines can use this box as a model sidecar (rpc/server.py).
+    grpc_port: Optional[int] = None
 
 
 @dataclasses.dataclass
