@@ -59,48 +59,59 @@ def main() -> None:
     CHUNK = min(1_000_000, N_PAD)
     while N_PAD % CHUNK:
         CHUNK //= 2
+    N_CHUNKS = N_PAD // CHUNK
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def fill_chunk(codes, scales, k, start):
-        v = jax.random.normal(k, (CHUNK, D), jnp.float32)
+    # The corpus lives as N_CHUNKS independent [CHUNK, D] int8 arrays, not
+    # one contiguous buffer. Round 1's 30 donated-update round trips wedged
+    # the relay, and a single fori_loop dispatch with an 11.5 GB carry
+    # crashed the worker (un-aliased while-loop carries double the
+    # footprint past 16 GB HBM). Independent chunk arrays need neither a
+    # giant contiguous allocation nor cross-dispatch donation; the scoring
+    # jit chains one kernel per chunk and merges top-k.
+    @functools.partial(jax.jit, static_argnames=("bf16_gen",))
+    def gen_chunk(ci, bf16_gen=True):
+        k = jax.random.fold_in(jax.random.PRNGKey(0), ci)
+        dt = jnp.bfloat16 if bf16_gen else jnp.float32
+        v = jax.random.normal(k, (CHUNK, D), dt).astype(jnp.float32)
         v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
         absmax = jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-9)
         sc = absmax / 127.0
         c8 = jnp.clip(jnp.round(v / sc[:, None]), -127, 127).astype(jnp.int8)
-        codes = jax.lax.dynamic_update_slice(codes, c8, (start, 0))
-        scales = jax.lax.dynamic_update_slice(scales, sc, (start,))
-        return codes, scales
+        return c8, sc
 
     t0 = time.time()
-    codes = jnp.zeros((N_PAD, D), jnp.int8)
-    scales = jnp.zeros((N_PAD,), jnp.float32)
-    for ci in range(N_PAD // CHUNK):
-        codes, scales = fill_chunk(
-            codes, scales, jax.random.fold_in(jax.random.PRNGKey(0), ci), ci * CHUNK
-        )
-    _ = np.asarray(scales[0])
-    log(f"corpus built (chunked) in {time.time()-t0:.1f}s")
+    chunks = [gen_chunk(ci) for ci in range(N_CHUNKS)]
+    _ = np.asarray(chunks[-1][1][0])
+    log(f"corpus built ({N_CHUNKS} chunk arrays) in {time.time()-t0:.1f}s")
 
     queries = jax.random.normal(jax.random.PRNGKey(9), (QB, D), jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
 
+    flat_args = [a for pair in chunks for a in pair]
+
     @jax.jit
-    def chain(c, s, q, carry):
-        vv, _ = knn_topk_int8(
-            c, s, q + carry * 0.0, k=K, block_rows=BN, n_valid=N,
-            interpret=args.cpu,
-        )
-        return jnp.max(vv)
+    def chain(q, carry, *flat):
+        qq = q + carry * 0.0
+        best = jnp.full((QB, K), -jnp.inf, jnp.float32)
+        for ci in range(N_CHUNKS):
+            c, s = flat[2 * ci], flat[2 * ci + 1]
+            n_valid = min(CHUNK, max(0, N - ci * CHUNK))
+            vv, _ = knn_topk_int8(
+                c, s, qq, k=K, block_rows=BN, n_valid=n_valid,
+                interpret=args.cpu,
+            )
+            best = jax.lax.top_k(jnp.concatenate([best, vv], axis=1), K)[0]
+        return jnp.max(best)
 
     t0 = time.time()
-    _ = np.asarray(chain(codes, scales, queries, jnp.float32(0.0)))
+    _ = np.asarray(chain(queries, jnp.float32(0.0), *flat_args))
     log(f"first call (compile+run+sync): {time.time()-t0:.1f}s")
 
     ITERS = 20
     t0 = time.time()
     carry = jnp.float32(0.0)
     for _ in range(ITERS):
-        carry = chain(codes, scales, queries, carry)
+        carry = chain(queries, carry, *flat_args)
     _ = np.asarray(carry)
     dt = time.time() - t0
     qps = QB * ITERS / dt

@@ -175,10 +175,11 @@ def knn_topk_int8(
     q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=-1, keepdims=True), 1e-9)
     q_scale = q_absmax / 127.0
     q8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
-    # fold the (max) query scale into the per-row scales; per-query scale
-    # differences are rank-preserving within a query row, so fold exactly:
-    # sims[r, c] = acc * scales[c] * q_scale[r] — q_scale[r] is constant per
-    # row and does not change that row's ranking; use scales only.
+    # The kernel scores with per-column scales only: sims[r, c] =
+    # acc * scales[c]. The per-query factor q_scale[r] is constant within a
+    # query row, so each row's ranking is already correct without it; the
+    # true cosine value is recovered after the kernel by the `vals *
+    # q_scale` rescale below (q_scale is kept per-query, never folded).
     kernel = functools.partial(_knn_int8_kernel, k=k, n_valid=n_valid)
     vals, idx = pl.pallas_call(
         kernel,
