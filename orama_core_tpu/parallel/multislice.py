@@ -1,0 +1,239 @@
+"""Multi-slice (DCN) coordination: scatter-gather over independent engines.
+
+A TPU pod slice is bounded by its ICI domain; scaling past one slice means
+crossing the data-center network. The in-mesh path (parallel/
+sharded_search.py) shards documents over ICI with XLA collectives; THIS
+layer shards documents over slices, where each slice is a whole engine
+(its own write side, op log, read side, mesh) and coordination is
+host-side RPC — the same op-log seam the single-slice engine uses,
+stretched across machines (SURVEY.md §7 "Multi-node" deliverable; the
+reference is single-node and has no counterpart).
+
+Design (the standard distributed-search shape, cf. ES/Solr shards):
+- documents are routed to a slice by a stable hash of their user id —
+  a doc lives on exactly one slice, so merged results never need dedup;
+- writes fan out grouped by slice; reads scatter to every slice and
+  gather top-`limit` from each, merged by score (O(slices · limit));
+- facets merge by summing bucket counts; counts sum.
+
+Semantics note (documented, not hidden): BM25 idf and RRF ranks are
+slice-local, exactly like Elasticsearch's default query-then-fetch.
+Slices receive statistically similar corpus shards under hash routing,
+so idf skew vanishes as shards grow; tests pin top-hit agreement with a
+single-engine oracle.
+
+Transports: LocalSlice (in-process engine object — tests, and the
+coordinator process when it co-hosts a slice) and HttpSlice (the
+engine's own HTTP API over DCN; stdlib urllib, no extra deps).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Sequence
+
+from ..types import FacetResult, SearchParams, SearchResult, SearchResultHit
+
+
+def _route(doc_id: str, n: int) -> int:
+    return int.from_bytes(hashlib.sha1(doc_id.encode()).digest()[:4], "big") % n
+
+
+class LocalSlice:
+    """A slice backed by an in-process engine (an `Orama` instance)."""
+
+    def __init__(self, engine) -> None:
+        self.engine = engine
+
+    def create_collection(self, master_key, cid, read_key, write_key, **kw) -> None:
+        self.engine.write_side.create_collection(
+            master_key, cid, read_api_key=read_key, write_api_key=write_key, **kw
+        )
+        self.engine.flush()
+
+    def write(self, cid: str, docs: List[dict], write_key: str) -> List[str]:
+        ids = self.engine.write_side.write(cid, docs, write_key)
+        return ids
+
+    def delete(self, cid: str, ids: Sequence[str], write_key: str) -> int:
+        return self.engine.write_side.delete_documents(cid, list(ids), write_key)
+
+    def search(self, cid: str, params_json: Dict[str, Any], read_key: str) -> SearchResult:
+        return self.engine.read_side.search(
+            cid, SearchParams.from_json(params_json), read_key
+        )
+
+    def flush(self) -> None:
+        self.engine.flush()
+
+    def commit(self) -> None:
+        self.engine.commit()
+
+    def count(self, cid: str) -> int:
+        return self.engine.read_side.count_documents(cid)
+
+
+class HttpSlice:
+    """A slice behind the engine's HTTP API (server/http.py routes)."""
+
+    def __init__(self, base_url: str, timeout_s: float = 30.0) -> None:
+        self.base_url = base_url.rstrip("/")
+        self.timeout_s = timeout_s
+
+    def _post(self, path: str, body: Any, bearer: Optional[str]) -> Any:
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=json.dumps(body).encode(),
+            headers={
+                "Content-Type": "application/json",
+                **({"Authorization": f"Bearer {bearer}"} if bearer else {}),
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+            return json.loads(r.read().decode())
+
+    def create_collection(self, master_key, cid, read_key, write_key, **kw) -> None:
+        body = {"id": cid, "read_api_key": read_key, "write_api_key": write_key}
+        if kw.get("language"):
+            body["language"] = kw["language"]
+        if kw.get("embedding_model"):
+            body["embeddings"] = {
+                "model": kw["embedding_model"],
+                "document_fields": list(kw.get("embedding_sources") or []),
+            }
+        self._post("/v1/collections/create", body, master_key)
+
+    def write(self, cid: str, docs: List[dict], write_key: str) -> List[str]:
+        out = self._post(f"/v1/collections/{cid}/insert", docs, write_key)
+        return out.get("ids", [])
+
+    def delete(self, cid: str, ids: Sequence[str], write_key: str) -> int:
+        out = self._post(f"/v1/collections/{cid}/delete", {"ids": list(ids)}, write_key)
+        return out.get("deleted", 0)
+
+    def search(self, cid: str, params_json: Dict[str, Any], read_key: str) -> SearchResult:
+        raw = self._post(f"/v1/collections/{cid}/search", params_json, read_key)
+        hits = [
+            SearchResultHit(id=h["id"], score=h["score"], document=h.get("document"))
+            for h in raw.get("hits", [])
+        ]
+        facets = None
+        if raw.get("facets"):
+            facets = {
+                k: FacetResult(count=v["count"], values=dict(v["values"]))
+                for k, v in raw["facets"].items()
+            }
+        return SearchResult(
+            hits=hits,
+            count=raw.get("count", len(hits)),
+            elapsed_ms=0.0,
+            facets=facets,
+        )
+
+    def flush(self) -> None:  # HTTP slices flush via their own background loops
+        pass
+
+    def commit(self) -> None:
+        pass
+
+    def count(self, cid: str) -> int:
+        raise NotImplementedError("count via search on HTTP slices")
+
+
+class MultiSliceRouter:
+    """Scatter-gather coordinator over document-hash-routed slices."""
+
+    def __init__(self, slices: Sequence[Any], max_workers: Optional[int] = None) -> None:
+        if not slices:
+            raise ValueError("need at least one slice")
+        self.slices = list(slices)
+        self._pool = ThreadPoolExecutor(max_workers=max_workers or len(self.slices))
+
+    # -- admin (broadcast) --------------------------------------------------
+
+    def create_collection(self, master_key, cid, read_key, write_key, **kw) -> None:
+        list(
+            self._pool.map(
+                lambda s: s.create_collection(master_key, cid, read_key, write_key, **kw),
+                self.slices,
+            )
+        )
+
+    def flush(self) -> None:
+        list(self._pool.map(lambda s: s.flush(), self.slices))
+
+    def commit(self) -> None:
+        list(self._pool.map(lambda s: s.commit(), self.slices))
+
+    # -- writes (routed) ------------------------------------------------------
+
+    def write(self, cid: str, docs: List[dict], write_key: str) -> List[str]:
+        """Docs without an id cannot be hash-routed deterministically by the
+        caller, so the router assigns cuid-less synthetic ids up front
+        (mirroring the write side's id assignment, write_side.py)."""
+        n = len(self.slices)
+        groups: List[List[dict]] = [[] for _ in range(n)]
+        for doc in docs:
+            did = str(doc.get("id", ""))
+            if not did:
+                raise ValueError("multi-slice writes require explicit doc ids")
+            groups[_route(did, n)].append(doc)
+        futures = [
+            self._pool.submit(self.slices[i].write, cid, g, write_key)
+            for i, g in enumerate(groups)
+            if g
+        ]
+        out: List[str] = []
+        for f in futures:
+            out.extend(f.result())
+        return out
+
+    def delete(self, cid: str, ids: Sequence[str], write_key: str) -> int:
+        n = len(self.slices)
+        groups: List[List[str]] = [[] for _ in range(n)]
+        for did in ids:
+            groups[_route(str(did), n)].append(str(did))
+        futures = [
+            self._pool.submit(self.slices[i].delete, cid, g, write_key)
+            for i, g in enumerate(groups)
+            if g
+        ]
+        return sum(f.result() for f in futures)
+
+    # -- reads (scatter-gather) ----------------------------------------------
+
+    def search(self, cid: str, params_json: Dict[str, Any], read_key: str) -> SearchResult:
+        limit = int(params_json.get("limit", 10))
+        futures = [
+            self._pool.submit(s.search, cid, params_json, read_key)
+            for s in self.slices
+        ]
+        results = [f.result() for f in futures]
+        hits = sorted(
+            (h for r in results for h in r.hits), key=lambda h: -h.score
+        )[:limit]
+        count = sum(r.count for r in results)
+        facets: Optional[Dict[str, FacetResult]] = None
+        if any(r.facets for r in results):
+            facets = {}
+            for r in results:
+                for name, fr in (r.facets or {}).items():
+                    cur = facets.get(name)
+                    if cur is None:
+                        facets[name] = FacetResult(count=fr.count, values=dict(fr.values))
+                    else:
+                        cur.count += fr.count
+                        for k, v in fr.values.items():
+                            cur.values[k] = cur.values.get(k, 0) + v
+        elapsed = max((r.elapsed_ms for r in results), default=0.0)
+        return SearchResult(hits=hits, count=count, elapsed_ms=elapsed, facets=facets)
+
+    def count(self, cid: str) -> int:
+        return sum(s.count(cid) for s in self.slices)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)

@@ -1,0 +1,182 @@
+"""Multi-slice (DCN) coordination tests: hash-routed writes, scatter-gather
+search with merged facets, deletes, commit/reload — over in-process slices
+and over the real HTTP API (the DCN transport)."""
+
+import pytest
+
+from orama_core_tpu import build_orama
+from orama_core_tpu.config import OramaxConfig
+from orama_core_tpu.parallel.multislice import (
+    HttpSlice,
+    LocalSlice,
+    MultiSliceRouter,
+    _route,
+)
+from orama_core_tpu.types import SearchParams
+
+MASTER, READ, WRITE = "master", "rk", "wk"
+
+
+def _mk_engine(tmp_path, name):
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / name / "w")
+    cfg.reader_side.data_dir = str(tmp_path / name / "r")
+    cfg.writer_side.commit_interval_sec = 3600.0
+    cfg.reader_side.commit_interval_sec = 3600.0
+    return build_orama(cfg, start_background=False)
+
+
+DOCS = [
+    {"id": str(i), "title": t, "price": float(i)}
+    for i, t in enumerate(
+        [
+            "the cat sat on the mat",
+            "a dog chased the cat",
+            "quantum computing explained",
+            "dogs are loyal animals",
+            "the cat and the dog",
+            "solar panels and wind turbines",
+            "cat behavior and biology",
+            "introduction to machine learning",
+            "the dog barked at the cat",
+            "renewable energy systems",
+        ]
+    )
+]
+
+
+@pytest.fixture()
+def router(tmp_path):
+    engines = [_mk_engine(tmp_path, f"s{i}") for i in range(3)]
+    r = MultiSliceRouter([LocalSlice(e) for e in engines])
+    r.create_collection(MASTER, "c1", READ, WRITE)
+    r.write("c1", DOCS, WRITE)
+    r.flush()
+    yield r, engines
+    r.close()
+    for e in engines:
+        e.close()
+
+
+@pytest.fixture()
+def oracle(tmp_path):
+    e = _mk_engine(tmp_path, "oracle")
+    e.write_side.create_collection(MASTER, "c1", read_api_key=READ, write_api_key=WRITE)
+    e.flush()
+    e.write_side.write("c1", DOCS, WRITE)
+    e.flush()
+    yield e
+    e.close()
+
+
+def test_routing_distributes_and_is_stable():
+    ids = [str(i) for i in range(200)]
+    buckets = [_route(i, 3) for i in ids]
+    assert set(buckets) == {0, 1, 2}
+    assert buckets == [_route(i, 3) for i in ids]  # deterministic
+
+
+def test_scatter_gather_matches_oracle_sets(router, oracle):
+    r, _ = router
+    for term in ("cat", "dog", "quantum", "energy"):
+        merged = r.search("c1", {"term": term, "limit": 10}, READ)
+        single = oracle.read_side.search(
+            "c1", SearchParams.from_json({"term": term, "limit": 10}), READ
+        )
+        assert merged.count == single.count, term
+        assert {h.id for h in merged.hits} == {h.id for h in single.hits}, term
+
+
+def test_docs_live_on_exactly_one_slice(router):
+    r, engines = router
+    total = sum(e.read_side.count_documents("c1") for e in engines)
+    assert total == len(DOCS)
+    # every slice got some docs (hash routing spreads 10 ids over 3 slices)
+    counts = [e.read_side.count_documents("c1") for e in engines]
+    assert all(c > 0 for c in counts)
+
+
+def test_merged_facets_sum(router, oracle):
+    r, _ = router
+    body = {
+        "term": "cat",
+        "facets": {"price": {"ranges": [{"from": 0, "to": 4}, {"from": 4, "to": 10}]}},
+    }
+    merged = r.search("c1", body, READ)
+    single = oracle.read_side.search("c1", SearchParams.from_json(body), READ)
+    assert merged.facets is not None
+    for k in single.facets:
+        assert merged.facets[k].values == single.facets[k].values
+
+
+def test_filter_pushdown(router, oracle):
+    r, _ = router
+    body = {"term": "cat", "where": {"price": {"lt": 5}}}
+    merged = r.search("c1", body, READ)
+    single = oracle.read_side.search("c1", SearchParams.from_json(body), READ)
+    assert {h.id for h in merged.hits} == {h.id for h in single.hits}
+
+
+def test_routed_delete(router):
+    r, _ = router
+    assert r.delete("c1", ["0", "4", "6"], WRITE) == 3
+    r.flush()
+    res = r.search("c1", {"term": "cat"}, READ)
+    assert {h.id for h in res.hits} == {"1", "8"}
+
+
+def test_write_requires_ids(router):
+    r, _ = router
+    with pytest.raises(ValueError):
+        r.write("c1", [{"title": "no id"}], WRITE)
+
+
+def test_commit_broadcast_and_survives_reload(router, tmp_path):
+    r, engines = router
+    r.commit()
+    # reload each slice engine from disk and re-assemble the router
+    cfgs = [e.cfg for e in engines]
+    for e in engines:
+        e.close()
+    reloaded = [build_orama(c, start_background=False) for c in cfgs]
+    r2 = MultiSliceRouter([LocalSlice(e) for e in reloaded])
+    res = r2.search("c1", {"term": "cat"}, READ)
+    assert res.count == 5
+    r2.close()
+    for e in reloaded:
+        e.close()
+
+
+def test_http_transport(tmp_path):
+    """Two slices behind the real HTTP server — the DCN deployment shape."""
+    from orama_core_tpu.server.http import WebServer
+
+    engines = [_mk_engine(tmp_path, f"h{i}") for i in range(2)]
+    servers = []
+    for e in engines:
+        e.cfg.http.port = 0
+        srv = WebServer(e, e.cfg.http)
+        srv.start_background()
+        servers.append(srv)
+    try:
+        r = MultiSliceRouter(
+            [HttpSlice(f"http://127.0.0.1:{s.port}") for s in servers]
+        )
+        r.create_collection(MASTER, "c1", READ, WRITE)
+        r.write("c1", DOCS, WRITE)
+        for e in engines:
+            e.flush()  # background loops are off in this test
+        res = r.search("c1", {"term": "cat", "limit": 10}, READ)
+        assert res.count == 5
+        assert {h.id for h in res.hits} == {"0", "1", "4", "6", "8"}
+        assert r.delete("c1", ["4"], WRITE) == 1
+        for e in engines:
+            e.flush()
+        res = r.search("c1", {"term": "cat", "limit": 10}, READ)
+        assert res.count == 4
+        r.close()
+    finally:
+        for s in servers:
+            s.stop()
+        for e in engines:
+            e.close()
