@@ -87,31 +87,33 @@ def main() -> None:
     queries = jax.random.normal(jax.random.PRNGKey(9), (QB, D), jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
 
-    flat_args = [a for pair in chunks for a in pair]
+    # ONE small per-chunk program (compiled once; a 30-chunk unrolled chain
+    # is a giant XLA program that takes tens of minutes to compile through
+    # the relay). Host loop dispatches async; one fetch per iteration.
+    @functools.partial(jax.jit, static_argnames=("n_valid",))
+    def score_chunk(c, s, q, best, n_valid):
+        vv, _ = knn_topk_int8(
+            c, s, q, k=K, block_rows=BN, n_valid=n_valid, interpret=args.cpu
+        )
+        return jax.lax.top_k(jnp.concatenate([best, vv], axis=1), K)[0]
 
-    @jax.jit
-    def chain(q, carry, *flat):
-        qq = q + carry * 0.0
+    def full_scan(q):
         best = jnp.full((QB, K), -jnp.inf, jnp.float32)
-        for ci in range(N_CHUNKS):
-            c, s = flat[2 * ci], flat[2 * ci + 1]
-            n_valid = min(CHUNK, max(0, N - ci * CHUNK))
-            vv, _ = knn_topk_int8(
-                c, s, qq, k=K, block_rows=BN, n_valid=n_valid,
-                interpret=args.cpu,
-            )
-            best = jax.lax.top_k(jnp.concatenate([best, vv], axis=1), K)[0]
-        return jnp.max(best)
+        for ci, (c, s) in enumerate(chunks):
+            n_valid = min(CHUNK, max(1, N - ci * CHUNK))
+            best = score_chunk(c, s, q, best, n_valid)
+        return best
 
     t0 = time.time()
-    _ = np.asarray(chain(queries, jnp.float32(0.0), *flat_args))
-    log(f"first call (compile+run+sync): {time.time()-t0:.1f}s")
+    _ = np.asarray(full_scan(queries))
+    log(f"first scan (compile+run+sync): {time.time()-t0:.1f}s")
 
     ITERS = 20
     t0 = time.time()
     carry = jnp.float32(0.0)
     for _ in range(ITERS):
-        carry = chain(queries, carry, *flat_args)
+        best = full_scan(queries + carry * 0.0)
+        carry = jnp.max(best)  # dependency chain across iterations
     _ = np.asarray(carry)
     dt = time.time() - t0
     qps = QB * ITERS / dt

@@ -31,10 +31,12 @@ import jax.numpy as jnp
 from ..config import TpuConfig
 from ..index import (
     CommittedBoolIndex,
+    CommittedKeywordIndex,
     CommittedNumberIndex,
     CommittedStringIndex,
     CommittedVectorIndex,
     UncommittedBoolIndex,
+    UncommittedKeywordIndex,
     UncommittedNumberIndex,
     UncommittedStringIndex,
     UncommittedVectorIndex,
@@ -51,6 +53,7 @@ from ..oplog import (
     DeleteDocumentsOp,
     IndexBoolOp,
     IndexEmbeddingOp,
+    IndexKeywordOp,
     IndexNumberOp,
     IndexStringOp,
     InsertDocumentOp,
@@ -64,6 +67,8 @@ from ..types import (
     NumberFilter,
     SearchModeKind,
     SearchParams,
+    StringFacetDefinition,
+    StringFilter,
     TypedField,
     ValueType,
 )
@@ -342,6 +347,27 @@ class _DeviceCache:
 
         return self._get(nidx, "num", build)
 
+    # keyword ------------------------------------------------------------------
+
+    def keyword_arrays(self, kidx: "CommittedKeywordIndex"):
+        def build():
+            steps = self.cfg.posting_bucket_steps
+            n = len(kidx.ids)
+            n_pad = bucket_pad(max(n, 1), steps)
+            ids = np.full(n_pad, -1.0, np.float32)  # -1 never matches an id
+            ids[:n] = kidx.ids
+            docs = np.zeros(n_pad, np.int32)
+            docs[:n] = kidx.docs
+            valid = np.zeros(n_pad, bool)
+            valid[:n] = True
+            return (
+                self._put_rows(jnp.asarray(ids)),
+                self._put_rows(jnp.asarray(docs)),
+                self._put_rows(jnp.asarray(valid)),
+            )
+
+        return self._get(kidx, "kw", build)
+
     # bool -------------------------------------------------------------------
 
     def bool_arrays(self, b: CommittedBoolIndex, cap: int):
@@ -543,6 +569,39 @@ class _DeviceCache:
 
         return self._get(v, ("vec_int8_sh", local_cap), build)
 
+    def sharded_keyword_arrays(self, kidx: "CommittedKeywordIndex", local_cap: int):
+        def build():
+            S = self.n_shards
+            steps = self.cfg.posting_bucket_steps
+            n = len(kidx.ids)
+            if n == 0:
+                n_pad = bucket_pad(1, steps)
+                return (
+                    self._put_stacked(np.full((S, n_pad), -1.0, np.float32)),
+                    self._put_stacked(np.zeros((S, n_pad), np.int32)),
+                    self._put_stacked(np.zeros((S, n_pad), bool)),
+                )
+            perm, offs, local_docs = self._shard_perm(
+                kidx.docs.astype(np.int64), local_cap, S
+            )
+            n_pad = bucket_pad(max(int(np.diff(offs).max()), 1), steps)
+            ids_st = np.full((S, n_pad), -1.0, np.float32)
+            docs_st = np.zeros((S, n_pad), np.int32)
+            valid_st = np.zeros((S, n_pad), bool)
+            ip = kidx.ids[perm]
+            for si in range(S):
+                a, b = int(offs[si]), int(offs[si + 1])
+                ids_st[si, : b - a] = ip[a:b]
+                docs_st[si, : b - a] = local_docs[a:b]
+                valid_st[si, : b - a] = True
+            return (
+                self._put_stacked(ids_st),
+                self._put_stacked(docs_st),
+                self._put_stacked(valid_st),
+            )
+
+        return self._get(kidx, ("kw_sh", local_cap), build)
+
     def sharded_number_arrays(self, nidx: CommittedNumberIndex, local_cap: int):
         def build():
             S = self.n_shards
@@ -604,6 +663,12 @@ class _NumberField:
 
 
 @dataclasses.dataclass
+class _KeywordField:
+    uncommitted: UncommittedKeywordIndex
+    committed: CommittedKeywordIndex
+
+
+@dataclasses.dataclass
 class _BoolField:
     uncommitted: UncommittedBoolIndex
     committed: CommittedBoolIndex
@@ -634,6 +699,7 @@ class CollectionReader:
         self.field_by_name: Dict[str, int] = {}
         self._string: Dict[int, _StringField] = {}
         self._number: Dict[int, _NumberField] = {}
+        self._keyword: Dict[int, _KeywordField] = {}  # exact-value columns
         self._bool: Dict[int, _BoolField] = {}
         self._vector: Dict[int, _VectorField] = {}
 
@@ -707,6 +773,10 @@ class CollectionReader:
                     f.field_id,
                     _StringField(UncommittedStringIndex(), CommittedStringIndex.empty()),
                 )
+                self._keyword.setdefault(
+                    f.field_id,
+                    _KeywordField(UncommittedKeywordIndex(), CommittedKeywordIndex.empty()),
+                )
             elif f.type == ValueType.NUMBER:
                 self._number.setdefault(
                     f.field_id,
@@ -735,6 +805,9 @@ class CollectionReader:
             self._string[op.field_id].uncommitted.insert(
                 op.doc_id, op.field_length, {t: list(p) for t, p in op.terms.items()}
             )
+        elif isinstance(op, IndexKeywordOp):
+            self._grow(op.doc_id)
+            self._keyword[op.field_id].uncommitted.insert(op.doc_id, op.values)
         elif isinstance(op, IndexNumberOp):
             self._grow(op.doc_id)
             self._number[op.field_id].uncommitted.insert(op.doc_id, op.value)
@@ -785,6 +858,33 @@ class CollectionReader:
                         n_docs=cap,
                     )
                 unc = nf.uncommitted.filter_docs(filt) if not nf.uncommitted.is_empty else set()
+                m = self._with_uncommitted(m, unc)
+            elif isinstance(filt, StringFilter):
+                if f.type != ValueType.STRING:
+                    raise ValueError(f'"{field_name}" is not a string field')
+                kf = self._keyword[fid]
+                wanted_vals = (filt.value,) if filt.op == "eq" else filt.value
+                wanted_ids = [
+                    kf.committed.id_of(v)
+                    for v in wanted_vals
+                    if kf.committed.id_of(v) is not None
+                ]
+                if wanted_ids and not kf.committed.is_empty:
+                    ids, docs, valid = self._device.keyword_arrays(kf.committed)
+                    wanted = np.full(
+                        max(len(wanted_vals), 1), -1.0, np.float32
+                    )
+                    wanted[: len(wanted_ids)] = wanted_ids
+                    m = filter_ops.value_set_mask(
+                        ids, docs, valid, jnp.asarray(wanted), n_docs=cap
+                    )
+                else:
+                    m = jnp.zeros(cap, jnp.float32)
+                unc = (
+                    kf.uncommitted.filter_docs(filt)
+                    if not kf.uncommitted.is_empty
+                    else set()
+                )
                 m = self._with_uncommitted(m, unc)
             elif isinstance(filt, BoolFilter):
                 if f.type != ValueType.BOOL:
@@ -1381,6 +1481,31 @@ class CollectionReader:
                     nf.uncommitted.filter_docs(filt)
                     if not nf.uncommitted.is_empty else set()
                 )
+            elif isinstance(filt, StringFilter):
+                if f.type != ValueType.STRING:
+                    raise ValueError(f'"{field_name}" is not a string field')
+                kf = self._keyword[fid]
+                wanted_vals = (filt.value,) if filt.op == "eq" else filt.value
+                wanted_ids = [
+                    kf.committed.id_of(v)
+                    for v in wanted_vals
+                    if kf.committed.id_of(v) is not None
+                ]
+                if wanted_ids and not kf.committed.is_empty:
+                    ids, docs, valid = self._device.sharded_keyword_arrays(
+                        kf.committed, local_cap
+                    )
+                    wanted = np.full(max(len(wanted_vals), 1), -1.0, np.float32)
+                    wanted[: len(wanted_ids)] = wanted_ids
+                    m = se.keyword_set_mask(mesh, local_cap)(
+                        ids, docs, valid, jnp.asarray(wanted)
+                    )
+                else:
+                    m = self._alive_mask_sharded(cap_s) * 0.0
+                unc = (
+                    kf.uncommitted.filter_docs(filt)
+                    if not kf.uncommitted.is_empty else set()
+                )
             elif isinstance(filt, BoolFilter):
                 if f.type != ValueType.BOOL:
                     raise ValueError(f'"{field_name}" is not a bool field')
@@ -1699,6 +1824,29 @@ class CollectionReader:
                     r.key: int(c) for r, c in zip(fdef.ranges, counts)
                 }
                 out[field_name] = FacetResult(count=len(values), values=values)
+            elif isinstance(fdef, StringFacetDefinition):
+                kf = self._keyword[fid]
+                agg: Dict[str, int] = {}
+                if not kf.committed.is_empty:
+                    ids, docs, valid = self._device.keyword_arrays(kf.committed)
+                    counts = np.asarray(
+                        facet_ops.keyword_facet_counts(
+                            ids, docs, valid, matched,
+                            n_values=kf.committed.n_values,
+                        )
+                    )
+                    for vid, c in enumerate(counts):
+                        if c > 0:
+                            agg[kf.committed.values[vid]] = int(c)
+                if not kf.uncommitted.is_empty:
+                    if matched_host is None:
+                        matched_host = np.asarray(matched)
+                    for v, c in kf.uncommitted.facet_counts(matched_host).items():
+                        agg[v] = agg.get(v, 0) + c
+                top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[: fdef.limit]
+                out[field_name] = FacetResult(
+                    count=len(agg), values=dict(top)
+                )
             elif isinstance(fdef, BoolFacetDefinition):
                 bf = self._bool[fid]
                 true_mask, has_mask = self._device.bool_arrays(bf.committed, self.capacity)
@@ -1738,6 +1886,12 @@ class CollectionReader:
                     nf.committed = old.merge(nf.uncommitted, deleted)
                     nf.uncommitted = UncommittedNumberIndex()
                     self._device.drop(old)
+            for fid, kf in self._keyword.items():
+                if not kf.uncommitted.is_empty or deleted:
+                    old = kf.committed
+                    kf.committed = old.merge(kf.uncommitted, deleted)
+                    kf.uncommitted = UncommittedKeywordIndex()
+                    self._device.drop(old)
             for fid, bf in self._bool.items():
                 if not bf.uncommitted.is_empty or deleted:
                     old = bf.committed
@@ -1776,6 +1930,8 @@ class CollectionReader:
             atomic_write_npz(os.path.join(gen_dir, f"string-{fid}.npz"), sf.committed.to_arrays())
         for fid, nf in self._number.items():
             atomic_write_npz(os.path.join(gen_dir, f"number-{fid}.npz"), nf.committed.to_arrays())
+        for fid, kf in self._keyword.items():
+            atomic_write_npz(os.path.join(gen_dir, f"keyword-{fid}.npz"), kf.committed.to_arrays())
         for fid, bf in self._bool.items():
             atomic_write_npz(os.path.join(gen_dir, f"bool-{fid}.npz"), bf.committed.to_arrays())
         for fid, vf in self._vector.items():
@@ -1834,6 +1990,9 @@ class CollectionReader:
                 arrays = read_npz(os.path.join(gen_dir, f"string-{fid}.npz"))
                 if arrays:
                     reader._string[fid].committed = CommittedStringIndex.from_arrays(arrays)
+                kw_arrays = read_npz(os.path.join(gen_dir, f"keyword-{fid}.npz"))
+                if kw_arrays:
+                    reader._keyword[fid].committed = CommittedKeywordIndex.from_arrays(kw_arrays)
             elif f.type == ValueType.NUMBER:
                 arrays = read_npz(os.path.join(gen_dir, f"number-{fid}.npz"))
                 if arrays:

@@ -22,6 +22,7 @@ from ..nlp import get_parser
 from ..oplog import (
     CreateFieldOp,
     IndexBoolOp,
+    IndexKeywordOp,
     IndexNumberOp,
     IndexStringOp,
 )
@@ -247,6 +248,14 @@ class CollectionWriter:
         if f.type == ValueType.STRING:
             texts = value if isinstance(value, list) else [value]
             text = " ".join(str(t) for t in texts)
+            # exact values ride along for keyword filters / term facets
+            # (length-guarded in the keyword index; see keyword_index.py)
+            keyword_ops = [
+                IndexKeywordOp(
+                    self.id, doc_id, f.field_id,
+                    values=tuple(str(t) for t in texts),
+                )
+            ]
             locale = f.locale or self.default_locale
             if locale == "en":
                 from .. import native
@@ -254,7 +263,7 @@ class CollectionWriter:
                 if native.available():
                     # one native call: tokenize+stem+group per unique term
                     terms_t, field_len = native.index_doc_en(text)
-                    return [
+                    return keyword_ops + [
                         IndexStringOp(
                             self.id, doc_id, f.field_id,
                             field_length=min(field_len, 65_534),
@@ -267,7 +276,7 @@ class CollectionWriter:
                 terms.setdefault(original, []).append(position)
                 for s in stemmeds:
                     terms.setdefault(s, []).append(position)
-            return [
+            return keyword_ops + [
                 IndexStringOp(
                     self.id,
                     doc_id,

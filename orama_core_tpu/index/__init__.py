@@ -6,6 +6,7 @@ from .string_index import (
     UncommittedStringIndex,
 )
 from .number_index import CommittedNumberIndex, UncommittedNumberIndex
+from .keyword_index import CommittedKeywordIndex, UncommittedKeywordIndex
 from .bool_index import CommittedBoolIndex, UncommittedBoolIndex
 from .vector_index import CommittedVectorIndex, UncommittedVectorIndex
 
@@ -17,6 +18,8 @@ __all__ = [
     "UncommittedStringIndex",
     "CommittedNumberIndex",
     "UncommittedNumberIndex",
+    "CommittedKeywordIndex",
+    "UncommittedKeywordIndex",
     "CommittedBoolIndex",
     "UncommittedBoolIndex",
     "CommittedVectorIndex",

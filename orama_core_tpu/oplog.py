@@ -74,6 +74,17 @@ class IndexStringOp:
 
 
 @dataclasses.dataclass(frozen=True)
+class IndexKeywordOp:
+    """Exact values of a string field for keyword filters/term facets
+    (no reference counterpart — string filters are on its roadmap)."""
+
+    collection_id: str
+    doc_id: int
+    field_id: int
+    values: Tuple[str, ...]
+
+
+@dataclasses.dataclass(frozen=True)
 class IndexNumberOp:
     collection_id: str
     doc_id: int

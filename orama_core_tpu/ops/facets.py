@@ -47,6 +47,23 @@ def number_facet_counts(
     return jnp.sum(mask * matched[None, :], axis=1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n_values",))
+def keyword_facet_counts(
+    ids: jax.Array,      # float32[V] interned value ids (keyword_index.py)
+    docs: jax.Array,     # int32[V]
+    valid: jax.Array,    # bool[V]
+    matched: jax.Array,  # float32[Npad]
+    n_values: int,
+) -> jax.Array:
+    """int32[n_values]: matched docs per distinct keyword value — one
+    segment-sum keyed by value id (a doc contributes once per value; the
+    write path dedups values within a doc)."""
+    contrib = matched[docs] * valid.astype(jnp.float32)
+    return jax.ops.segment_sum(
+        contrib, ids.astype(jnp.int32), num_segments=n_values
+    ).astype(jnp.int32)
+
+
 @jax.jit
 def bool_facet_counts(
     true_mask: jax.Array,   # float32[Npad] docs where field == true

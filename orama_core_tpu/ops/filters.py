@@ -52,6 +52,22 @@ def number_eq_mask(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def value_set_mask(
+    vals: jax.Array,      # float32[V] interned keyword value ids
+    docs: jax.Array,      # int32[V]
+    valid: jax.Array,     # bool[V]
+    wanted: jax.Array,    # float32[K] wanted value ids (pad with -1)
+    n_docs: int,
+) -> jax.Array:
+    """Keyword eq/in filter: docs whose value id is in `wanted`
+    (keyword_index.py layout; same segment-max shape as the number masks)."""
+    hit = jnp.any(vals[None, :] == wanted[:, None], axis=0) & valid
+    return jnp.maximum(
+        jax.ops.segment_max(hit.astype(jnp.float32), docs, num_segments=n_docs), 0.0
+    )
+
+
 @jax.jit
 def combine_masks(a: jax.Array, b: jax.Array) -> jax.Array:
     """Filter intersection == elementwise multiply of {0,1} masks."""

@@ -184,6 +184,26 @@ def number_eq_mask(mesh: Mesh, n_local_docs: int):
     )
 
 
+def keyword_set_mask(mesh: Mesh, n_local_docs: int):
+    """Sharded keyword eq/in filter over per-shard (value-id, doc) columns
+    (filters.value_set_mask per shard; masks stay shard-local)."""
+
+    def local(ids, docs, valid, wanted):
+        return filter_ops.value_set_mask(
+            ids[0], docs[0], valid[0], wanted, n_docs=n_local_docs
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    )
+
+
 # --- host-window overlay -------------------------------------------------------
 
 

@@ -110,12 +110,40 @@ class BoolFilter:
     value: bool
 
 
-Filter = Union[NumberFilter, BoolFilter]
+@dataclasses.dataclass(frozen=True)
+class StringFilter:
+    """Exact-match keyword filter (reference roadmap item, implemented
+    here): {"field": "red"}, {"field": {"eq": "red"}},
+    {"field": {"in": ["red", "blue"]}}."""
+
+    op: str  # "eq" | "in"
+    value: Union[str, Tuple[str, ...]]
+
+    def __post_init__(self) -> None:
+        if self.op not in ("eq", "in"):
+            raise ValueError(f"unknown string filter op {self.op!r}")
+        if self.op == "in":
+            if not isinstance(self.value, (tuple, list)):
+                raise ValueError("'in' filter takes a list of strings")
+            object.__setattr__(self, "value", tuple(str(v) for v in self.value))
+
+
+Filter = Union[NumberFilter, BoolFilter, StringFilter]
 
 
 def parse_filter(obj: Any) -> Filter:
     if isinstance(obj, bool):
         return BoolFilter(obj)
+    if isinstance(obj, str):
+        return StringFilter("eq", obj)
+    if isinstance(obj, dict) and len(obj) == 1:
+        op, value = next(iter(obj.items()))
+        if op == "eq" and isinstance(value, str):
+            return StringFilter("eq", value)
+        if op == "in" and isinstance(value, (list, tuple)) and all(
+            isinstance(v, str) for v in value
+        ):
+            return StringFilter("in", tuple(value))
     return NumberFilter.from_json(obj)
 
 
@@ -150,7 +178,17 @@ class BoolFacetDefinition:
     false: bool = True
 
 
-FacetDefinition = Union[NumberFacetDefinition, BoolFacetDefinition]
+@dataclasses.dataclass(frozen=True)
+class StringFacetDefinition:
+    """Term facet over a keyword-indexed string field: top-`limit` exact
+    values by matched-doc count ({} or {"limit": N} in the request)."""
+
+    limit: int = 10
+
+
+FacetDefinition = Union[
+    NumberFacetDefinition, BoolFacetDefinition, StringFacetDefinition
+]
 
 
 def parse_facet(obj: Any) -> FacetDefinition:
@@ -163,6 +201,8 @@ def parse_facet(obj: Any) -> FacetDefinition:
         return BoolFacetDefinition(
             true=bool(obj.get("true", False)), false=bool(obj.get("false", False))
         )
+    if isinstance(obj, dict) and set(obj) <= {"limit", "order"}:
+        return StringFacetDefinition(limit=int(obj.get("limit", 10)))
     raise ValueError(f"bad facet definition: {obj!r}")
 
 

@@ -28,6 +28,7 @@ _OP_TYPES = {
         oplog.InsertDocumentOp,
         oplog.DeleteDocumentsOp,
         oplog.IndexStringOp,
+        oplog.IndexKeywordOp,
         oplog.IndexNumberOp,
         oplog.IndexBoolOp,
         oplog.IndexEmbeddingOp,
@@ -57,6 +58,9 @@ def op_from_json(obj: Dict[str, Any]):
     elif cls is oplog.IndexStringOp:
         d = dict(d)
         d["terms"] = {t: tuple(p) for t, p in d["terms"].items()}
+    elif cls is oplog.IndexKeywordOp:
+        d = dict(d)
+        d["values"] = tuple(d["values"])
     elif cls is oplog.IndexEmbeddingOp:
         d = dict(d)
         d["vectors"] = tuple(tuple(v) for v in d["vectors"])
