@@ -27,6 +27,12 @@ class HttpConfig:
     port: int = 8080
     allow_cors: bool = True
     with_prometheus: bool = True
+    # Load shedding: concurrent heavy requests (search/answer/insert)
+    # beyond this get 503 + Retry-After instead of queueing unboundedly.
+    max_in_flight: int = 64
+    # SSE comment-keepalive interval for answer streams (seconds); keeps
+    # idle proxies from dropping long-running generations.
+    sse_keepalive_sec: float = 15.0
 
 
 @dataclasses.dataclass
@@ -57,6 +63,10 @@ class ReaderSideConfig:
     data_dir: str = "./.data/reader"
     insert_batch_commit_size: int = 10_000
     commit_interval_sec: float = 60.0
+    # Snapshot GC: generations kept on disk after a pointer swap (the
+    # current one plus keep_generations-1 predecessors; older gen-* dirs
+    # are pruned). 0 disables pruning.
+    keep_generations: int = 2
 
 
 @dataclasses.dataclass

@@ -1868,7 +1868,7 @@ class CollectionReader:
 
     # -- commit / persistence (reference: collection.rs:194-602) --------------
 
-    def commit(self, data_dir: str, offset: int) -> None:
+    def commit(self, data_dir: str, offset: int, keep_generations: int = 2) -> None:
         """Merge uncommitted windows into new immutable generations and dump
         to ``data_dir`` as ``gen-{offset}`` + pointer file."""
         with self._commit_insert_lock:
@@ -1951,6 +1951,21 @@ class CollectionReader:
         # pointer swap last — readers of a torn commit see the old generation
         # (reference info.info pointer, collection.rs:585-595)
         atomic_write_json(os.path.join(data_dir, "info.json"), {"generation": offset})
+        # snapshot GC: prune generations older than the kept window (the
+        # pointer already moved, so pruned dirs are unreachable)
+        if keep_generations > 0:
+            import re as _re
+            import shutil as _shutil
+
+            gens = []
+            for name in os.listdir(data_dir):
+                mo = _re.match(r"^gen-(\d+)$", name)
+                if mo:
+                    gens.append(int(mo.group(1)))
+            for g in sorted(gens, reverse=True)[keep_generations:]:
+                _shutil.rmtree(
+                    os.path.join(data_dir, f"gen-{g}"), ignore_errors=True
+                )
 
     @staticmethod
     def load(data_dir: str, tpu_cfg: Optional[TpuConfig] = None) -> Optional["CollectionReader"]:

@@ -245,6 +245,7 @@ class ReadSide:
                     reader.commit(
                         ensure_dir(os.path.join(data_dir, "collections", cid)),
                         snapshot,
+                        keep_generations=getattr(self.cfg, "keep_generations", 2),
                     )
                     self.doc_storage[cid].commit()
             atomic_write_json(

@@ -47,9 +47,17 @@ class HttpError(Exception):
         self.status = status
 
 
+_HEAVY = re.compile(r"/(search|answer|planned_answer|insert|actions)(/|$)")
+
+
 def _make_handler(orama):
     read_side = orama.read_side
     write_side = orama.write_side
+    # load shedding for heavy routes (reference has none; unbounded axum
+    # queues under overload trade latency for memory — we shed instead)
+    in_flight = threading.BoundedSemaphore(
+        max(1, getattr(orama.cfg.http, "max_in_flight", 64))
+    )
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -106,8 +114,40 @@ def _make_handler(orama):
             self.send_header("Cache-Control", "no-cache")
             self.send_header("Connection", "close")
             self.end_headers()
+            keepalive = max(0.5, getattr(orama.cfg.http, "sse_keepalive_sec", 15.0))
+            # bridge the (possibly slow) event generator through a queue so
+            # idle gaps emit SSE comment keepalives instead of stalling
+            # proxies (": keepalive" lines are ignored by EventSource)
+            import queue as _queue
+
+            q: "_queue.Queue" = _queue.Queue(maxsize=64)
+            _DONE, _ERR = object(), object()
+
+            def pump():
+                try:
+                    for ev in events:
+                        q.put(ev)
+                    q.put(_DONE)
+                except Exception as e:  # surface generator errors as an event
+                    tracing.log("error", f"sse generator error: {e!r}")
+                    q.put(_ERR)
+
+            t = threading.Thread(target=pump, daemon=True)
+            t.start()
             try:
-                for ev in events:
+                while True:
+                    try:
+                        ev = q.get(timeout=keepalive)
+                    except _queue.Empty:
+                        self.wfile.write(b": keepalive\n\n")
+                        self.wfile.flush()
+                        continue
+                    if ev is _DONE:
+                        break
+                    if ev is _ERR:
+                        self.wfile.write(b'data: {"type": "error"}\n\n')
+                        self.wfile.flush()
+                        break
                     chunk = f"data: {json.dumps(ev)}\n\n".encode()
                     self.wfile.write(chunk)
                     self.wfile.flush()
@@ -127,6 +167,14 @@ def _make_handler(orama):
 
         def _route(self, method: str) -> None:
             path = urllib.parse.urlparse(self.path).path.rstrip("/") or "/"
+            shed_scope = bool(_HEAVY.search(path))
+            if shed_scope and not in_flight.acquire(blocking=False):
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                m.HTTP_REQUESTS.inc(route=path, method=method, status="503")
+                return
             try:
                 status = self._dispatch(method, path)
             except HttpError as e:
@@ -145,6 +193,9 @@ def _make_handler(orama):
                 status = 500
                 tracing.log("error", f"internal error: {e!r}")
                 self._send(500, {"error": "internal error"})
+            finally:
+                if shed_scope:
+                    in_flight.release()
             m.HTTP_REQUESTS.inc(route=path, method=method, status=str(status))
 
         def _dispatch(self, method: str, path: str) -> int:

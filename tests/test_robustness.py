@@ -1,0 +1,157 @@
+"""Robustness features: snapshot GC, HTTP load shedding (503 +
+Retry-After), SSE comment keepalives."""
+
+import json
+import os
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+MASTER, READ, WRITE = "master", "read-key", "write-key"
+
+
+def _gen_dirs(engine, cid="c1"):
+    d = os.path.join(engine.cfg.reader_side.data_dir, "collections", cid)
+    return sorted(n for n in os.listdir(d) if n.startswith("gen-"))
+
+
+def test_snapshot_gc_prunes_old_generations(tmp_engine):
+    tmp_engine.write_side.create_collection(
+        MASTER, "c1", read_api_key=READ, write_api_key=WRITE
+    )
+    tmp_engine.flush()
+    for i in range(4):
+        tmp_engine.write_side.write(
+            "c1", [{"id": str(i), "title": f"doc {i} cat"}], WRITE
+        )
+        tmp_engine.commit()
+    gens = _gen_dirs(tmp_engine)
+    assert len(gens) <= 2, gens  # keep_generations default
+    # the surviving generation is loadable
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.types import SearchParams
+
+    cfg = tmp_engine.cfg
+    tmp_engine.close()
+    e2 = build_orama(cfg, start_background=False)
+    r = e2.read_side.search("c1", SearchParams.from_json({"term": "cat"}), READ)
+    assert r.count == 4
+    e2.close()
+
+
+def test_snapshot_gc_disabled(tmp_engine):
+    tmp_engine.cfg.reader_side.keep_generations = 0
+    tmp_engine.write_side.create_collection(
+        MASTER, "c1", read_api_key=READ, write_api_key=WRITE
+    )
+    tmp_engine.flush()
+    for i in range(3):
+        tmp_engine.write_side.write(
+            "c1", [{"id": str(i), "title": f"doc {i}"}], WRITE
+        )
+        tmp_engine.commit()
+    assert len(_gen_dirs(tmp_engine)) == 3
+
+
+@pytest.fixture()
+def server(tmp_engine):
+    from orama_core_tpu.config import HttpConfig
+    from orama_core_tpu.server.http import WebServer
+
+    tmp_engine.cfg.http = HttpConfig(
+        host="127.0.0.1", port=0, max_in_flight=1, sse_keepalive_sec=0.5
+    )
+    ws = WebServer(tmp_engine, tmp_engine.cfg.http)
+    ws.start_background()
+    yield tmp_engine, f"http://127.0.0.1:{ws.port}"
+    ws.stop()
+
+
+def _post(url, body, bearer, timeout=10):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json", "Authorization": f"Bearer {bearer}"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read() or b"null")
+
+
+def test_load_shedding_503(server):
+    engine, base = server
+    engine.write_side.create_collection(
+        MASTER, "c1", read_api_key=READ, write_api_key=WRITE
+    )
+    engine.flush()
+    engine.write_side.write("c1", [{"id": "1", "title": "hello"}], WRITE)
+    engine.flush()
+
+    started, release = threading.Event(), threading.Event()
+    orig = engine.read_side.search
+
+    def slow(*a, **k):
+        started.set()
+        release.wait(10)
+        return orig(*a, **k)
+
+    engine.read_side.search = slow
+    try:
+        t = threading.Thread(
+            target=lambda: _post(
+                base + "/v1/collections/c1/search", {"term": "hello"}, READ, 30
+            ),
+            daemon=True,
+        )
+        t.start()
+        assert started.wait(5)
+        # slot is held -> the second heavy request is shed
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/v1/collections/c1/search", {"term": "hello"}, READ)
+        assert ei.value.code == 503
+        assert ei.value.headers.get("Retry-After") == "1"
+        # light routes are never shed
+        req = urllib.request.Request(base + "/health")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert r.status == 200
+    finally:
+        release.set()
+        engine.read_side.search = orig
+        t.join(timeout=10)
+    # slot released -> heavy requests flow again
+    status, _ = _post(base + "/v1/collections/c1/search", {"term": "hello"}, READ)
+    assert status == 200
+
+
+def test_sse_keepalive_comments(server, monkeypatch):
+    engine, base = server
+    engine.write_side.create_collection(
+        MASTER, "c1", read_api_key=READ, write_api_key=WRITE
+    )
+    engine.flush()
+
+    def slow_events(*a, **k):
+        yield {"type": "start"}
+        time.sleep(1.3)  # > sse_keepalive_sec=0.5 -> at least one keepalive
+        yield {"type": "end"}
+
+    import orama_core_tpu.server.http as http_mod
+
+    # the answer route imports answer_events lazily from engine.answer
+    import orama_core_tpu.engine.answer as answer_mod
+
+    monkeypatch.setattr(answer_mod, "answer_events", slow_events)
+
+    req = urllib.request.Request(
+        base + "/v1/collections/c1/answer",
+        data=json.dumps({"query": "hi"}).encode(),
+        headers={"Content-Type": "application/json", "Authorization": f"Bearer {READ}"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=15) as r:
+        raw = r.read().decode()
+    assert "keepalive" in raw
+    assert '"type": "start"' in raw and '"type": "end"' in raw
