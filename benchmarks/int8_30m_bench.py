@@ -68,15 +68,17 @@ def main() -> None:
     # footprint past 16 GB HBM). Independent chunk arrays need neither a
     # giant contiguous allocation nor cross-dispatch donation; the scoring
     # jit chains one kernel per chunk and merges top-k.
-    @functools.partial(jax.jit, static_argnames=("bf16_gen",))
-    def gen_chunk(ci, bf16_gen=True):
+    # Minimal-compile corpus: int8 codes straight from a clipped gaussian
+    # with constant scales. Exact-scan QPS is content-independent, and the
+    # fancier generator (normalize + per-row absmax) takes pathologically
+    # long to first-compile through the axon relay — it alone blew two
+    # 50-minute runs before any kernel work started.
+    @jax.jit
+    def gen_chunk(ci):
         k = jax.random.fold_in(jax.random.PRNGKey(0), ci)
-        dt = jnp.bfloat16 if bf16_gen else jnp.float32
-        v = jax.random.normal(k, (CHUNK, D), dt).astype(jnp.float32)
-        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-        absmax = jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-9)
-        sc = absmax / 127.0
-        c8 = jnp.clip(jnp.round(v / sc[:, None]), -127, 127).astype(jnp.int8)
+        v = jax.random.normal(k, (CHUNK, D), jnp.bfloat16)
+        c8 = jnp.clip(v.astype(jnp.float32) * 40.0, -127, 127).astype(jnp.int8)
+        sc = jnp.full((CHUNK,), 1.0 / 127.0, jnp.float32)
         return c8, sc
 
     t0 = time.time()
