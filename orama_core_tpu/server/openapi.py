@@ -51,7 +51,54 @@ def openapi_spec() -> Dict[str, Any]:
                 "post": _op("Delete documents by id", "Bearer write key")
             },
             "/v1/collections/{id}/search": {
-                "post": _op("Search (fulltext/vector/hybrid)", "?api-key=read key")
+                "post": {
+                    **_op("Search (fulltext/vector/hybrid)", "?api-key=read key"),
+                    "requestBody": {
+                        "content": {
+                            "application/json": {
+                                "schema": {
+                                    "type": "object",
+                                    "properties": {
+                                        "term": {"type": "string"},
+                                        "mode": {
+                                            "type": "string",
+                                            "enum": ["fulltext", "vector", "hybrid"],
+                                        },
+                                        "limit": {"type": "integer", "default": 10},
+                                        "boost": {"type": "object"},
+                                        "properties": {
+                                            "type": "array",
+                                            "items": {"type": "string"},
+                                        },
+                                        "fusion": {
+                                            "type": "string",
+                                            "enum": ["rrf", "minmax"],
+                                        },
+                                        "where": {
+                                            "type": "object",
+                                            "description": (
+                                                "Per-field filters. Number: "
+                                                '{"eq"|"gt"|"gte"|"lt"|"lte": n} or '
+                                                '{"between": [lo, hi]}. Bool: true|false. '
+                                                'String (exact): "v", {"eq": "v"}, or '
+                                                '{"in": ["v1", "v2"]}.'
+                                            ),
+                                        },
+                                        "facets": {
+                                            "type": "object",
+                                            "description": (
+                                                "Per-field facets. Number: {\"ranges\": "
+                                                '[{"from": lo, "to": hi}]}. Bool: '
+                                                '{"true": bool, "false": bool}. String '
+                                                '(term facet): {} or {"limit": N}.'
+                                            ),
+                                        },
+                                    },
+                                }
+                            }
+                        }
+                    },
+                }
             },
             "/v1/collections/{id}/documents/{doc_id}": {
                 "get": _op("Fetch one document", "?api-key=read key", body=False)
