@@ -138,18 +138,33 @@ def main() -> None:
     )
     log(f"recall@{K} (bf16 vs f32 exact): {recall:.4f}")
 
-    # CPU numpy baseline on a slice, scaled linearly to N
-    SLICE = 50_000
-    v_np = np.asarray(vecs[:SLICE], dtype=np.float32)
+    # CPU numpy baseline at FULL corpus size (the host has 125 GB RAM; the
+    # corpus is regenerated host-side rather than pulled 3 GB through the
+    # relay — the baseline measures the same shape/dtype workload, not the
+    # same values). Falls back to slice-scaling only if allocation fails.
     q_np = np.asarray(queries[:8], dtype=np.float32)
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        sims = q_np @ v_np.T
-        np.argpartition(-sims, K, axis=1)[:, :K]
-    cpu_dt_slice = (time.time() - t0) / reps
-    cpu_qps = 8 / (cpu_dt_slice * (N / SLICE))
-    log(f"cpu numpy baseline (scaled from {SLICE}): {cpu_qps:.2f} QPS")
+    try:
+        rng = np.random.default_rng(0)
+        v_np = rng.standard_normal((N, D), dtype=np.float32)
+        t0 = time.time()
+        reps = 2
+        for _ in range(reps):
+            sims = q_np @ v_np.T
+            np.argpartition(-sims, K, axis=1)[:, :K]
+        cpu_qps = 8 / ((time.time() - t0) / reps)
+        log(f"cpu numpy baseline (direct, {N}x{D}): {cpu_qps:.2f} QPS")
+        del v_np
+    except MemoryError:
+        SLICE = 50_000
+        v_np = np.asarray(vecs[:SLICE], dtype=np.float32)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            sims = q_np @ v_np.T
+            np.argpartition(-sims, K, axis=1)[:, :K]
+        cpu_dt_slice = (time.time() - t0) / reps
+        cpu_qps = 8 / (cpu_dt_slice * (N / SLICE))
+        log(f"cpu numpy baseline (scaled from {SLICE}): {cpu_qps:.2f} QPS")
 
     print(
         json.dumps(
