@@ -126,78 +126,87 @@ def main() -> None:
     )
     queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
 
-    # -- build pass: ONE dispatch; carries = codes + assignments + GT ------
+    # -- build pass: per-chunk dispatches (compiled once, relay-safe) -------
+    # A single whole-corpus program needs multi-GB loop carries; the dev
+    # relay wedges above ~8 GB of live allocations and un-aliased carries
+    # double the footprint. Per-chunk outputs are ~52 MB; the device work
+    # queue keeps everything async with one sync at the end.
     SLAB = 65_536  # inner slab for the [slab, CL] assign matmul
     while CHUNK % SLAB:
         SLAB //= 2
 
     @jax.jit
-    def build(modes_, cents_, books_, books_neg_, queries_):
-        def chunk_body(ci, carry):
-            codes_all, assign_all, gt_v, gt_i = carry
-            ids = ci * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)
-            v = row_vecs(ids)                              # [CHUNK, D] f32
+    def build_chunk(ci, cents_, books_, books_neg_, queries_):
+        ids = ci * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)
+        v = row_vecs(ids)                                  # [CHUNK, D] f32
 
-            # IVF assignment in slabs (full [CHUNK, CL] would be 16 GB)
-            def slab_assign(si, acc):
-                s = jax.lax.dynamic_slice(v, (si * SLAB, 0), (SLAB, D))
-                sims = jnp.dot(
-                    s.astype(jnp.bfloat16),
-                    cents_.T.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
-                return jax.lax.dynamic_update_slice(
-                    acc, jnp.argmax(sims, axis=-1).astype(jnp.int32), (si * SLAB,)
-                )
-
-            assign = jax.lax.fori_loop(
-                0, CHUNK // SLAB, slab_assign, jnp.zeros((CHUNK,), jnp.int32)
-            )
-
-            # PQ encode: scan over subspaces ([CHUNK, 256] per step)
-            sub = v.reshape(CHUNK, M, D // M)
-
-            def enc_body(mi, acc):
-                sims = jnp.dot(
-                    sub[:, mi, :], books_[mi].T, preferred_element_type=jnp.float32
-                ) - books_neg_[mi][None, :]
-                return acc.at[:, mi].set(jnp.argmax(sims, axis=-1).astype(jnp.uint8))
-
-            codes = jax.lax.fori_loop(
-                0, M, enc_body, jnp.zeros((CHUNK, M), jnp.uint8)
-            )
-
-            # exact ground truth merge
+        # IVF assignment in slabs (full [CHUNK, CL] would be 16 GB)
+        def slab_assign(si, acc):
+            s = jax.lax.dynamic_slice(v, (si * SLAB, 0), (SLAB, D))
             sims = jnp.dot(
-                queries_.astype(jnp.bfloat16),
-                v.T.astype(jnp.bfloat16),
+                s.astype(jnp.bfloat16),
+                cents_.T.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
-            cv, cidx = jax.lax.top_k(sims, K)
-            gt_v2 = jnp.concatenate([gt_v, cv], axis=1)
-            gt_i2 = jnp.concatenate([gt_i, cidx + ci * CHUNK], axis=1)
-            mv, mi_ = jax.lax.top_k(gt_v2, K)
-            gt_i_new = jnp.take_along_axis(gt_i2, mi_, axis=1)
+            return jax.lax.dynamic_update_slice(
+                acc, jnp.argmax(sims, axis=-1).astype(jnp.int32), (si * SLAB,)
+            )
 
-            codes_all = jax.lax.dynamic_update_slice(codes_all, codes, (ci * CHUNK, 0))
-            assign_all = jax.lax.dynamic_update_slice(assign_all, assign, (ci * CHUNK,))
-            return codes_all, assign_all, mv, gt_i_new
-
-        init = (
-            jnp.zeros((N, M), jnp.uint8),
-            jnp.zeros((N,), jnp.int32),
-            jnp.full((QB, K), -jnp.inf, jnp.float32),
-            jnp.zeros((QB, K), jnp.int32),
+        assign = jax.lax.fori_loop(
+            0, CHUNK // SLAB, slab_assign, jnp.zeros((CHUNK,), jnp.int32)
         )
-        return jax.lax.fori_loop(0, N_CHUNKS, chunk_body, init)
+
+        # PQ encode: loop over subspaces ([CHUNK, 256] per step)
+        sub = v.reshape(CHUNK, M, D // M)
+
+        def enc_body(mi, acc):
+            sims = jnp.dot(
+                sub[:, mi, :], books_[mi].T, preferred_element_type=jnp.float32
+            ) - books_neg_[mi][None, :]
+            return acc.at[:, mi].set(jnp.argmax(sims, axis=-1).astype(jnp.uint8))
+
+        codes = jax.lax.fori_loop(0, M, enc_body, jnp.zeros((CHUNK, M), jnp.uint8))
+
+        # exact chunk-local ground truth (merged by a tiny program below)
+        sims = jnp.dot(
+            queries_.astype(jnp.bfloat16),
+            v.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        cv, cidx = jax.lax.top_k(sims, K)
+        return codes, assign, cv, cidx
+
+    @jax.jit
+    def gt_merge(gt_v, gt_i, cv, cidx, off):
+        gt_v2 = jnp.concatenate([gt_v, cv], axis=1)
+        gt_i2 = jnp.concatenate([gt_i, cidx + off], axis=1)
+        mv, mi_ = jax.lax.top_k(gt_v2, K)
+        return mv, jnp.take_along_axis(gt_i2, mi_, axis=1)
 
     t0 = time.time()
-    codes, assign, gt_v, gt_i = build(modes, cents, books, books_neg, queries)
+    code_chunks, assign_chunks = [], []
+    gt_v = jnp.full((QB, K), -jnp.inf, jnp.float32)
+    gt_i = jnp.zeros((QB, K), jnp.int32)
+    for ci in range(N_CHUNKS):
+        codes_c, assign_c, cv, cidx = build_chunk(
+            jnp.int32(ci), cents, books, books_neg, queries
+        )
+        code_chunks.append(codes_c)
+        assign_chunks.append(assign_c)
+        gt_v, gt_i = gt_merge(gt_v, gt_i, cv, cidx, jnp.int32(ci * CHUNK))
+        if ci == 0:
+            _ = np.asarray(cv[0, 0])  # surface compile problems early
+            log(f"chunk 0 (compile+run) in {time.time()-t0:.1f}s")
     gt = np.asarray(gt_i)
     log(
         f"build (codes + assignments + exact GT over {N_CHUNKS} chunks) "
         f"in {time.time()-t0:.1f}s — {N/(time.time()-t0):,.0f} rows/s"
     )
+    codes = jnp.concatenate(code_chunks, axis=0)
+    assign = jnp.concatenate(assign_chunks, axis=0)
+    del code_chunks, assign_chunks
+    _ = np.asarray(assign[0])
+    log("codes/assignments consolidated")
 
     # -- IVF lists: counts -> cap -> scatter sorted ids --------------------
     t0 = time.time()
