@@ -135,12 +135,17 @@ def main() -> None:
     while CHUNK % SLAB:
         SLAB //= 2
 
+    # Four small programs instead of one (each compiles independently —
+    # the relay's compile time grows sharply and unpredictably with
+    # program size; a modest fused generator once outlived a 50-minute
+    # run before producing a single chunk).
     @jax.jit
-    def build_chunk(ci, cents_, books_, books_neg_, queries_):
+    def gen_rows(ci):
         ids = ci * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)
-        v = row_vecs(ids)                                  # [CHUNK, D] f32
+        return row_vecs(ids)                               # [CHUNK, D] f32
 
-        # IVF assignment in slabs (full [CHUNK, CL] would be 16 GB)
+    @jax.jit
+    def assign_rows(v, cents_):
         def slab_assign(si, acc):
             s = jax.lax.dynamic_slice(v, (si * SLAB, 0), (SLAB, D))
             sims = jnp.dot(
@@ -152,11 +157,12 @@ def main() -> None:
                 acc, jnp.argmax(sims, axis=-1).astype(jnp.int32), (si * SLAB,)
             )
 
-        assign = jax.lax.fori_loop(
+        return jax.lax.fori_loop(
             0, CHUNK // SLAB, slab_assign, jnp.zeros((CHUNK,), jnp.int32)
         )
 
-        # PQ encode: loop over subspaces ([CHUNK, 256] per step)
+    @jax.jit
+    def encode_rows(v, books_, books_neg_):
         sub = v.reshape(CHUNK, M, D // M)
 
         def enc_body(mi, acc):
@@ -165,15 +171,22 @@ def main() -> None:
             ) - books_neg_[mi][None, :]
             return acc.at[:, mi].set(jnp.argmax(sims, axis=-1).astype(jnp.uint8))
 
-        codes = jax.lax.fori_loop(0, M, enc_body, jnp.zeros((CHUNK, M), jnp.uint8))
+        return jax.lax.fori_loop(0, M, enc_body, jnp.zeros((CHUNK, M), jnp.uint8))
 
-        # exact chunk-local ground truth (merged by a tiny program below)
+    @jax.jit
+    def gt_chunk(v, queries_):
         sims = jnp.dot(
             queries_.astype(jnp.bfloat16),
             v.T.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-        cv, cidx = jax.lax.top_k(sims, K)
+        return jax.lax.top_k(sims, K)
+
+    def build_chunk(ci, cents_, books_, books_neg_, queries_):
+        v = gen_rows(ci)
+        assign = assign_rows(v, cents_)
+        codes = encode_rows(v, books_, books_neg_)
+        cv, cidx = gt_chunk(v, queries_)
         return codes, assign, cv, cidx
 
     @jax.jit
