@@ -18,6 +18,7 @@ Route surface mirrors the reference's axum router (`web_server/api/`):
     POST /v1/{id}/actions/execute               [?api-key] (sidecar seam)
     POST /v1/collections/{id}/hooks/create      [Bearer write]
     GET  /v1/collections/{id}/hooks/list        [Bearer write]
+    GET  /v1/collections/{id}/hooks/get?name=   [Bearer write]
     POST /v1/collections/{id}/hooks/delete      [Bearer write]
 
 Auth conventions match the reference: admin/write = Authorization Bearer
@@ -328,7 +329,7 @@ def _make_handler(orama):
                 self._send(200, result.to_json())
                 return 200
 
-            mo = re.match(r"^/v1/collections/([^/]+)/hooks/(create|list|delete)$", path)
+            mo = re.match(r"^/v1/collections/([^/]+)/hooks/(create|list|get|delete)$", path)
             if mo:
                 from ..engine.hooks import HooksRuntime
 
@@ -342,6 +343,19 @@ def _make_handler(orama):
                     return 200
                 if action == "list" and method == "GET":
                     self._send(200, hooks.list_hooks(cid))
+                    return 200
+                if action == "get" and method == "GET":
+                    # reference: GET /v1/{id}/hooks/get (hooks.rs:68-99)
+                    qs = urllib.parse.parse_qs(
+                        urllib.parse.urlparse(self.path).query
+                    )
+                    name = (qs.get("name") or [""])[0]
+                    code = hooks.get_hook(cid, name)
+                    if code is None:
+                        raise HttpError(404, f"hook {name} not found")
+                    if not isinstance(code, str):
+                        code = f"<python {getattr(code, '__name__', 'fn')}>"
+                    self._send(200, {"name": name, "code": code})
                     return 200
                 if action == "delete" and method == "POST":
                     body = self._body() or {}

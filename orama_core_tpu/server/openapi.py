@@ -118,6 +118,9 @@ def openapi_spec() -> Dict[str, Any]:
             "/v1/collections/{id}/hooks/list": {
                 "get": _op("List hooks", "Bearer write key", body=False)
             },
+            "/v1/collections/{id}/hooks/get": {
+                "get": _op("Fetch one hook by ?name=", "Bearer write key", body=False)
+            },
             "/v1/collections/{id}/hooks/delete": {
                 "post": _op("Delete a hook", "Bearer write key")
             },

@@ -253,6 +253,14 @@ def test_hooks_api(server):
     assert status == 200
     status, hooks = _req(base + "/v1/collections/c1/hooks/list", bearer="wk")
     assert status == 200 and "selectEmbeddingProperties" in hooks
+    # fetch one hook (reference: GET /v1/{id}/hooks/get, hooks.rs:68-99)
+    status, one = _req(
+        base + "/v1/collections/c1/hooks/get?name=selectEmbeddingProperties",
+        bearer="wk",
+    )
+    assert status == 200 and one["code"] == code
+    status, _ = _req(base + "/v1/collections/c1/hooks/get?name=nope", bearer="wk")
+    assert status == 404
     # inserting with the hook routes embedding input through 'title' only
     status, _ = _req(
         base + "/v1/collections/c1/insert",
