@@ -120,9 +120,18 @@ def test_load_shedding_503(server):
     finally:
         release.set()
         engine.read_side.search = orig
-        t.join(timeout=10)
-    # slot released -> heavy requests flow again
-    status, _ = _post(base + "/v1/collections/c1/search", {"term": "hello"}, READ)
+        t.join(timeout=30)
+    # slot released -> heavy requests flow again (retry: the held request
+    # may still be draining under a loaded test process)
+    deadline = time.time() + 20
+    while True:
+        try:
+            status, _ = _post(base + "/v1/collections/c1/search", {"term": "hello"}, READ)
+            break
+        except urllib.error.HTTPError as e:
+            if e.code != 503 or time.time() > deadline:
+                raise
+            time.sleep(0.2)
     assert status == 200
 
 
