@@ -109,14 +109,20 @@ def main() -> None:
         v = jax.vmap(one)(ids)
         return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
-    # -- train PQ codebooks + IVF centroids on a sample --------------------
+    # -- train IVF centroids + RESIDUAL PQ codebooks on a sample -----------
+    # Residual encoding (FAISS IVF-PQ): quantize v - cents[cluster(v)].
+    # Flat PQ at this density measured recall@10 = 0.35 — its noise swamps
+    # the within-cluster margins; residual PQ spends all its bits on them.
     t0 = time.time()
     sample = row_vecs(jnp.arange(args.train_sample, dtype=jnp.int32))
     cents = ivf.kmeans(sample, jax.random.PRNGKey(2), CL, iters=8)
-    books = pq_train(sample, jax.random.PRNGKey(3), m=M, iters=8)
+    s_assign = jnp.argmax(
+        jnp.dot(sample, cents.T, preferred_element_type=jnp.float32), axis=-1
+    )
+    books = pq_train(sample - cents[s_assign], jax.random.PRNGKey(3), m=M, iters=8)
     books_neg = 0.5 * jnp.sum(books**2, axis=-1)  # [M, 256] encode bias
     _ = np.asarray(books[0, 0, 0])
-    log(f"PQ codebooks + {CL} IVF centroids trained in {time.time()-t0:.1f}s")
+    log(f"residual PQ codebooks + {CL} IVF centroids trained in {time.time()-t0:.1f}s")
 
     # queries: perturbations of the QB query-base rows (ids N-QB .. N-1)
     qk = jax.random.PRNGKey(11)
@@ -182,10 +188,14 @@ def main() -> None:
         )
         return jax.lax.top_k(sims, K)
 
+    @jax.jit
+    def residual_rows(v, cents_, assign):
+        return v - cents_[assign]
+
     def build_chunk(ci, cents_, books_, books_neg_, queries_):
         v = gen_rows(ci)
         assign = assign_rows(v, cents_)
-        codes = encode_rows(v, books_, books_neg_)
+        codes = encode_rows(residual_rows(v, cents_, assign), books_, books_neg_)
         cv, cidx = gt_chunk(v, queries_)
         return codes, assign, cv, cidx
 
@@ -253,7 +263,7 @@ def main() -> None:
     @functools.partial(jax.jit, static_argnames=("nprobe", "k", "expand"))
     def search(codes_, books_, cents_, lists_, counts_, q, nprobe, k, expand):
         csims = jnp.dot(q, cents_.T, preferred_element_type=jnp.float32)
-        _, probe = jax.lax.top_k(csims, nprobe)            # [Q, nprobe]
+        probe_sims, probe = jax.lax.top_k(csims, nprobe)   # [Q, nprobe]
         cand = lists_[probe].reshape(QB, nprobe * cap)
         cand_lens = counts_[probe]
         pos = jax.lax.broadcasted_iota(jnp.int32, (nprobe, cap), 1)
@@ -264,17 +274,21 @@ def main() -> None:
         lut = jnp.einsum(
             "mqd,mcd->mqc", qsub, books_, preferred_element_type=jnp.float32
         )
-        ccodes = codes_[cand].astype(jnp.int32)            # [Q, NC, M]
+        # gather candidate codes ONCE as uint8 (int32 here would 4x the
+        # materialized candidate block); cast per-subspace inside the scan
+        ccodes = codes_[cand]                              # uint8[Q, NC, M]
 
         def body(acc, inputs):
             lut_m, code_m = inputs
-            return acc + jnp.take_along_axis(lut_m, code_m, axis=1), None
+            return acc + jnp.take_along_axis(lut_m, code_m.astype(jnp.int32), axis=1), None
 
         adc, _ = jax.lax.scan(
             body,
             jnp.zeros((QB, nprobe * cap), jnp.float32),
             (lut, ccodes.transpose(2, 0, 1)),
         )
+        # residual scoring: add back q·cents[cluster] (cluster == probe slot)
+        adc = adc + jnp.repeat(probe_sims, cap, axis=1)
         adc = jnp.where(valid, adc, -jnp.inf)
         ck = k * expand
         _, ci_ = jax.lax.top_k(adc, ck)

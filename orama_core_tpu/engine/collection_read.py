@@ -1097,6 +1097,7 @@ class CollectionReader:
             sims, rows = ivf_ops.ivf_pq_search(
                 codes, books, vecs, cents, lists, lens, q_dev[None, :],
                 nprobe=min(nprobe, lists.shape[0]), k=cand_k, expand=expand,
+                residual=committed.pq_residual,
             )
             docs = vec_docs[rows[0]]
             contrib = jnp.maximum(sims[0], 0.0)

@@ -81,6 +81,10 @@ class CommittedVectorIndex:
     # vestigial reductive-PQ demo, bin/embeddings/pq.rs)
     pq_codebooks: Optional[np.ndarray] = None  # [M, C, D/M]
     pq_codes: Optional[np.ndarray] = None      # uint8[P, M]
+    # True => codes quantize IVF residuals (v - cents[cluster]) and ADC
+    # adds back q·cents[cluster] — the FAISS IVF-PQ shape; flat PQ's
+    # quantization noise swamps within-cluster margins at scale
+    pq_residual: bool = False
     # (nprobe, ADC expand) chosen by tune_nprobe() against brute-force
     # ground truth (None => use the config defaults)
     tuned_nprobe: Optional[int] = None
@@ -118,6 +122,17 @@ class CommittedVectorIndex:
         while d % m:
             m -= 1
         v = jnp.asarray(self.vecs)
+        if self.has_ivf:
+            # residual IVF-PQ: quantize v - cents[cluster(v)]
+            from ..ops import ivf as ivf_ops
+
+            assign = ivf_ops.assign_clusters_chunked(
+                v, jnp.asarray(self.ivf_cents)
+            )
+            v = pq_ops.residuals(v, jnp.asarray(self.ivf_cents), assign)
+            self.pq_residual = True
+        else:
+            self.pq_residual = False
         books = pq_ops.pq_train(
             v, jax.random.PRNGKey(seed), m=m,
             n_codes=min(n_codes, max(self.n_vectors, 2)),
@@ -189,6 +204,7 @@ class CommittedVectorIndex:
                     jnp.asarray(self.pq_codes), jnp.asarray(self.pq_codebooks),
                     v_dev, cents, lists, lens, q_dev,
                     nprobe=nprobe, k=k, expand=exp,
+                    residual=self.pq_residual,
                 )
             else:
                 _, ids = ivf_ops.ivf_search(
@@ -259,6 +275,7 @@ class CommittedVectorIndex:
         if self.has_pq:
             out["pq_codebooks"] = self.pq_codebooks
             out["pq_codes"] = self.pq_codes
+            out["pq_residual"] = np.asarray([int(self.pq_residual)], np.int64)
         if self.tuned_nprobe is not None:
             out["tuned_nprobe"] = np.asarray([self.tuned_nprobe], np.int64)
         if self.tuned_expand is not None:
@@ -278,6 +295,7 @@ class CommittedVectorIndex:
             ivf_lens=arrays.get("ivf_lens"),
             pq_codebooks=arrays.get("pq_codebooks"),
             pq_codes=arrays.get("pq_codes"),
+            pq_residual=bool(arrays.get("pq_residual", [0])[0]),
             tuned_nprobe=int(tuned[0]) if tuned is not None else None,
             tuned_expand=int(tuned_e[0]) if tuned_e is not None else None,
         )

@@ -142,7 +142,7 @@ def ivf_search(
     return v, jnp.take_along_axis(cand_flat, i, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "expand"))
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "expand", "residual"))
 def ivf_pq_search(
     codes: jax.Array,      # uint8[P, M] PQ codes (the scan reads these, not vecs)
     codebooks: jax.Array,  # [M, C, ds]
@@ -154,11 +154,20 @@ def ivf_pq_search(
     nprobe: int,
     k: int,
     expand: int = 10,
+    residual: bool = False,
 ):
     """IVF + PQ + exact rerank (VERDICT r1 item 10; the engine's scale
     vector mode): probe ``nprobe`` clusters, score their members by PQ ADC
     (bandwidth: M bytes/row instead of 2-4*D), take k*expand candidates,
     rerank those rows exactly. Returns (scores [Q, k], row ids [Q, k]).
+
+    ``residual=True`` is the FAISS-style IVF-PQ variant: codes quantize
+    ``v - cents[cluster(v)]`` and the ADC score adds the query-centroid
+    dot of the candidate's probed cluster. At scale this matters a lot:
+    flat PQ wastes its capacity re-encoding the cluster's shared
+    component, and its quantization noise swamps the within-cluster
+    margins that decide the top-k (measured: recall@10 0.35 flat vs
+    >0.95 residual at 30M, benchmarks/pq_100m_bench.py).
 
     Replaces the reference's HNSW recall/speed trade (committed/vector.rs:
     36-236) with a partition+compression trade that keeps the MXU busy."""
@@ -167,7 +176,7 @@ def ivf_pq_search(
     csims = jnp.dot(
         queries, cents.T.astype(queries.dtype), preferred_element_type=jnp.float32
     )
-    _, probe = jax.lax.top_k(csims, nprobe)                 # [Q, nprobe]
+    probe_sims, probe = jax.lax.top_k(csims, nprobe)        # [Q, nprobe]
     cand_flat = lists[probe].reshape(q_n, nprobe * cap)     # [Q, N]
     cand_lens = list_lens[probe]                            # [Q, nprobe]
     pos = jax.lax.broadcasted_iota(jnp.int32, (nprobe, cap), 1)
@@ -179,16 +188,23 @@ def ivf_pq_search(
     lut = jnp.einsum(
         "mqd,mcd->mqc", qsub, codebooks, preferred_element_type=jnp.float32
     )                                                       # [M, Q, C]
-    codes_cand = codes[cand_flat].astype(jnp.int32)         # [Q, N, M]
+    # gather candidate codes ONCE as uint8 (int32 would 4x the block);
+    # cast per-subspace inside the scan
+    codes_cand = codes[cand_flat]                           # uint8[Q, N, M]
 
     def body(acc, inputs):
         lut_m, code_m = inputs                              # [Q, C], [Q, N]
-        return acc + jnp.take_along_axis(lut_m, code_m, axis=1), None
+        return acc + jnp.take_along_axis(lut_m, code_m.astype(jnp.int32), axis=1), None
 
     acc0 = jnp.zeros((q_n, nprobe * cap), jnp.float32)
     adc, _ = jax.lax.scan(
         body, acc0, (lut, codes_cand.transpose(2, 0, 1))
     )
+    if residual:
+        # score = q . cents[cluster] + q . residual — the candidate's
+        # cluster IS its probe slot, so the offset broadcasts per slot
+        # (no per-candidate gather)
+        adc = adc + jnp.repeat(probe_sims, cap, axis=1)
     adc = jnp.where(valid, adc, -jnp.inf)
     ck = min(k * expand, nprobe * cap)
     _, ci = jax.lax.top_k(adc, ck)                          # [Q, ck]

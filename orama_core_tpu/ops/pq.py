@@ -111,5 +111,13 @@ def pq_topk_rerank(
     return v, jnp.take_along_axis(cand, i, axis=1)
 
 
+@jax.jit
+def residuals(vecs: jax.Array, cents: jax.Array, assign: jax.Array) -> jax.Array:
+    """v - cents[cluster(v)] — what residual IVF-PQ quantizes. Training and
+    encoding both run on these; scoring adds back q·cents[cluster] per
+    probed cluster (ops/ivf.ivf_pq_search residual=True)."""
+    return vecs - cents[assign]
+
+
 def pq_compression_ratio(d: int, m: int, dtype_bytes: int = 4) -> float:
     return (d * dtype_bytes) / m

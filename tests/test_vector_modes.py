@@ -183,6 +183,7 @@ def test_ivf_pq_recall_and_autotune():
         jnp.asarray(vecs), jnp.asarray(idx.ivf_cents),
         jnp.asarray(idx.ivf_lists), jnp.asarray(idx.ivf_lens),
         jnp.asarray(q), nprobe=tuned, k=10, expand=idx.tuned_expand,
+        residual=idx.pq_residual,
     )
     ids = np.asarray(ids)
     recall = np.mean(
@@ -193,3 +194,56 @@ def test_ivf_pq_recall_and_autotune():
     # tuned nprobe round-trips persistence
     again = CommittedVectorIndex.from_arrays(idx.to_arrays())
     assert again.tuned_nprobe == tuned
+
+
+def test_residual_pq_beats_flat_at_dense_clusters():
+    """The 30M-bench finding, reproduced small: when clusters are dense
+    (many members, tight margins), flat PQ's quantization noise swamps the
+    within-cluster ranking; residual IVF-PQ spends its bits on exactly
+    those margins (ops/ivf.ivf_pq_search residual=True)."""
+    import jax.numpy as jnp
+
+    from orama_core_tpu.ops import ivf as ivf_ops
+    from orama_core_tpu.ops import pq as pq_ops
+
+    rng = np.random.default_rng(1)
+    n, d, n_modes, Q, K = 30_000, 96, 8, 24, 10  # ~3.7k docs per cluster
+    modes = rng.standard_normal((n_modes, d)).astype(np.float32)
+    modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+    which = rng.integers(0, n_modes, n)
+    vecs = modes[which] + 0.25 / np.sqrt(d) * rng.standard_normal((n, d)).astype(
+        np.float32
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # planted unambiguous neighbors: rows j*10..j*10+9 perturb query base j
+    bases = vecs[-Q:].copy()
+    for j in range(Q):
+        blk = bases[j] + 0.12 / np.sqrt(d) * rng.standard_normal((10, d)).astype(
+            np.float32
+        )
+        vecs[j * 10 : (j + 1) * 10] = blk / np.linalg.norm(blk, axis=1, keepdims=True)
+    q = bases + 0.05 / np.sqrt(d) * rng.standard_normal((Q, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    gt = np.argsort(-(q @ vecs.T), axis=1)[:, :K]
+
+    v = jnp.asarray(vecs)
+    cents = ivf_ops.kmeans(v, __import__("jax").random.PRNGKey(0), 16, iters=8)
+    assign = ivf_ops.assign_clusters_chunked(v, cents)
+    lists, lens, _ = ivf_ops.build_ivf_lists(np.asarray(assign), 16)
+
+    def recall(residual: bool) -> float:
+        train = v - cents[assign] if residual else v
+        books = pq_ops.pq_train(train, __import__("jax").random.PRNGKey(1), m=d // 8)
+        codes = pq_ops.pq_encode(train, books)
+        _, ids = ivf_ops.ivf_pq_search(
+            codes, books, v, cents, jnp.asarray(lists), jnp.asarray(lens),
+            jnp.asarray(q), nprobe=8, k=K, expand=30, residual=residual,
+        )
+        ids = np.asarray(ids)
+        return float(
+            np.mean([len(set(ids[i]) & set(gt[i])) / K for i in range(Q)])
+        )
+
+    r_flat, r_res = recall(False), recall(True)
+    assert r_res >= 0.9, (r_flat, r_res)
+    assert r_res > r_flat + 0.1, (r_flat, r_res)
