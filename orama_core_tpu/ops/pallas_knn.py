@@ -1,15 +1,39 @@
-"""Fused brute-force kNN Pallas kernel: matmul + streaming top-k.
+"""Fused brute-force kNN: Pallas streaming sub-block-max + exact rescore.
 
 The XLA path (ops/vector.py) materializes the [Q, N] similarity matrix in
 HBM (256 MB at Q=64, N=1M) and re-reads it for `top_k` — ~1/4 of the total
-HBM traffic. This kernel streams corpus blocks HBM→VMEM, computes the
-[Q, BN] block similarities on the MXU, and maintains the running top-k in a
-VMEM scratch across sequential grid steps — similarities never touch HBM.
+HBM traffic. Round-1's fused kernel fixed that by keeping a running top-k
+in VMEM, but its merge (k rounds of max/mask per corpus block) cost ~5·k
+VPU traversals per similarity — measured VPU-bound, not bandwidth-bound
+(the int8 variant moved half the HBM bytes for only +6% QPS).
 
-Top-k maintenance is heap-free (XLA/VPU-friendly, SURVEY.md §7 "top-k
-inside kernels"): K rounds of max/argmax over the block (extract the
-block's best K) each merged into the running set by replacing the current
-minimum when beaten.
+Round-2 design (this file) splits the selection:
+
+  Phase 1 (Pallas, streaming): corpus blocks stream HBM→VMEM, the [BN, Q]
+  block similarities are computed on the MXU (transposed so sub-blocks
+  sit on the sublane axis — see the kernel docstring), and ONLY
+  per-sub-block maxes (SUB rows per sub-block) are written out — one max
+  traversal per similarity, k-independent. Similarities never touch HBM.
+
+  Phase 2 (XLA): `lax.top_k` over the [Q, N/SUB] maxes picks k candidate
+  sub-blocks per query; their k·SUB rows are gathered and rescored
+  exactly, and the final top-k is taken from those.
+
+Exactness: every true top-k element lives in a sub-block whose max is
+≥ the k-th best value, and at most k sub-blocks can have a max above it —
+so the top-k sub-blocks by max always contain the true top-k (the classic
+block-max filter; equality ties can select a different-but-equal-valued
+result set, as with any top-k tie).
+
+Measured at 1M×768, 64-query batch, k=10 on a v5e chip: 20.5k QPS
+(3.12 ms/batch) vs 17.1k for the round-1 merge kernel (+20%); phase 2
+touches k·SUB = 320 of 1M rows per query. The remaining time is NOT HBM
+bandwidth (the int8 variant halves the streamed bytes yet lands slower,
+~16.8k — its extra int32→f32 convert + scale multiply outweigh the DMA
+saving, so int8's value here is HBM *capacity*, not speed): it is the
+64-query matmul using half the MXU output tile plus fixed dispatch
+overhead. Replaces the reference's HNSW walk (committed/vector.rs:36-236)
+with a dense streaming scan that keeps the MXU busy at any corpus size.
 """
 
 from __future__ import annotations
@@ -24,230 +48,215 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -3.0e38
 
 
-def _knn_kernel(
-    q_ref, v_ref, out_vals_ref, out_idx_ref, tv_ref, ti_ref, k: int, n_valid: int
-):
+def _subblock_max_kernel(q_ref, v_ref, out_ref, *, sub: int, n_valid: int):
     """Grid: (num_blocks,). q [Q, D] resident; v block [BN, D] streamed;
-    scratch tv/ti [Q, K] running top-k. Rows >= n_valid are padding."""
+    out block [BN/SUB, Q] = per-sub-block max similarity, transposed so
+    sub-blocks sit on the SUBLANE axis: the reduction then runs over
+    aligned sublane groups, and the Q-wide lane dim keeps the output block
+    tileable (a [Q, BN/SUB] orientation has too few lanes per block).
+    Corpus rows >= n_valid are padding and score NEG."""
     step = pl.program_id(0)
-    n_steps = pl.num_programs(0)
     bn = v_ref.shape[0]
-
-    @pl.when(step == 0)
-    def _init():
-        tv_ref[:] = jnp.full(tv_ref.shape, NEG, jnp.float32)
-        ti_ref[:] = jnp.zeros(ti_ref.shape, jnp.int32)
 
     sims = jax.lax.dot_general(
-        q_ref[:], v_ref[:],
+        v_ref[:], q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [Q, BN]
+    )  # [BN, Q]
 
     base = step * bn
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
-    sims = jnp.where(col_ids < n_valid, sims, NEG)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, tv_ref.shape, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 0) + base
+    sims = jnp.where(row_ids < n_valid, sims, NEG)
 
-    def round_body(j, carry):
-        sims, tv, ti = carry
-        m = jnp.max(sims, axis=1)                       # [Q]
-        am_onehot = sims == m[:, None]
-        # first max position only (break ties by lowest column)
-        idx = jnp.min(
-            jnp.where(am_onehot, col_ids, jnp.int32(2**30)), axis=1
-        )
-        sims = jnp.where(am_onehot, NEG, sims)
-
-        minv = jnp.min(tv, axis=1)                      # [Q]
-        min_onehot = tv == minv[:, None]
-        # only the first min slot
-        min_pos = jnp.min(jnp.where(min_onehot, kcol, jnp.int32(2**30)), axis=1)
-        better = m > minv                               # [Q]
-        do_replace = better[:, None] & (kcol == min_pos[:, None])
-        tv = jnp.where(do_replace, m[:, None], tv)
-        ti = jnp.where(do_replace, idx[:, None], ti)
-        return sims, tv, ti
-
-    sims, tv, ti = jax.lax.fori_loop(
-        0, k, round_body, (sims, tv_ref[:], ti_ref[:])
+    # static unrolled per-sub-block max over sublane slices (SUB-aligned)
+    out_ref[:] = jnp.concatenate(
+        [
+            jnp.max(sims[c * sub : (c + 1) * sub, :], axis=0, keepdims=True)
+            for c in range(bn // sub)
+        ],
+        axis=0,
     )
-    tv_ref[:] = tv
-    ti_ref[:] = ti
-
-    @pl.when(step == n_steps - 1)
-    def _emit():
-        # sort the K survivors descending (K is tiny: selection sort via
-        # the same max/mask rounds)
-        def emit_round(j, carry):
-            tv, ti = carry
-            m = jnp.max(tv, axis=1)
-            oh = tv == m[:, None]
-            pos = jnp.min(jnp.where(oh, kcol, jnp.int32(2**30)), axis=1)
-            sel = kcol == pos[:, None]
-            out_vals_ref[:, j] = m
-            out_idx_ref[:, j] = jnp.sum(jnp.where(sel, ti, 0), axis=1)
-            tv = jnp.where(sel, NEG, tv)
-            return tv, ti
-
-        jax.lax.fori_loop(0, k, emit_round, (tv_ref[:], ti_ref[:]), unroll=True)
 
 
-def _knn_int8_kernel(
-    q_ref, v_ref, scale_ref, out_vals_ref, out_idx_ref, tv_ref, ti_ref,
-    k: int, n_valid: int,
+def _subblock_max_int8_kernel(
+    q_ref, v_ref, scale_ref, out_ref, *, sub: int, n_valid: int
 ):
-    """int8 variant: corpus block is int8 [BN, D] + per-row scales; the
-    query arrives pre-quantized int8 with its scale folded into scale_ref
-    by the caller. Same streaming top-k as _knn_kernel."""
+    """int8 variant: corpus block int8 [BN, D] + per-row scales [BN, 1];
+    the query arrives pre-quantized int8 (its per-query scale is a positive
+    constant within each column here, so sub-block ARGmaxes — all phase 1
+    feeds phase 2 — are unaffected; true values are restored in phase 2)."""
     step = pl.program_id(0)
     bn = v_ref.shape[0]
 
-    @pl.when(step == 0)
-    def _init():
-        tv_ref[:] = jnp.full(tv_ref.shape, NEG, jnp.float32)
-        ti_ref[:] = jnp.zeros(ti_ref.shape, jnp.int32)
-
     acc = jax.lax.dot_general(
-        q_ref[:], v_ref[:],
+        v_ref[:], q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
-    )  # [Q, BN] int32
-    sims = acc.astype(jnp.float32) * scale_ref[:].reshape(1, -1)
+    )  # [BN, Q] int32
+    sims = acc.astype(jnp.float32) * scale_ref[:]  # [BN, 1] broadcasts
 
     base = step * bn
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
-    sims = jnp.where(col_ids < n_valid, sims, NEG)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, tv_ref.shape, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 0) + base
+    sims = jnp.where(row_ids < n_valid, sims, NEG)
 
-    def round_body(j, carry):
-        sims, tv, ti = carry
-        m = jnp.max(sims, axis=1)
-        am_onehot = sims == m[:, None]
-        idx = jnp.min(jnp.where(am_onehot, col_ids, jnp.int32(2**30)), axis=1)
-        sims = jnp.where(am_onehot, NEG, sims)
-        minv = jnp.min(tv, axis=1)
-        min_onehot = tv == minv[:, None]
-        min_pos = jnp.min(jnp.where(min_onehot, kcol, jnp.int32(2**30)), axis=1)
-        do_replace = (m > minv)[:, None] & (kcol == min_pos[:, None])
-        tv = jnp.where(do_replace, m[:, None], tv)
-        ti = jnp.where(do_replace, idx[:, None], ti)
-        return sims, tv, ti
+    out_ref[:] = jnp.concatenate(
+        [
+            jnp.max(sims[c * sub : (c + 1) * sub, :], axis=0, keepdims=True)
+            for c in range(bn // sub)
+        ],
+        axis=0,
+    )
 
-    sims, tv, ti = jax.lax.fori_loop(0, k, round_body, (sims, tv_ref[:], ti_ref[:]))
-    tv_ref[:] = tv
-    ti_ref[:] = ti
 
-    @pl.when(step == pl.num_programs(0) - 1)
-    def _emit():
-        def emit_round(j, carry):
-            tv, ti = carry
-            m = jnp.max(tv, axis=1)
-            oh = tv == m[:, None]
-            pos = jnp.min(jnp.where(oh, kcol, jnp.int32(2**30)), axis=1)
-            sel = kcol == pos[:, None]
-            out_vals_ref[:, j] = m
-            out_idx_ref[:, j] = jnp.sum(jnp.where(sel, ti, 0), axis=1)
-            tv = jnp.where(sel, NEG, tv)
-            return tv, ti
-
-        jax.lax.fori_loop(0, k, emit_round, (tv_ref[:], ti_ref[:]), unroll=True)
+def _dense_topk(sims: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    v, i = jax.lax.top_k(sims, k)
+    return v.astype(jnp.float32), i.astype(jnp.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "interpret", "n_valid")
-)
-def knn_topk_int8(
-    codes: jax.Array,     # int8[N, D]
-    scales: jax.Array,    # f32[N] per-row scales
-    queries: jax.Array,   # f32[Q, D] (quantized on the fly)
-    k: int = 10,
-    block_rows: int = 4096,
-    interpret: bool = False,
-    n_valid: int = -1,
-):
-    """Fused int8 kNN: ~2x less HBM traffic than bf16 at recall ~1."""
-    n, d = codes.shape
-    q = queries.shape[0]
-    assert n % block_rows == 0
-    if n_valid < 0:
-        n_valid = n
-    q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=-1, keepdims=True), 1e-9)
-    q_scale = q_absmax / 127.0
-    q8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
-    # The kernel scores with per-column scales only: sims[r, c] =
-    # acc * scales[c]. The per-query factor q_scale[r] is constant within a
-    # query row, so each row's ranking is already correct without it; the
-    # true cosine value is recovered after the kernel by the `vals *
-    # q_scale` rescale below (q_scale is kept per-query, never folded).
-    kernel = functools.partial(_knn_int8_kernel, k=k, n_valid=n_valid)
-    vals, idx = pl.pallas_call(
-        kernel,
-        grid=(n // block_rows,),
-        in_specs=[
-            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((block_rows,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((q, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((q, k), jnp.float32),
-            jax.ShapeDtypeStruct((q, k), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((q, k), jnp.float32),
-            pltpu.VMEM((q, k), jnp.int32),
-        ],
-        interpret=interpret,
-    )(q8, codes, scales)
-    # rescale values per query for score fidelity (ranking already correct)
-    return vals * q_scale, idx
-
-
-@functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "interpret", "n_valid")
+    jax.jit,
+    static_argnames=("k", "block_rows", "sub_rows", "interpret", "n_valid"),
 )
 def knn_topk(
     vecs: jax.Array,      # [N, D] bf16/f32 (N a multiple of block_rows)
     queries: jax.Array,   # [Q, D] same dtype
     k: int = 10,
     block_rows: int = 2048,
+    sub_rows: int = 32,
     interpret: bool = False,
     n_valid: int = -1,    # real rows; rest is padding (-1 => all valid)
 ):
-    """(values f32[Q, k], indices int32[Q, k]) — fused matmul+top-k."""
+    """(values f32[Q, k], indices int32[Q, k]) — exact brute-force top-k."""
     n, d = vecs.shape
-    q = queries.shape[0]
+    qn = queries.shape[0]
     assert n % block_rows == 0, "pad corpus to a multiple of block_rows"
     if n_valid < 0:
         n_valid = n
-    grid = (n // block_rows,)
-    kernel = functools.partial(_knn_kernel, k=k, n_valid=n_valid)
-    return pl.pallas_call(
+    # out block is [block_rows/sub, Q]: its sublane dim must stay a
+    # multiple of 8 for the TPU tiling rules
+    sub = min(sub_rows, block_rows // 8)
+    while sub > 1 and block_rows % (8 * sub):
+        sub //= 2
+    nsub = n // sub
+
+    if k * sub * 4 >= n_valid or k > nsub:
+        # small corpus: the candidate phase would touch most rows anyway
+        sims = jax.lax.dot_general(
+            queries, vecs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        return _dense_topk(jnp.where(cols < n_valid, sims, NEG), k)
+
+    kernel = functools.partial(_subblock_max_kernel, sub=sub, n_valid=n_valid)
+    bmax = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n // block_rows,),
         in_specs=[
-            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=[
-            pl.BlockSpec((q, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((q, k), jnp.float32),
-            jax.ShapeDtypeStruct((q, k), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((q, k), jnp.float32),
-            pltpu.VMEM((q, k), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec(
+            (block_rows // sub, qn), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
         interpret=interpret,
     )(queries, vecs)
+
+    # phase 2: gather the k best sub-blocks per query, rescore exactly
+    _, sub_ids = jax.lax.top_k(bmax.T, k)                  # [Q, k]
+    rows = (
+        sub_ids[:, :, None] * sub
+        + jax.lax.broadcasted_iota(jnp.int32, (qn, k, sub), 2)
+    ).reshape(qn, k * sub)                                 # [Q, k*SUB]
+    cand = vecs[rows]                                      # [Q, k*SUB, D]
+    sims = jnp.einsum(
+        "qd,qcd->qc", queries, cand, preferred_element_type=jnp.float32
+    )
+    sims = jnp.where(rows < n_valid, sims, NEG)
+    v, i = jax.lax.top_k(sims, k)
+    return v.astype(jnp.float32), jnp.take_along_axis(rows, i, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "sub_rows", "interpret", "n_valid"),
+)
+def knn_topk_int8(
+    codes: jax.Array,     # int8[N, D]
+    scales: jax.Array,    # f32[N] per-row scales
+    queries: jax.Array,   # f32[Q, D] (quantized on the fly)
+    k: int = 10,
+    block_rows: int = 2048,
+    sub_rows: int = 32,
+    interpret: bool = False,
+    n_valid: int = -1,
+):
+    """Fused int8 kNN: half the HBM bytes/capacity of bf16 at recall ~1
+    (slightly slower than bf16 at 64-query batches — see module doc)."""
+    n, d = codes.shape
+    qn = queries.shape[0]
+    assert n % block_rows == 0
+    if n_valid < 0:
+        n_valid = n
+    # out block is [block_rows/sub, Q]: its sublane dim must stay a
+    # multiple of 8 for the TPU tiling rules
+    sub = min(sub_rows, block_rows // 8)
+    while sub > 1 and block_rows % (8 * sub):
+        sub //= 2
+    nsub = n // sub
+
+    q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=-1, keepdims=True), 1e-9)
+    q_scale = q_absmax / 127.0
+    q8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+
+    def int8_sims(rows_codes, rows_scales):
+        acc = jnp.einsum(
+            "qd,qcd->qc", q8, rows_codes, preferred_element_type=jnp.int32
+        )
+        return acc.astype(jnp.float32) * rows_scales * q_scale
+
+    if k * sub * 4 >= n_valid or k > nsub:
+        acc = jax.lax.dot_general(
+            q8, codes,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sims = acc.astype(jnp.float32) * scales[None, :] * q_scale
+        cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        return _dense_topk(jnp.where(cols < n_valid, sims, NEG), k)
+
+    kernel = functools.partial(
+        _subblock_max_int8_kernel, sub=sub, n_valid=n_valid
+    )
+    bmax = pl.pallas_call(
+        kernel,
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows // sub, qn), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
+        interpret=interpret,
+    )(q8, codes, scales[:, None])
+
+    _, sub_ids = jax.lax.top_k(bmax.T, k)
+    rows = (
+        sub_ids[:, :, None] * sub
+        + jax.lax.broadcasted_iota(jnp.int32, (qn, k, sub), 2)
+    ).reshape(qn, k * sub)
+    sims = int8_sims(codes[rows], scales[rows])
+    sims = jnp.where(rows < n_valid, sims, NEG)
+    v, i = jax.lax.top_k(sims, k)
+    return v.astype(jnp.float32), jnp.take_along_axis(rows, i, axis=1)

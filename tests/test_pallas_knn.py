@@ -1,4 +1,5 @@
-"""Fused kNN Pallas kernel vs dense reference (interpret mode on CPU)."""
+"""Fused kNN (sub-block-max + exact rescore) vs dense reference
+(interpret mode on CPU)."""
 
 import numpy as np
 import jax
@@ -8,13 +9,21 @@ import pytest
 from orama_core_tpu.ops.pallas_knn import knn_topk
 
 
-@pytest.mark.parametrize("n,d,q,k,bn", [(1024, 128, 8, 10, 256), (512, 64, 16, 5, 128)])
-def test_knn_topk_matches_dense(n, d, q, k, bn):
+@pytest.mark.parametrize(
+    "n,d,q,k,bn,sub",
+    [
+        (8192, 128, 8, 4, 512, 128),   # pallas phase-1 path
+        (4096, 64, 16, 3, 256, 128),   # pallas phase-1 path, smaller blocks
+        (1024, 128, 8, 10, 256, 256),  # dense fallback (k*sub*4 >= n)
+    ],
+)
+def test_knn_topk_matches_dense(n, d, q, k, bn, sub):
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((n, d)).astype(np.float32)
     queries = rng.standard_normal((q, d)).astype(np.float32)
     vals, idx = knn_topk(
-        jnp.asarray(vecs), jnp.asarray(queries), k=k, block_rows=bn, interpret=True
+        jnp.asarray(vecs), jnp.asarray(queries), k=k, block_rows=bn,
+        sub_rows=sub, interpret=True,
     )
     sims = queries @ vecs.T
     ref_idx = np.argsort(-sims, axis=1)[:, :k]
@@ -30,18 +39,39 @@ def test_knn_topk_matches_dense(n, d, q, k, bn):
         )
 
 
+def test_knn_topk_padding_mask():
+    """Padding rows (>= n_valid) must never be selected, including when a
+    sub-block straddles the valid/padding boundary."""
+    rng = np.random.default_rng(7)
+    n_valid, n_pad, d, q, k = 5000, 8192, 64, 4, 5
+    vecs = np.full((n_pad, d), 10.0, np.float32)  # poisoned padding
+    vecs[:n_valid] = rng.standard_normal((n_valid, d)).astype(np.float32)
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    vals, idx = knn_topk(
+        jnp.asarray(vecs), jnp.asarray(queries), k=k, block_rows=512,
+        sub_rows=128, interpret=True, n_valid=n_valid,
+    )
+    assert (np.asarray(idx) < n_valid).all()
+    sims = queries @ vecs[:n_valid].T
+    for r in range(q):
+        np.testing.assert_allclose(
+            np.asarray(vals)[r], np.sort(sims[r])[::-1][:k], rtol=1e-5
+        )
+
+
 def test_knn_topk_int8_matches_dense():
     from orama_core_tpu.ops.pallas_knn import knn_topk_int8
     from orama_core_tpu.ops.quant import quantize_int8
 
     rng = np.random.default_rng(3)
-    n, d, q, k, bn = 1024, 64, 8, 10, 256
+    n, d, q, k, bn = 8192, 64, 8, 4, 512
     vecs = rng.standard_normal((n, d)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     codes, scales = quantize_int8(jnp.asarray(vecs))
     queries = rng.standard_normal((q, d)).astype(np.float32)
     vals, idx = knn_topk_int8(
-        codes, scales, jnp.asarray(queries), k=k, block_rows=bn, interpret=True
+        codes, scales, jnp.asarray(queries), k=k, block_rows=bn,
+        sub_rows=128, interpret=True,
     )
     sims = queries @ vecs.T
     ref_idx = np.argsort(-sims, axis=1)[:, :k]
@@ -58,10 +88,11 @@ def test_knn_topk_int8_matches_dense():
 
 def test_knn_topk_descending_order():
     rng = np.random.default_rng(1)
-    vecs = rng.standard_normal((256, 32)).astype(np.float32)
+    vecs = rng.standard_normal((4096, 32)).astype(np.float32)
     queries = rng.standard_normal((4, 32)).astype(np.float32)
     vals, _ = knn_topk(
-        jnp.asarray(vecs), jnp.asarray(queries), k=8, block_rows=128, interpret=True
+        jnp.asarray(vecs), jnp.asarray(queries), k=8, block_rows=256,
+        sub_rows=128, interpret=True,
     )
     v = np.asarray(vals)
     assert (np.diff(v, axis=1) <= 1e-6).all()
