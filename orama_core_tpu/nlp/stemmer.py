@@ -241,7 +241,8 @@ _LIGHT = {
 # Snowball algorithms via NLTK's pure-Python implementations — the same
 # algorithm family the reference uses through rust-stemmers
 # (nlp/mod.rs:35-108). Covers 14 of the reference's 17 stemmer locales;
-# EL/TA/TR have no NLTK Snowball port and stem to identity (documented gap).
+# EL/TA/TR have no NLTK Snowball port and use stemmer_extra.py (TR: full
+# suffix-chain algorithm with vowel harmony; EL/TA: light inflectional).
 _SNOWBALL_LANG = {
     "ar": "arabic", "da": "danish", "de": "german", "en": "english",
     "es": "spanish", "fr": "french", "hu": "hungarian", "it": "italian",
@@ -288,4 +289,8 @@ def get_stemmer(locale: str):
             return sb
     if locale == "en":
         return porter_stem
+    if locale in ("tr", "el", "ta"):
+        from .stemmer_extra import get_extra_stemmer
+
+        return get_extra_stemmer(locale)
     return _LIGHT.get(locale)

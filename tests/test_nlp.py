@@ -238,3 +238,65 @@ def test_non_en_bm25_oracle_french(tmp_engine):
             for doc_id, s in expected.items():
                 assert abs(got[doc_id] - s) < 1e-3, (stage, q_raw, doc_id)
         tmp_engine.commit()
+
+
+def test_extra_stemmer_turkish_families():
+    """TR/EL/TA stemmers (no NLTK Snowball port exists — implemented from
+    the published algorithm structure, stemmer_extra.py). What BM25 needs
+    is CONSISTENT conflation: every inflection of a family must land on
+    one stem. Vectors are hand-derived and lock current behavior."""
+    from orama_core_tpu.nlp.stemmer_extra import turkish_stem
+
+    families = [
+        ["kitap", "kitabı", "kitaplar", "kitapları", "kitaba",
+         "kitaplarımızdan"],
+        ["ev", "evler", "eve", "evde", "evlerinden", "evlerimizde",
+         "evdeki", "evini"],
+        ["araba", "arabalar", "arabayı", "arabada"],
+        ["kedi", "kedisi", "kedisini"],
+        ["öğrenci", "öğrenciler", "öğrenciyiz"],
+        ["okul", "okulda", "okuldan"],
+        ["sokak", "sokakta", "sokaktaki"],
+        ["deniz", "denizde"],
+        ["öğretmen", "öğretmenim", "öğretmensiniz"],
+        ["kapı", "kapıyı", "kapısında"],
+    ]
+    for fam in families:
+        stems = {turkish_stem(w) for w in fam}
+        assert len(stems) == 1, (fam, stems)
+    # exact spot checks (incl. devoicing restore and the -ki chain)
+    assert turkish_stem("kitabı") == "kitap"
+    assert turkish_stem("ağacı") == "ağaç"
+    assert turkish_stem("sokaktaki") == "sokak"
+    assert turkish_stem("güzeldir") == "güzel"
+    assert turkish_stem("doktormuş") == "doktor"
+    # lexical -ki words don't lose the ki (the final-vowel accusative
+    # strip still applies, consistently with their inflections)
+    assert turkish_stem("eski") == turkish_stem("eskiler") == "esk"
+
+
+def test_extra_stemmer_greek_tamil():
+    from orama_core_tpu.nlp.stemmer_extra import greek_stem, tamil_stem
+
+    # Greek: inflections of ἄνθρωπος / θάλασσα conflate; tonos folded
+    assert greek_stem("άνθρωπος") == greek_stem("ανθρώπου") == \
+        greek_stem("άνθρωποι") == "ανθρωπ"
+    assert greek_stem("θάλασσες") == greek_stem("θάλασσα")
+    # final sigma normalization
+    assert greek_stem("λόγος") == greek_stem("λόγοι")
+    # Tamil: plural + case endings strip
+    assert tamil_stem("புத்தகங்கள்") == tamil_stem("புத்தகங்களில்")
+    assert tamil_stem("மரங்களை") == tamil_stem("மரங்கள்")
+
+
+def test_get_stemmer_covers_all_reference_stemmer_locales():
+    """All 17 reference stemmer locales (nlp/mod.rs:36-104) now resolve
+    to a real stemmer — 14 NLTK Snowball + TR/EL/TA from stemmer_extra."""
+    from orama_core_tpu.nlp.stemmer import get_stemmer
+
+    locales = ["ar", "da", "de", "en", "el", "es", "fr", "hu", "it", "nl",
+               "no", "pt", "ro", "ru", "sv", "ta", "tr"]
+    for loc in locales:
+        fn = get_stemmer(loc)
+        assert fn is not None, loc
+        assert isinstance(fn("test"), str), loc

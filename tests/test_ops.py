@@ -148,7 +148,12 @@ def test_topk():
 def test_phrase_docmajor_matches_sort_kernel():
     """The sort-free doc-major phrase kernel must reproduce
     phrase_boost_by_doc exactly on random corpora (dups from stem/original
-    shared positions, multi-term spans, adjacency chains)."""
+    shared positions, multi-term spans, adjacency chains).
+
+    The generator mirrors the builder invariant the kernel's bounded-group
+    logic relies on (collection_write.py:275-278 via tokenize_and_stem): a
+    (doc, pos) carries the original term plus AT MOST one distinct stem —
+    never more than 2 stream entries."""
     import numpy as np
     import jax.numpy as jnp
     import jax
@@ -157,21 +162,20 @@ def test_phrase_docmajor_matches_sort_kernel():
 
     rng = np.random.default_rng(9)
     n_docs, n_terms = 40, 25
-    # synthetic committed layout: postings per term -> positions per posting
-    post_docs, run_lens, positions, term_of_post = [], [], [], []
-    for t in range(n_terms):
-        docs = sorted(rng.choice(n_docs, size=rng.integers(1, 6), replace=False))
-        for d in docs:
-            k = int(rng.integers(1, 4))
-            post_docs.append(d)
-            term_of_post.append(t)
-            run_lens.append(k)
-            positions.extend(sorted(rng.choice(12, size=k, replace=False)))
-    post_docs = np.asarray(post_docs, np.int64)
-    run_lens = np.asarray(run_lens, np.int64)
-    positions = np.asarray(positions, np.int64)
-    pos_doc = np.repeat(post_docs, run_lens)
-    pos_term = np.repeat(np.asarray(term_of_post, np.int32), run_lens)
+    # per-doc token sequences: position p emits original term o and, half
+    # the time, a distinct stem term s (o and s drawn from disjoint halves
+    # so a pair never collides) — exactly the builder's stream shape
+    entries = []  # (doc, pos, term)
+    for d in range(n_docs):
+        for p in range(int(rng.integers(3, 12))):
+            o = int(rng.integers(0, n_terms // 2))
+            entries.append((d, p, o))
+            if rng.random() < 0.5:
+                s = int(rng.integers(n_terms // 2, n_terms))
+                entries.append((d, p, s))
+    pos_doc = np.asarray([e[0] for e in entries], np.int64)
+    positions = np.asarray([e[1] for e in entries], np.int64)
+    pos_term = np.asarray([e[2] for e in entries], np.int32)
 
     spans = np.zeros((32, 2), np.int32)
     spans[0] = (2, 5)     # multi-term span (prefix expansion)
