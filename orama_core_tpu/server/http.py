@@ -17,9 +17,11 @@ Route surface mirrors the reference's axum router (`web_server/api/`):
     POST /v1/collections/{id}/planned_answer    SSE [?api-key]
     POST /v1/{id}/actions/execute               [?api-key] (sidecar seam)
     POST /v1/collections/{id}/hooks/create      [Bearer write]
-    GET  /v1/collections/{id}/hooks/list        [Bearer write]
-    GET  /v1/collections/{id}/hooks/get?name=   [Bearer write]
-    POST /v1/collections/{id}/hooks/delete      [Bearer write]
+    GET  /v1/{id}/hooks/list                    [Bearer write]
+    GET  /v1/{id}/hooks/get?name=               [Bearer write]
+    POST /v1/{id}/hooks/remove                  [Bearer write]
+      (hooks routes accept both /v1/{id}/ and /v1/collections/{id}/
+       shapes, and delete|remove — mirrors hooks.rs:36,68,101,137)
 
 Auth conventions match the reference: admin/write = Authorization Bearer
 header (admin.rs:33-45), search/answer/actions = ``?api-key=`` query param
@@ -329,11 +331,21 @@ def _make_handler(orama):
                 self._send(200, result.to_json())
                 return 200
 
-            mo = re.match(r"^/v1/collections/([^/]+)/hooks/(create|list|get|delete)$", path)
+            # the reference nests create under /v1/collections/{id}/ but
+            # get/remove/list under /v1/{collection_id}/ (hooks.rs:36,68,
+            # 101,137) — accept both shapes for all four, and "remove" as
+            # the reference's spelling of delete
+            mo = re.match(
+                r"^/v1/(?:collections/)?([^/]+)/hooks/"
+                r"(create|list|get|delete|remove)$",
+                path,
+            )
             if mo:
                 from ..engine.hooks import HooksRuntime
 
                 cid, action = mo.group(1), mo.group(2)
+                if action == "remove":
+                    action = "delete"
                 write_side.check_write_key(cid, self._bearer())
                 hooks: HooksRuntime = orama.hooks
                 if action == "create" and method == "POST":

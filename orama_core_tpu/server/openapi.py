@@ -112,17 +112,19 @@ def openapi_spec() -> Dict[str, Any]:
             "/v1/{id}/actions/execute": {
                 "post": _op("Execute engine action (sidecar seam)", "?api-key=read key")
             },
+            # hooks: reference path shapes (hooks.rs:36,68,101,137) — the
+            # /v1/collections/{id}/hooks/* aliases also resolve
             "/v1/collections/{id}/hooks/create": {
                 "post": _op("Register a JS hook", "Bearer write key")
             },
-            "/v1/collections/{id}/hooks/list": {
+            "/v1/{collection_id}/hooks/list": {
                 "get": _op("List hooks", "Bearer write key", body=False)
             },
-            "/v1/collections/{id}/hooks/get": {
+            "/v1/{collection_id}/hooks/get": {
                 "get": _op("Fetch one hook by ?name=", "Bearer write key", body=False)
             },
-            "/v1/collections/{id}/hooks/delete": {
-                "post": _op("Delete a hook", "Bearer write key")
+            "/v1/{collection_id}/hooks/remove": {
+                "post": _op("Remove a hook", "Bearer write key")
             },
         },
     }

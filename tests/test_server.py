@@ -261,6 +261,14 @@ def test_hooks_api(server):
     assert status == 200 and one["code"] == code
     status, _ = _req(base + "/v1/collections/c1/hooks/get?name=nope", bearer="wk")
     assert status == 404
+    # reference path shapes: /v1/{collection_id}/hooks/* without the
+    # "collections" segment, and "remove" (hooks.rs:68,101,137)
+    status, one = _req(
+        base + "/v1/c1/hooks/get?name=selectEmbeddingProperties", bearer="wk"
+    )
+    assert status == 200 and one["code"] == code
+    status, hooks = _req(base + "/v1/c1/hooks/list", bearer="wk")
+    assert status == 200 and "selectEmbeddingProperties" in hooks
     # inserting with the hook routes embedding input through 'title' only
     status, _ = _req(
         base + "/v1/collections/c1/insert",
@@ -271,7 +279,7 @@ def test_hooks_api(server):
     assert status == 200
     engine.flush()
     status, _ = _req(
-        base + "/v1/collections/c1/hooks/delete",
+        base + "/v1/c1/hooks/remove",
         "POST",
         {"name": "selectEmbeddingProperties"},
         bearer="wk",
