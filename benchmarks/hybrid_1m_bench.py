@@ -178,15 +178,21 @@ def main() -> None:
             SearchParams.from_json({"term": rand_term(rng.integers(1, 4)), "mode": mode})
             for _ in range(args.queries)
         ]
-        reader.search_batch(params[:bs], ai)  # warm
+        batches = [params[i : i + bs] for i in range(0, len(params), bs)]
+        # full unmeasured pass first: every (shape-bucket, batch-size)
+        # combination compiles once — minutes each through the dev relay —
+        # and caches; the measured pass is the steady state a serving
+        # deployment lives in
+        for b in batches:
+            reader.search_batch(b, ai)
         t0 = time.time()
         done = 0
-        for i in range(0, len(params), bs):
-            out = reader.search_batch(params[i : i + bs], ai)
+        for b in batches:
+            out = reader.search_batch(b, ai)
             done += len(out)
         dt = time.time() - t0
         report[label] = round(done / dt, 1)
-        log(f"{label}: {dt:.2f}s -> {report[label]} QPS (batch {bs})")
+        log(f"{label}: {dt:.2f}s -> {report[label]} QPS steady (batch {bs})")
 
     run("bm25_1m_qps", lambda t: SearchParams.from_json({"term": t}))
     run_batched("bm25_1m_batched_qps", "fulltext")

