@@ -1353,7 +1353,9 @@ class CollectionReader:
                 g_budget = bucket_pad(worst, self.cfg.posting_bucket_steps)
                 raw_max = max(1, self._BATCH_SLOT_BUDGET // g_budget)
                 # chunk to a batch *bucket* (padded B is what executes)
-                max_b = max((b for b in (4, 16, 64) if b <= raw_max), default=4)
+                max_b = max(
+                    (b for b in (4, 16, 64, 256) if b <= raw_max), default=4
+                )
                 if len(params_list) > max_b:
                     out: List[Tuple[List[Tuple[int, float]], int]] = []
                     for i in range(0, len(params_list), max_b):
@@ -1366,7 +1368,7 @@ class CollectionReader:
         # compiled program, and serving produces many partial batch sizes.
         # Padding queries use an empty term (zero scores everywhere).
         b_real = len(params_list)
-        b_pad = bucket_pad(b_real, (4, 16, 64))
+        b_pad = bucket_pad(b_real, (4, 16, 64, 256))
         terms = [p.term for p in params_list] + [""] * (b_pad - b_real)
         if p0.mode == SearchModeKind.VECTOR:
             scores = self.search_vector_batch(terms, ai_service, filter_mask)
