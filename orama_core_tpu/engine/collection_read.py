@@ -1043,8 +1043,29 @@ class CollectionReader:
 
     # -- vector (reference: collection.rs:957-1002) ---------------------------
 
+    def _field_vec_dim(self, fid: int) -> int:
+        vf = self._vector[fid]
+        if not vf.committed.is_empty:
+            return int(vf.committed.dimension)
+        return int(vf.uncommitted.dimension)
+
+    def _resolve_query_vec(self, model, term, ai_service, raw_vec):
+        """L2-normalized query embedding: the raw client vector when given
+        (dto.rs:196-201 TODO), the model forward otherwise."""
+        q = (
+            np.asarray(raw_vec, np.float32)
+            if raw_vec is not None
+            else ai_service.embed_query(model, [term])[0]
+        )
+        return q / max(float(np.linalg.norm(q)), 1e-12)
+
     def search_vector(
-        self, term: str, ai_service, filter_mask: jax.Array, limit: int = 10
+        self,
+        term: str,
+        ai_service,
+        filter_mask: jax.Array,
+        limit: int = 10,
+        raw_vec=None,
     ) -> jax.Array:
         cap = self.capacity
         scores = jnp.zeros((cap,), dtype=jnp.float32)
@@ -1052,9 +1073,18 @@ class CollectionReader:
         for fid, f in self.fields.items():
             if f.type == ValueType.EMBEDDING and f.model:
                 by_model.setdefault(f.model, []).append(fid)
+        matched_dim = False
         for model, fids in by_model.items():
-            q = ai_service.embed_query(model, [term])[0]
-            qn = q / max(float(np.linalg.norm(q)), 1e-12)
+            if raw_vec is not None:
+                # score only the fields whose dimension fits the client
+                # vector; other models' fields are silently skipped
+                fids = [
+                    f for f in fids if self._field_vec_dim(f) == len(raw_vec)
+                ]
+                if not fids:
+                    continue
+                matched_dim = True
+            qn = self._resolve_query_vec(model, term, ai_service, raw_vec)
             q_dev = jnp.asarray(qn, dtype=jnp.float32)
             for fid in fids:
                 vf = self._vector[fid]
@@ -1072,6 +1102,18 @@ class CollectionReader:
                             list(host_out.keys()), list(host_out.values())
                         )
                         scores = _scatter_add_scores(scores, idx, vals)
+        if raw_vec is not None and by_model and not matched_dim:
+            dims = sorted(
+                {
+                    self._field_vec_dim(f)
+                    for fids in by_model.values()
+                    for f in fids
+                }
+            )
+            raise ValueError(
+                f"query vector has dimension {len(raw_vec)}; collection "
+                f"embedding fields have {dims}"
+            )
         return scores
 
     def _committed_vector_scores(
@@ -1162,7 +1204,8 @@ class CollectionReader:
             )
         if params.mode == SearchModeKind.VECTOR:
             return self.search_vector(
-                params.term, ai_service, filter_mask, params.limit
+                params.term, ai_service, filter_mask, params.limit,
+                raw_vec=params.vector,
             )
         ft = self.search_fulltext(
             params.term, params.properties, params.boost, filter_mask,
@@ -1661,7 +1704,7 @@ class CollectionReader:
         return scores
 
     def _vector_scores_sharded(
-        self, term: str, ai_service, filter_mask: jax.Array
+        self, term: str, ai_service, filter_mask: jax.Array, raw_vec=None
     ) -> jax.Array:
         from ..parallel import sharded_engine as se
 
@@ -1672,8 +1715,13 @@ class CollectionReader:
             if f.type == ValueType.EMBEDDING and f.model:
                 by_model.setdefault(f.model, []).append(fid)
         for model, fids in by_model.items():
-            q = ai_service.embed_query(model, [term])[0]
-            qn = q / max(float(np.linalg.norm(q)), 1e-12)
+            if raw_vec is not None:
+                fids = [
+                    f for f in fids if self._field_vec_dim(f) == len(raw_vec)
+                ]
+                if not fids:
+                    continue
+            qn = self._resolve_query_vec(model, term, ai_service, raw_vec)
             q_dev = jnp.asarray(qn, dtype=jnp.float32)
             for fid in fids:
                 vf = self._vector[fid]
@@ -1728,7 +1776,9 @@ class CollectionReader:
             )
             out = se.topk_with_count(mesh, k, local_cap)(ft)
         elif params.mode == SearchModeKind.VECTOR:
-            vec = self._vector_scores_sharded(params.term, ai_service, filter_mask)
+            vec = self._vector_scores_sharded(
+                params.term, ai_service, filter_mask, raw_vec=params.vector
+            )
             out = se.topk_with_count(mesh, k, local_cap)(vec)
         else:
             ft = self._fulltext_scores_sharded(

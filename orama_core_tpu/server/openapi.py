@@ -65,6 +65,15 @@ def openapi_spec() -> Dict[str, Any]:
                                             "enum": ["fulltext", "vector", "hybrid"],
                                         },
                                         "limit": {"type": "integer", "default": 10},
+                                        "vector": {
+                                            "type": "array",
+                                            "items": {"type": "number"},
+                                            "description": (
+                                                "Raw query embedding (mode="
+                                                "vector only); skips the "
+                                                "embedding model"
+                                            ),
+                                        },
                                         "boost": {"type": "object"},
                                         "properties": {
                                             "type": "array",

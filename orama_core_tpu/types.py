@@ -222,6 +222,9 @@ class SearchParams:
     where: Dict[str, Filter] = dataclasses.field(default_factory=dict)
     facets: Dict[str, FacetDefinition] = dataclasses.field(default_factory=dict)
     fusion: HybridFusion = HybridFusion.RRF
+    # raw query embedding for mode=vector — implements the reference's own
+    # TODO (dto.rs:196-201: '"vector": [...] ... only "term" for now')
+    vector: Optional[List[float]] = None
 
     @staticmethod
     def from_json(obj: Dict[str, Any]) -> "SearchParams":
@@ -241,7 +244,17 @@ class SearchParams:
         limit = int(obj.get("limit", 10))
         if limit <= 0:
             raise ValueError("limit must be positive")
+        vector = obj.get("vector")
+        if vector is not None:
+            if mode != SearchModeKind.VECTOR:
+                raise ValueError('"vector" requires {"mode": "vector"}')
+            if not isinstance(vector, list) or not vector or not all(
+                isinstance(x, (int, float)) for x in vector
+            ):
+                raise ValueError('"vector" must be a non-empty number list')
+            vector = [float(x) for x in vector]
         return SearchParams(
+            vector=vector,
             term=str(obj.get("term", "")),
             mode=mode,
             limit=limit,

@@ -323,3 +323,43 @@ def test_phrase_multiterm_ranking(tmp_engine):
     # both-term docs outrank the single-term doc; adjacency wins overall
     assert ids[0] == "seq"
     assert set(ids[:2]) == {"seq", "sep"}
+
+
+def test_raw_vector_query(tmp_engine):
+    """{"mode": "vector", "vector": [...]} scores with the client's own
+    embedding — the reference's acknowledged TODO (dto.rs:196-201).
+    Covers the uncommitted window, the committed segment, and errors."""
+    import numpy as np
+    import pytest as _pytest
+
+    cid = _create(tmp_engine)
+    _seed(tmp_engine)
+    ai = tmp_engine.read_side.ai
+    model = tmp_engine.read_side._reader(cid).fields[
+        next(
+            fid
+            for fid, f in tmp_engine.read_side._reader(cid).fields.items()
+            if f.model
+        )
+    ].model
+    # query with doc 3's own passage embedding — it must win
+    target = ai.embed_passage(model, ["Quantum computing explained"])[0]
+    body = {"mode": "vector", "vector": [float(x) for x in target]}
+    res = tmp_engine.read_side.search(cid, SearchParams.from_json(body), READ)
+    assert res.hits and res.hits[0].id == "3"
+    # committed segment behaves the same
+    tmp_engine.commit()
+    res2 = tmp_engine.read_side.search(cid, SearchParams.from_json(body), READ)
+    assert res2.hits and res2.hits[0].id == "3"
+    # dimension mismatch is a clear error
+    with _pytest.raises(ValueError, match="dimension"):
+        tmp_engine.read_side.search(
+            cid,
+            SearchParams.from_json({"mode": "vector", "vector": [1.0, 2.0]}),
+            READ,
+        )
+    # vector only makes sense in vector mode
+    with _pytest.raises(ValueError, match="vector"):
+        SearchParams.from_json({"term": "x", "vector": [1.0]})
+    with _pytest.raises(ValueError, match="number list"):
+        SearchParams.from_json({"mode": "vector", "vector": ["a"]})

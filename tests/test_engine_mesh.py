@@ -56,6 +56,17 @@ def test_sharded_engine_matches_single_device(tmp_path):
             assert [h.id for h in r1.hits] == [h.id for h in r2.hits], body
             for h1, h2 in zip(r1.hits, r2.hits):
                 assert abs(h1.score - h2.score) < 1e-4, body
+        # raw client vector query through the shard_map path
+        model = next(
+            f.model
+            for f in single.read_side._reader("c").fields.values()
+            if f.model
+        )
+        raw = [float(x) for x in single.read_side.ai.embed_query(model, ["wind"])[0]]
+        p = SearchParams.from_json({"mode": "vector", "vector": raw})
+        r1 = single.read_side.search("c", p, READ)
+        r2 = sharded.read_side.search("c", p, READ)
+        assert r1.hits and [h.id for h in r1.hits] == [h.id for h in r2.hits]
     finally:
         single.close()
         sharded.close()
