@@ -83,6 +83,9 @@ class AiConfig:
     backend: str = "fake"
     embedding_model: str = "fake-small"
     llm_model: str = "fake-llm"
+    # sampling temperature for chat decode; 0 = greedy (deterministic).
+    # The reference serves temperature=0.1 (service/models.py:100)
+    llm_temperature: float = 0.0
     hf_model_path: Optional[str] = None  # load real weights if given
     max_batch_size: int = 64
     # Remote model backend: when set (host:port), the engine consumes models

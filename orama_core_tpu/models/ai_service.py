@@ -88,7 +88,11 @@ class AIService:
                 if self.cfg.backend == "jax" and self.cfg.llm_model != "fake-llm":
                     from .llm import JaxChatLLM
 
-                    self._llm = JaxChatLLM(self.cfg.llm_model, self.cfg.hf_model_path)
+                    self._llm = JaxChatLLM(
+                        self.cfg.llm_model,
+                        self.cfg.hf_model_path,
+                        temperature=getattr(self.cfg, "llm_temperature", 0.0),
+                    )
                 else:
                     self._llm = FakeLLM()
             return self._llm

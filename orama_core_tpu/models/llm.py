@@ -197,44 +197,61 @@ def make_cache(cfg: LlmConfig, batch: int) -> List[Tuple[jax.Array, jax.Array]]:
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "temperature"))
 def generate(
     params, cfg: LlmConfig, prompt_ids: jax.Array, prompt_len: jax.Array,
-    max_new: int, eos_id: int,
+    max_new: int, eos_id: int, temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
 ):
-    """Greedy decode: prefill the padded prompt, then one-token steps under
-    `lax.while_loop` with the static KV cache. Returns int32[B, max_new]."""
+    """Decode: prefill the padded prompt, then one-token steps under
+    `lax.while_loop` with the static KV cache. Returns int32[B, max_new].
+
+    temperature <= 0 is greedy argmax; otherwise softmax sampling at the
+    given temperature (the reference serves temperature=0.1 sampling,
+    service/models.py:100,117,146)."""
     b, pt = prompt_ids.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     cache = make_cache(cfg, b)
     positions = jnp.arange(pt, dtype=jnp.int32)[None, :].repeat(b, 0)
     logits, cache = forward(params, cfg, prompt_ids, positions, cache, jnp.int32(0))
     # logits at the last real prompt token
     last = logits[jnp.arange(b), prompt_len - 1]
-    first_tok = jnp.argmax(last, -1).astype(jnp.int32)
+
+    def pick(key, lg):
+        if temperature and temperature > 0:
+            return jax.random.categorical(key, lg / temperature, -1).astype(
+                jnp.int32
+            )
+        return jnp.argmax(lg, -1).astype(jnp.int32)
+
+    rng, k0 = jax.random.split(rng)
+    first_tok = pick(k0, last)
 
     out = jnp.zeros((b, max_new), jnp.int32)
     out = out.at[:, 0].set(first_tok)
 
     def cond(state):
-        i, _, _, done = state
+        i, _, _, done, _ = state
         return (i < max_new - 1) & jnp.logical_not(jnp.all(done))
 
     def body(state):
-        i, out, cache, done = state
+        i, out, cache, done, rng = state
         tok = out[:, i][:, None]
         pos = (prompt_len + i)[:, None].astype(jnp.int32)
         logits, cache = forward(
             params, cfg, tok, pos, cache, jnp.max(prompt_len) + i
         )
-        nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+        rng, k = jax.random.split(rng)
+        nxt = pick(k, logits[:, 0])
         nxt = jnp.where(done, eos_id, nxt)
         out = out.at[:, i + 1].set(nxt)
         done = done | (nxt == eos_id)
-        return i + 1, out, cache, done
+        return i + 1, out, cache, done, rng
 
     done0 = first_tok == eos_id
-    _, out, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), out, cache, done0)
+    _, out, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), out, cache, done0, rng)
     )
     return out
 
@@ -259,8 +276,14 @@ class JaxChatLLM:
     """AIService chat backend over the JAX decoder, with the reference's
     per-role prompt framing (prompts/main.py)."""
 
-    def __init__(self, model_name: str = "jax-tiny", hf_path: Optional[str] = None):
+    def __init__(
+        self,
+        model_name: str = "jax-tiny",
+        hf_path: Optional[str] = None,
+        temperature: float = 0.0,
+    ):
         self.cfg = TINY
+        self.temperature = float(temperature)
         self.tokenizer = ByteTokenizer()
         self.params = init_params(jax.random.PRNGKey(0), self.cfg)
         if hf_path:
@@ -282,6 +305,9 @@ class JaxChatLLM:
             self.params, self.cfg,
             jnp.asarray(padded), jnp.asarray([min(len(ids), pt)], jnp.int32),
             max_new=max_new, eos_id=self.tokenizer.EOS,
+            temperature=self.temperature,
+            rng=jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+            if self.temperature > 0 else None,
         )
         return self.tokenizer.decode(np.asarray(out)[0])
 

@@ -77,3 +77,33 @@ def test_jax_chat_llm_end_to_end():
     assert isinstance(out, str)
     chunks = list(chat.chat_stream("answer", "hi", context="ctx"))
     assert "".join(chunks) == chat.chat("answer", "hi", context="ctx")
+
+
+def test_generate_temperature_sampling():
+    """temperature > 0 samples (reference serves temperature=0.1,
+    service/models.py:100); temperature=0 stays greedy-deterministic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orama_core_tpu.models.llm import LlmConfig, generate, init_params
+
+    cfg = LlmConfig(vocab_size=64, hidden=32, layers=1, heads=4, kv_heads=2,
+                    mlp=64, max_len=64)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.arange(1, 9)[None, :], jnp.int32)
+    plen = jnp.asarray([8], jnp.int32)
+    g1 = generate(params, cfg, ids, plen, max_new=16, eos_id=63)
+    g2 = generate(params, cfg, ids, plen, max_new=16, eos_id=63)
+    assert (np.asarray(g1) == np.asarray(g2)).all()  # greedy deterministic
+    # two different rng keys at high temperature should (overwhelmingly)
+    # produce different continuations
+    s1 = generate(params, cfg, ids, plen, max_new=16, eos_id=63,
+                  temperature=1.5, rng=jax.random.PRNGKey(1))
+    s2 = generate(params, cfg, ids, plen, max_new=16, eos_id=63,
+                  temperature=1.5, rng=jax.random.PRNGKey(2))
+    assert not (np.asarray(s1) == np.asarray(s2)).all()
+    # same key => same sample (reproducible)
+    s3 = generate(params, cfg, ids, plen, max_new=16, eos_id=63,
+                  temperature=1.5, rng=jax.random.PRNGKey(1))
+    assert (np.asarray(s1) == np.asarray(s3)).all()
