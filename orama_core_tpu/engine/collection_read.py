@@ -1289,60 +1289,68 @@ class CollectionReader:
                 int(sum(ts_host[hi] - ts_host[lo] for lo, hi in row))
                 for row in span_rows
             ]
-            # Phrase boosting is PER ROW (a single-token query coalesced
-            # with a multi-token one must not get position-dependent phrase
-            # boosts) — split the batch by phrase flag and score each group
-            # with its own kernel call. The micro-batcher keys on a phrase
-            # hint so mixed groups are rare.
+            # Group rows by (phrase, own g bucket, own pp bucket):
+            # - phrase is PER ROW (a single-token query coalesced with a
+            #   multi-token one must not get position-dependent boosts);
+            # - bucket-grouping keeps a light query from paying a heavy
+            #   query's posting budget — padding the whole batch to the
+            #   worst row's bucket made batched fulltext SLOWER than
+            #   sequential on Zipf-heavy 1M workloads (0.9 QPS steady).
+            # Each group is padded to a row-count bucket with zero-span
+            # rows (zero scores) to bound distinct program shapes.
             if max(g_totals, default=0) > 0:
                 max_tok = 32
-                groups: Dict[bool, List[int]] = {}
-                for row, tokens in enumerate(token_lists):
-                    groups.setdefault(len(tokens) > 1, []).append(row)
                 (
                     d_docs, d_tf, d_ni, d_plens, d_pos, d_posdocs,
                     d_tstarts, d_pstarts,
                 ) = self._device.string_arrays(committed)
-                for phrase, rows in sorted(groups.items()):
-                    g_tot = [g_totals[r] for r in rows]
-                    if max(g_tot, default=0) <= 0:
+                groups: Dict[Tuple[bool, int, int], List[int]] = {}
+                for row, tokens in enumerate(token_lists):
+                    if g_totals[row] <= 0:
                         continue
-                    spans_b = np.zeros((len(rows), max_tok, 2), np.int32)
-                    for i, r in enumerate(rows):
-                        spans = span_rows[r][:max_tok]
-                        if spans:
-                            spans_b[i, : len(spans)] = spans
-                    g_budget = bucket_pad(max(g_tot), steps)
+                    phrase = len(tokens) > 1
+                    g_budget = bucket_pad(g_totals[row], steps)
                     if phrase:
-                        pp_total = max(
-                            int(
-                                sum(
-                                    committed.pos_starts[ts_host[hi]]
-                                    - committed.pos_starts[ts_host[lo]]
-                                    for lo, hi in span_rows[r]
-                                )
+                        pp_total = int(
+                            sum(
+                                committed.pos_starts[ts_host[hi]]
+                                - committed.pos_starts[ts_host[lo]]
+                                for lo, hi in span_rows[row]
                             )
-                            for r in rows
                         )
                         pp_budget = bucket_pad(max(pp_total, 1), steps)
                     else:
                         pp_budget = 1
-                    sub = bm25_ops.bm25_scores_from_spans_batch(
-                        d_tstarts, d_docs, d_tf, d_ni, d_plens, d_pstarts, d_pos,
-                        jnp.asarray(spans_b),
-                        jnp.float32(field_boost), filter_mask,
-                        jnp.float32(gi.avgdl),
-                        # combined committed+uncommitted N — reference shares
-                        # GlobalInfo across segments (collection.rs:930-951)
-                        jnp.float32(gi.total_documents),
-                        n_docs=cap, g_budget=g_budget, pp_budget=pp_budget,
-                        phrase=phrase,
-                    )
-                    if len(rows) == b:
-                        scores = scores + sub
-                    else:
-                        ridx = jnp.asarray(np.asarray(rows, np.int32))
-                        scores = scores.at[ridx].add(sub)
+                    groups.setdefault((phrase, g_budget, pp_budget), []).append(row)
+                for (phrase, g_budget, pp_budget), rows in sorted(groups.items()):
+                    # memory guard: B * g_budget slots of intermediates
+                    chunk = max(1, self._BATCH_SLOT_BUDGET // g_budget)
+                    for c0 in range(0, len(rows), chunk):
+                        rows_c = rows[c0 : c0 + chunk]
+                        b_pad = bucket_pad(len(rows_c), (4, 16, 64, 256))
+                        spans_b = np.zeros((b_pad, max_tok, 2), np.int32)
+                        for i, r in enumerate(rows_c):
+                            spans = span_rows[r][:max_tok]
+                            if spans:
+                                spans_b[i, : len(spans)] = spans
+                        sub = bm25_ops.bm25_scores_from_spans_batch(
+                            d_tstarts, d_docs, d_tf, d_ni, d_plens,
+                            d_pstarts, d_pos,
+                            jnp.asarray(spans_b),
+                            jnp.float32(field_boost), filter_mask,
+                            jnp.float32(gi.avgdl),
+                            # combined committed+uncommitted N — reference
+                            # shares GlobalInfo across segments
+                            # (collection.rs:930-951)
+                            jnp.float32(gi.total_documents),
+                            n_docs=cap, g_budget=g_budget,
+                            pp_budget=pp_budget, phrase=phrase,
+                        )
+                        if len(rows_c) == b and b == b_pad:
+                            scores = scores + sub
+                        else:
+                            ridx = jnp.asarray(np.asarray(rows_c, np.int32))
+                            scores = scores.at[ridx].add(sub[: len(rows_c)])
             if not sf.uncommitted.is_empty:
                 fm_host = np.asarray(filter_mask)
                 for row, tokens in enumerate(token_lists):
@@ -1372,40 +1380,9 @@ class CollectionReader:
         if not params_list:
             return []
         p0 = params_list[0]
-        if p0.mode != SearchModeKind.VECTOR and len(params_list) > 1:
-            # estimate the posting budget this batch will hit and chunk to
-            # stay under the slot cap
-            worst = 0
-            for fid in self._string_properties(None):
-                sf = self._string[fid]
-                committed = sf.committed
-                ts_host = committed.term_starts
-                for p in params_list:
-                    tokens = get_parser(
-                        self.fields[fid].locale or self.default_locale
-                    ).tokenize(p.term)
-                    g = sum(
-                        int(ts_host[hi] - ts_host[lo])
-                        for lo, hi in (
-                            committed.term_dict.prefix_range(t) for t in tokens
-                        )
-                        if hi > lo
-                    )
-                    worst = max(worst, g)
-            if worst > 0:
-                g_budget = bucket_pad(worst, self.cfg.posting_bucket_steps)
-                raw_max = max(1, self._BATCH_SLOT_BUDGET // g_budget)
-                # chunk to a batch *bucket* (padded B is what executes)
-                max_b = max(
-                    (b for b in (4, 16, 64, 256) if b <= raw_max), default=4
-                )
-                if len(params_list) > max_b:
-                    out: List[Tuple[List[Tuple[int, float]], int]] = []
-                    for i in range(0, len(params_list), max_b):
-                        out.extend(
-                            self.search_batch(params_list[i : i + max_b], ai_service)
-                        )
-                    return out
+        # (fulltext batches split by per-row posting bucket inside
+        # search_fulltext_batch, with a per-group memory chunk — no outer
+        # worst-bucket chunking needed)
         filter_mask = self._filter_mask(p0.where)
         # pad the batch dimension to a bucket: every distinct B is a separate
         # compiled program, and serving produces many partial batch sizes.
