@@ -125,6 +125,12 @@ class TpuConfig:
     # recall@10 >= target (index/vector_index.tune_nprobe)
     ivf_autotune: bool = True
     ivf_autotune_target: float = 0.95
+    # Selective-filter fast path (SURVEY §7 "filter selectivity"): when a
+    # query's filters match at most this many docs (computable host-side
+    # from the sorted filter columns), the vector path gathers just those
+    # docs' vector rows and scores them, instead of the full-corpus
+    # matmul-then-mask. 0 disables.
+    selective_filter_max: int = 2048
     # Serving micro-batching: coalesce concurrent vector queries into one
     # batched device call (server/batcher.py). 256 ~doubles per-chip QPS
     # over 64 on the fused kNN kernel (the 64-query matmul fills half an

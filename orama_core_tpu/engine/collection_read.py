@@ -77,6 +77,7 @@ from ..utils import (
     atomic_write_npz,
     bucket_pad,
     ensure_dir,
+    flatten_ranges,
     read_json,
     read_npz,
 )
@@ -899,6 +900,150 @@ class CollectionReader:
             mask = filter_ops.combine_masks(mask, m)
         return mask
 
+    def _filter_candidates(self, where: Dict[str, Any]) -> Optional[np.ndarray]:
+        """Host-side candidate doc ids when every filter is selective
+        enough (SURVEY §7 "filter selectivity"): number/string filters
+        list their matches from the sorted columns in O(log V + C); bool
+        filters then mask the candidate list. Returns None (= use the
+        dense-mask path) when any filter is non-listable, mistyped, or the
+        intersection exceeds tpu.selective_filter_max."""
+        lim = self.cfg.selective_filter_max
+        if not where or lim <= 0:
+            return None
+        listable: List[np.ndarray] = []
+        bool_filters: List[Tuple[int, Any]] = []
+        for field_name, filt in where.items():
+            fid = self.field_by_name.get(field_name)
+            if fid is None:
+                return None  # dense path raises the user-facing error
+            f = self.fields[fid]
+            if isinstance(filt, NumberFilter) and f.type == ValueType.NUMBER:
+                nf = self._number[fid]
+                c = nf.committed
+                if filt.op == "eq":
+                    a = int(np.searchsorted(c.vals, np.float32(filt.value), "left"))
+                    z = int(np.searchsorted(c.vals, np.float32(filt.value), "right"))
+                else:
+                    lo, hi, lx, hx = c.filter_bounds(filt)
+                    a = int(np.searchsorted(
+                        c.vals, np.float32(lo), "right" if lx else "left"
+                    ))
+                    z = int(np.searchsorted(
+                        c.vals, np.float32(hi), "left" if hx else "right"
+                    ))
+                unc = (
+                    nf.uncommitted.filter_docs(filt)
+                    if not nf.uncommitted.is_empty else set()
+                )
+                if (z - a) + len(unc) > lim:
+                    return None
+                ids = c.docs[a:z].astype(np.int64)
+                if unc:
+                    ids = np.concatenate(
+                        [ids, np.fromiter(unc, np.int64, len(unc))]
+                    )
+                listable.append(np.unique(ids))
+            elif isinstance(filt, StringFilter) and f.type == ValueType.STRING:
+                kf = self._keyword[fid]
+                c = kf.committed
+                wanted = (filt.value,) if filt.op == "eq" else tuple(filt.value)
+                parts: List[np.ndarray] = []
+                total = 0
+                for v in wanted:
+                    vid = c.id_of(v)
+                    if vid is None:
+                        continue
+                    a = int(np.searchsorted(c.ids, np.float32(vid), "left"))
+                    z = int(np.searchsorted(c.ids, np.float32(vid), "right"))
+                    total += z - a
+                    if total > lim:
+                        return None
+                    parts.append(c.docs[a:z].astype(np.int64))
+                unc = (
+                    kf.uncommitted.filter_docs(filt)
+                    if not kf.uncommitted.is_empty else set()
+                )
+                if total + len(unc) > lim:
+                    return None
+                if unc:
+                    parts.append(np.fromiter(unc, np.int64, len(unc)))
+                ids = (
+                    np.concatenate(parts) if parts else np.zeros(0, np.int64)
+                )
+                listable.append(np.unique(ids))
+            elif isinstance(filt, BoolFilter) and f.type == ValueType.BOOL:
+                bool_filters.append((fid, filt))
+            else:
+                return None
+        if not listable:
+            return None  # a bool-only filter has no cheap candidate list
+        cand = listable[0]
+        for ids in listable[1:]:
+            cand = np.intersect1d(cand, ids, assume_unique=True)
+        for fid, filt in bool_filters:
+            if len(cand) == 0:
+                break
+            bf = self._bool[fid]
+            c = bf.committed
+            want = bool(filt.value)
+            keep = np.zeros(len(cand), bool)
+            inb = cand < len(c.has_mask)
+            ci = cand[inb].astype(np.int64)
+            if want:
+                keep[inb] = c.true_mask[ci] > 0
+            else:
+                keep[inb] = (c.has_mask[ci] > 0) & (c.true_mask[ci] == 0)
+            unc = (
+                bf.uncommitted.filter_docs(want)
+                if not bf.uncommitted.is_empty else set()
+            )
+            if unc:  # dense path unions committed and uncommitted matches
+                keep |= np.isin(cand, np.fromiter(unc, np.int64, len(unc)))
+            cand = cand[keep]
+        if self.deleted and len(cand):
+            cand = cand[~np.isin(
+                cand,
+                np.fromiter(self.deleted, np.int64, len(self.deleted)),
+            )]
+        alive = self._alive
+        cand = cand[cand < len(alive)]
+        cand = cand[alive[cand] > 0]
+        if len(cand) > lim:
+            return None
+        return cand.astype(np.int32)
+
+    def _selective_vector_rows(self, committed, cand: np.ndarray):
+        """(rows, row_docs) of the candidate docs' vector rows, via a
+        doc-sorted permutation cached on the (immutable) committed index."""
+        order = getattr(committed, "_sel_order", None)
+        if order is None:
+            order = np.argsort(committed.vec_docs, kind="stable").astype(np.int64)
+            committed._sel_order = order
+            committed._sel_docs = committed.vec_docs[order]
+        sdocs = committed._sel_docs
+        lo = np.searchsorted(sdocs, cand, "left")
+        hi = np.searchsorted(sdocs, cand, "right")
+        rows = order[flatten_ranges(lo, hi - lo)]
+        row_docs = np.repeat(cand.astype(np.int64), hi - lo)
+        return rows, row_docs
+
+    def _committed_vector_scores_selective(
+        self, committed, q_dev: jax.Array, cand: np.ndarray, cap: int
+    ) -> jax.Array:
+        rows, row_docs = self._selective_vector_rows(committed, cand)
+        n = len(rows)
+        if n == 0:
+            return jnp.zeros((cap,), jnp.float32)
+        n_pad = bucket_pad(n, (256, 2048, 16384))
+        r = np.zeros(n_pad, np.int32); r[:n] = rows
+        d = np.zeros(n_pad, np.int32); d[:n] = row_docs
+        v = np.zeros(n_pad, np.float32); v[:n] = 1.0
+        vecs_dev, _, _ = self._device.vector_arrays(committed)
+        return vector_ops.selective_scores(
+            vecs_dev, jnp.asarray(r), jnp.asarray(d), jnp.asarray(v),
+            q_dev, n_docs=cap,
+        )
+
     def _with_uncommitted(self, mask: jax.Array, docs: Set[int]) -> jax.Array:
         if not docs:
             return mask
@@ -1066,6 +1211,7 @@ class CollectionReader:
         filter_mask: jax.Array,
         limit: int = 10,
         raw_vec=None,
+        cand: Optional[np.ndarray] = None,
     ) -> jax.Array:
         cap = self.capacity
         scores = jnp.zeros((cap,), dtype=jnp.float32)
@@ -1089,9 +1235,17 @@ class CollectionReader:
             for fid in fids:
                 vf = self._vector[fid]
                 if not vf.committed.is_empty:
-                    scores = scores + self._committed_vector_scores(
-                        vf.committed, q_dev, filter_mask, cap, limit
-                    )
+                    if cand is not None:
+                        # selective filter: exact-score just the survivors
+                        scores = scores + (
+                            self._committed_vector_scores_selective(
+                                vf.committed, q_dev, cand, cap
+                            )
+                        )
+                    else:
+                        scores = scores + self._committed_vector_scores(
+                            vf.committed, q_dev, filter_mask, cap, limit
+                        )
                 if not vf.uncommitted.is_empty:
                     host_out: Dict[int, float] = {}
                     vf.uncommitted.search(
@@ -1202,25 +1356,34 @@ class CollectionReader:
                 params.term, params.properties, params.boost, filter_mask,
                 masked=masked,
             )
+        cand = self._filter_candidates(params.where)
         if params.mode == SearchModeKind.VECTOR:
             return self.search_vector(
                 params.term, ai_service, filter_mask, params.limit,
-                raw_vec=params.vector,
+                raw_vec=params.vector, cand=cand,
             )
         ft = self.search_fulltext(
             params.term, params.properties, params.boost, filter_mask,
             masked=masked,
         )
-        vec = self.search_vector(params.term, ai_service, filter_mask, params.limit)
+        vec = self.search_vector(
+            params.term, ai_service, filter_mask, params.limit, cand=cand
+        )
         if params.fusion == HybridFusion.MINMAX:
             return fusion_ops.minmax_fuse(ft, vec)
         return fusion_ops.rrf_fuse(ft, vec)
 
     def search_vector_batch(
-        self, terms: List[str], ai_service, filter_mask: jax.Array
+        self,
+        terms: List[str],
+        ai_service,
+        filter_mask: jax.Array,
+        cand: Optional[np.ndarray] = None,
     ) -> jax.Array:
         """[B, cap] vector scores for a coalesced query batch (one corpus
-        matmul for all B queries — server/batcher.py)."""
+        matmul for all B queries — server/batcher.py). The batch shares
+        one filter (the batcher keys on it), so a selective candidate set
+        applies to every row."""
         cap = self.capacity
         b = len(terms)
         scores = jnp.zeros((b, cap), dtype=jnp.float32)
@@ -1237,9 +1400,23 @@ class CollectionReader:
                 vf = self._vector[fid]
                 if not vf.committed.is_empty:
                     vecs, docs, valid = self._device.vector_arrays(vf.committed)
-                    scores = scores + vector_ops.brute_force_scores_batch(
-                        vecs, docs, valid, q_dev, filter_mask, n_docs=cap
-                    )
+                    if cand is not None:
+                        rows, row_docs = self._selective_vector_rows(
+                            vf.committed, cand
+                        )
+                        n = len(rows)
+                        n_pad = bucket_pad(max(n, 1), (256, 2048, 16384))
+                        r = np.zeros(n_pad, np.int32); r[:n] = rows
+                        dd = np.zeros(n_pad, np.int32); dd[:n] = row_docs
+                        v = np.zeros(n_pad, np.float32); v[:n] = 1.0
+                        scores = scores + vector_ops.selective_scores_batch(
+                            vecs, jnp.asarray(r), jnp.asarray(dd),
+                            jnp.asarray(v), q_dev, n_docs=cap,
+                        )
+                    else:
+                        scores = scores + vector_ops.brute_force_scores_batch(
+                            vecs, docs, valid, q_dev, filter_mask, n_docs=cap
+                        )
                 if not vf.uncommitted.is_empty:
                     fm_host = np.asarray(filter_mask)
                     for row, term_q in enumerate(qn):
@@ -1390,13 +1567,21 @@ class CollectionReader:
         b_real = len(params_list)
         b_pad = bucket_pad(b_real, (4, 16, 64, 256))
         terms = [p.term for p in params_list] + [""] * (b_pad - b_real)
+        cand = (
+            self._filter_candidates(p0.where)
+            if p0.mode != SearchModeKind.FULLTEXT else None
+        )
         if p0.mode == SearchModeKind.VECTOR:
-            scores = self.search_vector_batch(terms, ai_service, filter_mask)
+            scores = self.search_vector_batch(
+                terms, ai_service, filter_mask, cand=cand
+            )
         elif p0.mode == SearchModeKind.FULLTEXT:
             scores = self.search_fulltext_batch(terms, p0.boost, filter_mask)
         else:
             ft = self.search_fulltext_batch(terms, p0.boost, filter_mask)
-            vec = self.search_vector_batch(terms, ai_service, filter_mask)
+            vec = self.search_vector_batch(
+                terms, ai_service, filter_mask, cand=cand
+            )
             if p0.fusion == HybridFusion.MINMAX:
                 scores = jax.vmap(fusion_ops.minmax_fuse)(ft, vec)
             else:

@@ -79,3 +79,45 @@ def normalize_rows(x):
     """Host/device L2 row normalization with zero-row safety."""
     n = jnp.linalg.norm(x, axis=-1, keepdims=True)
     return x / jnp.maximum(n, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def selective_scores(
+    vecs: jax.Array,        # [P, D] normalized corpus (full, on device)
+    rows: jax.Array,        # int32[Rpad] vector-row ids of the candidates
+    row_docs: jax.Array,    # int32[Rpad] owning doc per row (pad -> doc 0)
+    row_valid: jax.Array,   # float32[Rpad] 1.0 = real row
+    query: jax.Array,       # f32[D] normalized
+    n_docs: int,
+) -> jax.Array:
+    """Gather-then-score fast path for selective filters (SURVEY §7
+    "filter selectivity"): score only the filter-surviving docs' vector
+    rows instead of the full-corpus matmul-then-mask. Same semantics as
+    brute_force_scores restricted to the candidate set."""
+    vr = vecs[rows]                                          # [R, D]
+    sims = jnp.dot(
+        vr, query.astype(vr.dtype), preferred_element_type=jnp.float32
+    )
+    sims = jnp.maximum(sims, 0.0) * row_valid
+    return jnp.zeros((n_docs,), jnp.float32).at[row_docs].add(sims)
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def selective_scores_batch(
+    vecs: jax.Array,
+    rows: jax.Array,
+    row_docs: jax.Array,
+    row_valid: jax.Array,
+    queries: jax.Array,     # f32[B, D] normalized
+    n_docs: int,
+) -> jax.Array:
+    """[B, n_docs] batch variant of selective_scores (shared candidate
+    set — the micro-batcher keys on the filter, so a group shares it)."""
+    vr = vecs[rows]
+    sims = jnp.dot(
+        queries.astype(vr.dtype), vr.T, preferred_element_type=jnp.float32
+    )  # [B, R]
+    sims = jnp.maximum(sims, 0.0) * row_valid[None, :]
+    return jax.vmap(
+        lambda s: jnp.zeros((n_docs,), jnp.float32).at[row_docs].add(s)
+    )(sims)
