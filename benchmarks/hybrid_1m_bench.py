@@ -174,8 +174,10 @@ def main() -> None:
         )
 
     def run_batched(label, mode, bs=32):
+        # single-token terms: the serving layer only batches non-phrase
+        # queries (phrase cost is per-row either way; read_side._batchable)
         params = [
-            SearchParams.from_json({"term": rand_term(rng.integers(1, 4)), "mode": mode})
+            SearchParams.from_json({"term": rand_term(1), "mode": mode})
             for _ in range(args.queries)
         ]
         batches = [params[i : i + bs] for i in range(0, len(params), bs)]
@@ -209,6 +211,15 @@ def main() -> None:
         "hybrid_filtered_1m_qps",
         lambda t: SearchParams.from_json(
             {"term": t, "mode": "hybrid", "where": {"price": {"lte": 50}}}
+        ),
+    )
+    # selective filter (~0.05% of docs): the vector half gathers just the
+    # survivors' rows instead of the 1M-row matmul (selective_filter_max)
+    run(
+        "vector_selective_filter_qps",
+        lambda t: SearchParams.from_json(
+            {"term": t, "mode": "vector",
+             "where": {"price": {"between": [10.0, 10.05]}}}
         ),
     )
     print(json.dumps(report))

@@ -1557,6 +1557,30 @@ class CollectionReader:
         if not params_list:
             return []
         p0 = params_list[0]
+        # phrase rows route through the single-query path: the phrase
+        # kernel's cost is per row either way and its batched fallback is
+        # the slower vmapped sort (read_side._batchable applies the same
+        # policy at the serving layer; this covers direct callers)
+        if p0.mode != SearchModeKind.VECTOR and any(
+            len(p.term.split()) > 1 for p in params_list
+        ):
+            out_mixed: List[Optional[Tuple[List[Tuple[int, float]], int]]] = (
+                [None] * len(params_list)
+            )
+            plain: List[int] = []
+            for i, p in enumerate(params_list):
+                if len(p.term.split()) > 1:
+                    ranked, count, _ = self.search(p, ai_service)
+                    out_mixed[i] = (ranked, count)
+                else:
+                    plain.append(i)
+            if plain:
+                sub = self.search_batch(
+                    [params_list[i] for i in plain], ai_service
+                )
+                for i, r in zip(plain, sub):
+                    out_mixed[i] = r
+            return out_mixed  # every slot filled above
         # (fulltext batches split by per-row posting bucket inside
         # search_fulltext_batch, with a per-group memory chunk — no outer
         # worst-bucket chunking needed)

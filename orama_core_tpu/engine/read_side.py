@@ -23,6 +23,7 @@ from ..oplog import (
 from ..types import (
     ApiKeyError,
     CollectionNotFound,
+    SearchModeKind,
     SearchParams,
     SearchResult,
     SearchResultHit,
@@ -164,6 +165,16 @@ class ReadSide:
             and not params.facets
             and params.properties is None
             and bool(params.term.strip())
+            # phrase queries don't batch: their cost is the per-query
+            # full-stream phrase kernel (cumsums/gathers are per row, so a
+            # batch just serializes them) and the batched fallback is the
+            # far slower vmapped sort path — the single-query docmajor
+            # kernel is the optimized route (measured: batched phrase at
+            # 1M/20M ran ~0.6 QPS vs ~17/s sequential)
+            and (
+                params.mode == SearchModeKind.VECTOR
+                or len(params.term.split()) == 1
+            )
         )
 
     def _batch_key(self, collection_id: str, params: SearchParams):
