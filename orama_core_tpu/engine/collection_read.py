@@ -1591,6 +1591,15 @@ class CollectionReader:
         b_real = len(params_list)
         b_pad = bucket_pad(b_real, (4, 16, 64, 256))
         terms = [p.term for p in params_list] + [""] * (b_pad - b_real)
+        if (
+            p0.mode == SearchModeKind.VECTOR
+            and all(p.vector is None for p in params_list)
+        ):
+            fast_fid = self._vector_fast_field(p0)
+            if fast_fid is not None:
+                return self._search_batch_vector_topk_fast(
+                    params_list, ai_service, fast_fid
+                )
         cand = (
             self._filter_candidates(p0.where)
             if p0.mode != SearchModeKind.FULLTEXT else None
@@ -1981,12 +1990,138 @@ class CollectionReader:
         ranked = [(int(d), float(s)) for d, s in zip(gids, vals) if s > 0.0]
         return ranked, int(count)
 
+    def _vector_fast_field(self, params: SearchParams) -> Optional[int]:
+        """The fused top-k kNN kernel (ops/pallas_knn) can serve a query
+        directly — skipping the dense [cap] score array + full-corpus
+        top_k — when nothing downstream needs dense scores: pure vector
+        mode, no filters/facets/deletes, exact index, exactly one
+        embedding field, committed-only, one vector per doc. Returns that
+        field id, or None for the general path."""
+        if (
+            params.mode != SearchModeKind.VECTOR
+            or params.facets
+            or params.where
+            or self.deleted
+            or self.cfg.vector_index != "exact"
+            or not self.cfg.use_pallas
+        ):
+            return None
+        emb = [
+            fid for fid, f in self.fields.items()
+            if f.type == ValueType.EMBEDDING and f.model
+        ]
+        if len(emb) != 1:
+            return None
+        vf = self._vector[emb[0]]
+        if not vf.uncommitted.is_empty or vf.committed.is_empty:
+            return None
+        c = vf.committed
+        if c.n_vectors < 4096:
+            return None  # small corpora: the dense path is already cheap
+        single = getattr(c, "_single_vec_per_doc", None)
+        if single is None:
+            single = len(np.unique(c.vec_docs)) == c.n_vectors
+            c._single_vec_per_doc = single
+        return emb[0] if single else None
+
+    def _search_vector_topk_fast(
+        self, params: SearchParams, ai_service, fid: int
+    ) -> Tuple[List[Tuple[int, float]], int]:
+        from ..ops.pallas_knn import knn_topk_with_count
+
+        c = self._vector[fid].committed
+        vecs_dev, _, _ = self._device.vector_arrays(c)
+        p_pad = vecs_dev.shape[0]
+        bn = 2048
+        while p_pad % bn:
+            bn //= 2
+        qn = self._resolve_query_vec(
+            self.fields[fid].model, params.term, ai_service, params.vector
+        )
+        if params.vector is not None and len(qn) != c.dimension:
+            raise ValueError(
+                f"query vector has dimension {len(qn)}; collection "
+                f"embedding fields have [{c.dimension}]"
+            )
+        k = 16 if params.limit <= 16 else min(
+            bucket_pad(params.limit, (16, 128, 1024)), c.n_vectors
+        )
+        vals, rows, count = jax.device_get(
+            knn_topk_with_count(
+                vecs_dev,
+                jnp.asarray(qn, vecs_dev.dtype)[None, :],
+                k=min(k, c.n_vectors),
+                block_rows=bn,
+                n_valid=c.n_vectors,
+                # Pallas TPU kernels run in interpret mode on the CPU
+                # backend (tests / CPU deployments)
+                interpret=jax.default_backend() != "tpu",
+            )
+        )
+        docs = c.vec_docs[rows[0]]
+        ranked = [
+            (int(d), float(s))
+            for d, s in zip(docs[: params.limit], vals[0][: params.limit])
+            if s > 0.0
+        ]
+        return ranked, int(count[0])
+
+    def _search_batch_vector_topk_fast(
+        self, params_list: List[SearchParams], ai_service, fid: int
+    ) -> List[Tuple[List[Tuple[int, float]], int]]:
+        from ..ops.pallas_knn import knn_topk_with_count
+
+        c = self._vector[fid].committed
+        vecs_dev, _, _ = self._device.vector_arrays(c)
+        p_pad = vecs_dev.shape[0]
+        bn = 2048
+        while p_pad % bn:
+            bn //= 2
+        model = self.fields[fid].model
+        q = ai_service.embed_query(model, [p.term for p in params_list])
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        b_pad = bucket_pad(len(params_list), (4, 16, 64, 256))
+        qb = np.zeros((b_pad, qn.shape[1]), np.float32)
+        qb[: len(params_list)] = qn
+        limit = max(p.limit for p in params_list)
+        k = 16 if limit <= 16 else min(
+            bucket_pad(limit, (16, 128, 1024)), c.n_vectors
+        )
+        vals, rows, count = jax.device_get(
+            knn_topk_with_count(
+                vecs_dev,
+                jnp.asarray(qb, vecs_dev.dtype),
+                k=min(k, c.n_vectors),
+                block_rows=bn,
+                n_valid=c.n_vectors,
+                interpret=jax.default_backend() != "tpu",
+            )
+        )
+        out = []
+        for r, p in enumerate(params_list):
+            docs = c.vec_docs[rows[r]]
+            out.append((
+                [
+                    (int(d), float(s))
+                    for d, s in zip(docs[: p.limit], vals[r][: p.limit])
+                    if s > 0.0
+                ],
+                int(count[r]),
+            ))
+        return out
+
     def search(
         self, params: SearchParams, ai_service
     ) -> Tuple[List[Tuple[int, float]], int, Optional[Dict[str, FacetResult]]]:
         """Returns (ranked [(doc_id, score)], match count, facets)."""
         if self._use_sharded(params):
             ranked, count = self._search_sharded(params, ai_service)
+            return ranked, count, None
+        fast_fid = self._vector_fast_field(params)
+        if fast_fid is not None:
+            ranked, count = self._search_vector_topk_fast(
+                params, ai_service, fast_fid
+            )
             return ranked, count, None
         scores = self.search_scores(params, ai_service)
         facets = self.compute_facets(scores, params.facets) if params.facets else None

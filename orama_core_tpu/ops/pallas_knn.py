@@ -48,13 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -3.0e38
 
 
-def _subblock_max_kernel(q_ref, v_ref, out_ref, *, sub: int, n_valid: int):
+def _subblock_max_kernel(
+    q_ref, v_ref, out_ref, *, sub: int, n_valid: int, cnt_ref=None
+):
     """Grid: (num_blocks,). q [Q, D] resident; v block [BN, D] streamed;
     out block [BN/SUB, Q] = per-sub-block max similarity, transposed so
     sub-blocks sit on the SUBLANE axis: the reduction then runs over
     aligned sublane groups, and the Q-wide lane dim keeps the output block
     tileable (a [Q, BN/SUB] orientation has too few lanes per block).
-    Corpus rows >= n_valid are padding and score NEG."""
+    Corpus rows >= n_valid are padding and score NEG. With cnt_ref, also
+    emits per-sub-block counts of strictly-positive sims (the engine's
+    vector-mode match count) in the same layout."""
     step = pl.program_id(0)
     bn = v_ref.shape[0]
 
@@ -76,6 +80,15 @@ def _subblock_max_kernel(q_ref, v_ref, out_ref, *, sub: int, n_valid: int):
         ],
         axis=0,
     )
+    if cnt_ref is not None:
+        pos = (sims > 0.0).astype(jnp.float32)
+        cnt_ref[:] = jnp.concatenate(
+            [
+                jnp.sum(pos[c * sub : (c + 1) * sub, :], axis=0, keepdims=True)
+                for c in range(bn // sub)
+            ],
+            axis=0,
+        )
 
 
 def _subblock_max_int8_kernel(
@@ -179,6 +192,93 @@ def knn_topk(
     sims = jnp.where(rows < n_valid, sims, NEG)
     v, i = jax.lax.top_k(sims, k)
     return v.astype(jnp.float32), jnp.take_along_axis(rows, i, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "sub_rows", "interpret", "n_valid"),
+)
+def knn_topk_with_count(
+    vecs: jax.Array,      # [N, D] bf16/f32 (N a multiple of block_rows)
+    queries: jax.Array,   # [Q, D] same dtype
+    k: int = 10,
+    block_rows: int = 2048,
+    sub_rows: int = 32,
+    interpret: bool = False,
+    n_valid: int = -1,
+):
+    """knn_topk plus the per-query count of strictly-positive similarities
+    — the engine's vector-mode "match count" — from the same streaming
+    pass. Returns (values f32[Q, k], indices int32[Q, k], count i32[Q])."""
+    n, d = vecs.shape
+    qn = queries.shape[0]
+    assert n % block_rows == 0, "pad corpus to a multiple of block_rows"
+    if n_valid < 0:
+        n_valid = n
+    sub = min(sub_rows, block_rows // 8)
+    while sub > 1 and block_rows % (8 * sub):
+        sub //= 2
+    nsub = n // sub
+
+    if k * sub * 4 >= n_valid or k > nsub:
+        sims = jax.lax.dot_general(
+            queries, vecs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        sims = jnp.where(cols < n_valid, sims, NEG)
+        v, i = _dense_topk(sims, k)
+        return v, i, jnp.sum(sims > 0.0, axis=1).astype(jnp.int32)
+
+    kernel = functools.partial(_subblock_max_kernel, sub=sub, n_valid=n_valid)
+
+    def kernel2(q_ref, v_ref, out_ref, cnt_out_ref):
+        kernel(q_ref, v_ref, out_ref, cnt_ref=cnt_out_ref)
+
+    bmax, bcnt = pl.pallas_call(
+        kernel2,
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_rows // sub, qn), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_rows // sub, qn), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
+            jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
+        ],
+        interpret=interpret,
+    )(queries, vecs)
+    count = jnp.sum(bcnt, axis=0).astype(jnp.int32)       # [Q]
+
+    _, sub_ids = jax.lax.top_k(bmax.T, k)                  # [Q, k]
+    rows = (
+        sub_ids[:, :, None] * sub
+        + jax.lax.broadcasted_iota(jnp.int32, (qn, k, sub), 2)
+    ).reshape(qn, k * sub)
+    cand = vecs[rows]
+    sims = jnp.einsum(
+        "qd,qcd->qc", queries, cand, preferred_element_type=jnp.float32
+    )
+    sims = jnp.where(rows < n_valid, sims, NEG)
+    v, i = jax.lax.top_k(sims, k)
+    return (
+        v.astype(jnp.float32),
+        jnp.take_along_axis(rows, i, axis=1),
+        count,
+    )
 
 
 @functools.partial(

@@ -96,3 +96,26 @@ def test_knn_topk_descending_order():
     )
     v = np.asarray(vals)
     assert (np.diff(v, axis=1) <= 1e-6).all()
+
+
+def test_knn_topk_with_count_matches_dense():
+    from orama_core_tpu.ops.pallas_knn import knn_topk_with_count
+
+    rng = np.random.default_rng(11)
+    n_valid, n, d, q, k = 7000, 8192, 64, 8, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs[n_valid:] = 50.0  # poisoned padding: must not count or rank
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    vals, idx, cnt = knn_topk_with_count(
+        jnp.asarray(vecs), jnp.asarray(queries), k=k, block_rows=512,
+        sub_rows=64, interpret=True, n_valid=n_valid,
+    )
+    sims = queries @ vecs[:n_valid].T
+    np.testing.assert_array_equal(
+        np.asarray(cnt), (sims > 0).sum(axis=1).astype(np.int32)
+    )
+    for r in range(q):
+        np.testing.assert_allclose(
+            np.asarray(vals)[r], np.sort(sims[r])[::-1][:k], rtol=1e-5
+        )
+    assert (np.asarray(idx) < n_valid).all()

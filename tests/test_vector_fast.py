@@ -1,0 +1,102 @@
+"""The fused top-k kNN kernel serving pure vector queries directly
+(collection_read._search_vector_topk_fast) must be result-identical to
+the dense score path, including the match count, for single and batched
+queries; ineligible shapes (filters, multi-vector docs, uncommitted
+windows) must fall back."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orama_core_tpu.config import TpuConfig
+from orama_core_tpu.engine.collection_read import CollectionReader
+from orama_core_tpu.index import CommittedVectorIndex, UncommittedVectorIndex
+from orama_core_tpu.models.ai_service import AIService
+from orama_core_tpu.oplog import CreateFieldOp
+from orama_core_tpu.types import SearchParams, TypedField, ValueType
+
+N, D = 8192, 128  # fake-small model dim
+
+
+def make_reader(multi_vec=False):
+    rng = np.random.default_rng(5)
+    n = N
+    vecs = rng.standard_normal((n, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vec_docs = np.arange(n, dtype=np.int32)
+    if multi_vec:
+        vec_docs[1] = 0  # doc 0 owns two vectors
+    reader = CollectionReader("vfast", "rk", None, TpuConfig())
+    reader._apply_locked(
+        CreateFieldOp(
+            "vfast",
+            TypedField(0, "embedding", ValueType.EMBEDDING, model="fake-small"),
+        )
+    )
+    reader.max_doc_id = n - 1
+    reader._alive = np.ones(reader.capacity, dtype=np.float32)
+    reader._alive[n:] = 0.0
+    reader.doc_count = n
+    reader._vector[0].committed = CommittedVectorIndex(
+        dimension=D, vecs=vecs, vec_docs=vec_docs
+    )
+    reader._vector[0].uncommitted = UncommittedVectorIndex(D)
+    return reader
+
+
+def run(reader, body):
+    return reader.search(SearchParams.from_json(dict(body)), AIService())
+
+
+def test_fast_path_matches_dense_single_and_batched():
+    reader = make_reader()
+    ai = AIService()
+    bodies = [
+        {"term": "solar energy", "mode": "vector", "limit": 7},
+        {"term": "quantum", "mode": "vector"},
+    ]
+    fast, dense = [], []
+    fast_b = reader.search_batch(
+        [SearchParams.from_json(dict(b)) for b in bodies], ai
+    )
+    for b in bodies:
+        assert reader._vector_fast_field(
+            SearchParams.from_json(dict(b))
+        ) == 0
+        ranked, count, _ = run(reader, b)
+        fast.append((ranked, count))
+    reader.cfg.use_pallas = False  # force the dense path
+    for b in bodies:
+        assert reader._vector_fast_field(SearchParams.from_json(dict(b))) is None
+        ranked, count, _ = run(reader, b)
+        dense.append((ranked, count))
+    for (rf, cf), (rd, cd) in zip(fast, dense):
+        assert cf == cd
+        assert [d for d, _ in rf] == [d for d, _ in rd]
+        for (_, sf), (_, sd) in zip(rf, rd):
+            assert abs(sf - sd) < 1e-4
+    for (rf, cf), (rd, cd) in zip(fast_b, dense):
+        assert cf == cd
+        assert [d for d, _ in rf] == [d for d, _ in rd]
+
+
+def test_fast_path_ineligibility():
+    ai = AIService()
+    p = SearchParams.from_json({"term": "x", "mode": "vector"})
+    # multi-vector docs -> dense
+    assert make_reader(multi_vec=True)._vector_fast_field(p) is None
+    # uncommitted window -> dense
+    r = make_reader()
+    r._vector[0].uncommitted.insert(3, [np.ones(D, np.float32)])
+    assert r._vector_fast_field(p) is None
+    # filters / facets / fulltext -> dense
+    r2 = make_reader()
+    assert r2._vector_fast_field(
+        SearchParams.from_json(
+            {"term": "x", "mode": "vector", "where": {"f": True}}
+        )
+    ) is None
+    assert r2._vector_fast_field(SearchParams.from_json({"term": "x"})) is None
+    # non-exact vector index -> dense
+    r2.cfg.vector_index = "ivf"
+    assert r2._vector_fast_field(p) is None
