@@ -140,6 +140,17 @@ def knn_topk(
     n_valid: int = -1,    # real rows; rest is padding (-1 => all valid)
 ):
     """(values f32[Q, k], indices int32[Q, k]) — exact brute-force top-k."""
+    if queries.shape[0] < 8:
+        # Mosaic mis-lowers the matrix-vector (tiny lane dim) dot; pad the
+        # query batch to 8 and slice the outputs back
+        qn_real = queries.shape[0]
+        pad = jnp.zeros((8 - qn_real, queries.shape[1]), queries.dtype)
+        v, i = knn_topk(
+            vecs, jnp.concatenate([queries, pad]), k=k,
+            block_rows=block_rows, sub_rows=sub_rows,
+            interpret=interpret, n_valid=n_valid,
+        )
+        return v[:qn_real], i[:qn_real]
     n, d = vecs.shape
     qn = queries.shape[0]
     assert n % block_rows == 0, "pad corpus to a multiple of block_rows"
@@ -210,6 +221,16 @@ def knn_topk_with_count(
     """knn_topk plus the per-query count of strictly-positive similarities
     — the engine's vector-mode "match count" — from the same streaming
     pass. Returns (values f32[Q, k], indices int32[Q, k], count i32[Q])."""
+    if queries.shape[0] < 8:
+        # see knn_topk: tiny lane dims mis-lower in Mosaic; pad to 8
+        qn_real = queries.shape[0]
+        pad = jnp.zeros((8 - qn_real, queries.shape[1]), queries.dtype)
+        v, i, cnt = knn_topk_with_count(
+            vecs, jnp.concatenate([queries, pad]), k=k,
+            block_rows=block_rows, sub_rows=sub_rows,
+            interpret=interpret, n_valid=n_valid,
+        )
+        return v[:qn_real], i[:qn_real], cnt[:qn_real]
     n, d = vecs.shape
     qn = queries.shape[0]
     assert n % block_rows == 0, "pad corpus to a multiple of block_rows"
