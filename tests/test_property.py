@@ -205,3 +205,76 @@ def test_commit_timing_never_changes_results(tmp_path_factory, script, qterm):
     finally:
         committed.close()
         plain.close()
+
+
+# --- selective-filter fast path equivalence --------------------------------
+
+@given(
+    data=st.data(),
+    n_docs=st.integers(8, 40),
+    commit_at=st.integers(0, 40),
+)
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_selective_filter_equals_dense(tmp_path_factory, data, n_docs, commit_at):
+    """For ANY corpus/filter mix, the selective gather-then-score path
+    must return exactly what the dense matmul-then-mask path returns
+    (ids, scores, counts), across committed/uncommitted splits and
+    deletes."""
+    tmp = tmp_path_factory.mktemp("selprop")
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp / "w")
+    cfg.reader_side.data_dir = str(tmp / "r")
+    cfg.writer_side.commit_interval_sec = 3600
+    cfg.reader_side.commit_interval_sec = 3600
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    docs = []
+    for i in range(n_docs):
+        docs.append({
+            "id": str(i),
+            "title": " ".join(
+                data.draw(st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3))
+            ),
+            "price": data.draw(st.integers(0, 20)),
+            "color": data.draw(st.sampled_from(COLORS)),
+            "ok": data.draw(st.booleans()),
+        })
+    cut = min(commit_at, n_docs)
+    if cut:
+        e.write_side.write("c", docs[:cut], WRITE)
+        e.flush()
+        e.commit()
+    if cut < n_docs:
+        e.write_side.write("c", docs[cut:], WRITE)
+        e.flush()
+    # a delete in whichever window
+    if n_docs > 4:
+        e.write_side.delete_documents("c", [str(n_docs // 2)], WRITE)
+        e.flush()
+    lo = data.draw(st.integers(0, 18))
+    bodies = [
+        {"term": "cat", "mode": "vector", "where": {"price": {"gte": lo}}},
+        {"term": "dog", "mode": "hybrid",
+         "where": {"price": {"between": [lo, lo + 4]},
+                   "color": data.draw(st.sampled_from(COLORS))}},
+        {"term": "sun", "mode": "vector",
+         "where": {"ok": data.draw(st.booleans()), "price": {"lte": lo}}},
+    ]
+    reader = e.read_side._reader("c")
+    out = {}
+    for sel_max in (0, 10_000):
+        reader.cfg.selective_filter_max = sel_max
+        out[sel_max] = [
+            [
+                (h.id, round(h.score, 5))
+                for h in e.read_side.search(
+                    "c", SearchParams.from_json(dict(b)), READ
+                ).hits
+            ]
+            for b in bodies
+        ]
+    assert out[0] == out[10_000]
+    e.close()
