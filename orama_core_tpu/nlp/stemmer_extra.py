@@ -234,12 +234,31 @@ def turkish_stem(word: str) -> str:
 
 # ----------------------------------------------------------------- Greek
 
-# Dominant inflectional endings (nouns/adjectives/verbs), longest first.
-# Lowercase, final-sigma normalized to σ by the caller's casefold.
+# Replacement rules first (the -μα noun family inflects on an extended
+# stem: σώμα / σώματα / σωμάτων must conflate), then plain strips of the
+# dominant inflectional endings (nouns/adjectives/verbs incl. passive
+# aorist and diminutives), longest first. Lowercase, final-sigma
+# normalized to σ, tonos folded.
+_EL_REPLACE = sorted([
+    ("ματων", "μα"), ("ματοσ", "μα"), ("ματα", "μα"),
+    # bare -μα nominative: stop (so σώμα stays σωμα, matching σώματα)
+    ("μα", "μα"),
+], key=lambda kv: len(kv[0]), reverse=True)
 _EL_SUFFIXES = sorted([
-    "ιουσ", "ιων", "ουσα", "ουσε", "ονται", "ομαι", "εται", "εσαι",
-    "ουμε", "ετε", "ουν", "εισ", "ει", "εσ", "ασ", "ων", "ουσ", "οσ",
-    "ησ", "ου", "ια", "ιο", "οι", "αι", "α", "η", "ο", "ι", "ε",
+    # verbs
+    "ονταν", "ονται", "ομαστε", "οσαστε", "ομουν", "οσουν",
+    "θηκαμε", "θηκατε", "θηκαν", "θηκα", "θηκε",
+    "ηκαμε", "ηκατε", "ηκαν", "ηκα", "ηκε",
+    "ουσαμε", "ουσατε", "ουσαν", "ουσα", "ουσε",
+    "ησαμε", "ησατε", "ησαν", "ησα", "ησε",
+    "ομαι", "εται", "εσαι", "ουμε", "ουνε", "ετε", "εστε", "ουν", "ανε",
+    "αμε", "ατε", "αν", "ω",
+    # nouns/adjectives
+    "ιουσ", "ιων", "εισ", "εων", "ουσ", "ων", "οσ", "ησ", "ασ", "ου",
+    "ια", "ιο", "οι", "αι", "εσ", "ει",
+    # diminutives
+    "ακια", "ακι", "ουλα", "ουλεσ", "ιτσα", "ιτσεσ", "ιτσασ", "ακοσ",
+    "α", "η", "ο", "ι", "ε",
 ], key=len, reverse=True)
 _EL_VOWELS = "αεηιουω"
 
@@ -250,6 +269,9 @@ def greek_stem(word: str) -> str:
     w = w.translate(str.maketrans("άέήίόύώϊϋΐΰ", "αεηιουωιυιυ"))
     if len(w) < 4:
         return w
+    for suf, rep in _EL_REPLACE:
+        if w.endswith(suf) and len(w) - len(suf) >= 2:
+            return w[: -len(suf)] + rep
     for suf in _EL_SUFFIXES:
         stem = w[: -len(suf)] if w.endswith(suf) else None
         if stem and len(stem) >= 3 and any(c in _EL_VOWELS for c in stem):

@@ -278,12 +278,19 @@ def test_extra_stemmer_turkish_families():
 def test_extra_stemmer_greek_tamil():
     from orama_core_tpu.nlp.stemmer_extra import greek_stem, tamil_stem
 
-    # Greek: inflections of ἄνθρωπος / θάλασσα conflate; tonos folded
+    # Greek: noun/verb/-μα/diminutive families conflate; tonos folded
     assert greek_stem("άνθρωπος") == greek_stem("ανθρώπου") == \
-        greek_stem("άνθρωποι") == "ανθρωπ"
+        greek_stem("άνθρωποι") == greek_stem("ανθρώπων") == "ανθρωπ"
     assert greek_stem("θάλασσες") == greek_stem("θάλασσα")
     # final sigma normalization
     assert greek_stem("λόγος") == greek_stem("λόγοι")
+    # -μα extended-stem nouns (replacement rules, not plain strips)
+    assert greek_stem("σώμα") == greek_stem("σώματα") == \
+        greek_stem("σωμάτων") == greek_stem("σώματος") == "σωμα"
+    # verb person endings incl. passive aorist
+    assert greek_stem("γράφω") == greek_stem("γράφουμε") == \
+        greek_stem("γράφετε") == "γραφ"
+    assert greek_stem("αγαπήθηκα") == greek_stem("αγαπήθηκαν")
     # Tamil: plural + case endings strip
     assert tamil_stem("புத்தகங்கள்") == tamil_stem("புத்தகங்களில்")
     assert tamil_stem("மரங்களை") == tamil_stem("மரங்கள்")
