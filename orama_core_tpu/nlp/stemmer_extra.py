@@ -178,6 +178,7 @@ def _tr_strip_one(word: str, suffixes: list[tuple[str, str]]) -> str | None:
     return None
 
 
+@lru_cache(maxsize=65536)
 def turkish_stem(word: str) -> str:
     w = word.lower()
     if len(w) < 3 or _tr_last_vowel(w) == "":
@@ -263,6 +264,7 @@ _EL_SUFFIXES = sorted([
 _EL_VOWELS = "αεηιουω"
 
 
+@lru_cache(maxsize=65536)
 def greek_stem(word: str) -> str:
     w = word.lower().replace("ς", "σ")
     # strip diacritics common in Greek text (tonos)
@@ -291,6 +293,7 @@ _TA_SUFFIXES = sorted([
 ], key=len, reverse=True)
 
 
+@lru_cache(maxsize=65536)
 def tamil_stem(word: str) -> str:
     w = word
     for _ in range(2):
