@@ -1235,8 +1235,12 @@ class CollectionReader:
             for fid in fids:
                 vf = self._vector[fid]
                 if not vf.committed.is_empty:
-                    if cand is not None:
-                        # selective filter: exact-score just the survivors
+                    # selective gather-then-score applies only to the
+                    # exact mode: other modes keep their own committed
+                    # layouts (int8 codes, IVF lists, PQ codebooks) and a
+                    # selective gather of the full-precision matrix would
+                    # change both semantics and HBM residency
+                    if cand is not None and self.cfg.vector_index == "exact":
                         scores = scores + (
                             self._committed_vector_scores_selective(
                                 vf.committed, q_dev, cand, cap
@@ -1400,7 +1404,7 @@ class CollectionReader:
                 vf = self._vector[fid]
                 if not vf.committed.is_empty:
                     vecs, docs, valid = self._device.vector_arrays(vf.committed)
-                    if cand is not None:
+                    if cand is not None and self.cfg.vector_index == "exact":
                         rows, row_docs = self._selective_vector_rows(
                             vf.committed, cand
                         )
@@ -1594,6 +1598,7 @@ class CollectionReader:
         if (
             p0.mode == SearchModeKind.VECTOR
             and all(p.vector is None for p in params_list)
+            and max(p.limit for p in params_list) <= 128
         ):
             fast_fid = self._vector_fast_field(p0)
             if fast_fid is not None:
@@ -1909,6 +1914,7 @@ class CollectionReader:
         for fid, f in self.fields.items():
             if f.type == ValueType.EMBEDDING and f.model:
                 by_model.setdefault(f.model, []).append(fid)
+        matched_dim = False
         for model, fids in by_model.items():
             if raw_vec is not None:
                 fids = [
@@ -1916,6 +1922,7 @@ class CollectionReader:
                 ]
                 if not fids:
                     continue
+                matched_dim = True
             qn = self._resolve_query_vec(model, term, ai_service, raw_vec)
             q_dev = jnp.asarray(qn, dtype=jnp.float32)
             for fid in fids:
@@ -1954,6 +1961,20 @@ class CollectionReader:
                         scores = se.scatter_add(mesh, local_cap)(
                             scores, idx, vals
                         )
+        if raw_vec is not None and by_model and not matched_dim:
+            # same user-facing error as the single-device path — a silent
+            # empty result would hide a malformed client vector
+            dims = sorted(
+                {
+                    self._field_vec_dim(f)
+                    for fids in by_model.values()
+                    for f in fids
+                }
+            )
+            raise ValueError(
+                f"query vector has dimension {len(raw_vec)}; collection "
+                f"embedding fields have {dims}"
+            )
         return scores
 
     def _search_sharded(
@@ -2004,6 +2025,10 @@ class CollectionReader:
             or self.deleted
             or self.cfg.vector_index != "exact"
             or not self.cfg.use_pallas
+            # phase-2 rescore gathers k·SUB rows per query: an unbounded
+            # client limit would materialize [B, k·SUB, D] — huge; the
+            # dense path handles deep-pagination queries
+            or params.limit > 128
         ):
             return None
         emb = [
@@ -2024,51 +2049,11 @@ class CollectionReader:
             c._single_vec_per_doc = single
         return emb[0] if single else None
 
-    def _search_vector_topk_fast(
-        self, params: SearchParams, ai_service, fid: int
-    ) -> Tuple[List[Tuple[int, float]], int]:
-        from ..ops.pallas_knn import knn_topk_with_count
-
-        c = self._vector[fid].committed
-        vecs_dev, _, _ = self._device.vector_arrays(c)
-        p_pad = vecs_dev.shape[0]
-        bn = 2048
-        while p_pad % bn:
-            bn //= 2
-        qn = self._resolve_query_vec(
-            self.fields[fid].model, params.term, ai_service, params.vector
-        )
-        if params.vector is not None and len(qn) != c.dimension:
-            raise ValueError(
-                f"query vector has dimension {len(qn)}; collection "
-                f"embedding fields have [{c.dimension}]"
-            )
-        k = 16 if params.limit <= 16 else min(
-            bucket_pad(params.limit, (16, 128, 1024)), c.n_vectors
-        )
-        vals, rows, count = jax.device_get(
-            knn_topk_with_count(
-                vecs_dev,
-                jnp.asarray(qn, vecs_dev.dtype)[None, :],
-                k=min(k, c.n_vectors),
-                block_rows=bn,
-                n_valid=c.n_vectors,
-                # Pallas TPU kernels run in interpret mode on the CPU
-                # backend (tests / CPU deployments)
-                interpret=jax.default_backend() != "tpu",
-            )
-        )
-        docs = c.vec_docs[rows[0]]
-        ranked = [
-            (int(d), float(s))
-            for d, s in zip(docs[: params.limit], vals[0][: params.limit])
-            if s > 0.0
-        ]
-        return ranked, int(count[0])
-
-    def _search_batch_vector_topk_fast(
-        self, params_list: List[SearchParams], ai_service, fid: int
+    def _vector_topk_fast_core(
+        self, params_list: List[SearchParams], fid: int, qn: np.ndarray
     ) -> List[Tuple[List[Tuple[int, float]], int]]:
+        """Shared body of the single/batched fused-kernel vector paths:
+        qn [B, D] normalized queries aligned with params_list."""
         from ..ops.pallas_knn import knn_topk_with_count
 
         c = self._vector[fid].committed
@@ -2077,9 +2062,6 @@ class CollectionReader:
         bn = 2048
         while p_pad % bn:
             bn //= 2
-        model = self.fields[fid].model
-        q = ai_service.embed_query(model, [p.term for p in params_list])
-        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         b_pad = bucket_pad(len(params_list), (4, 16, 64, 256))
         qb = np.zeros((b_pad, qn.shape[1]), np.float32)
         qb[: len(params_list)] = qn
@@ -2094,6 +2076,8 @@ class CollectionReader:
                 k=min(k, c.n_vectors),
                 block_rows=bn,
                 n_valid=c.n_vectors,
+                # Pallas TPU kernels run in interpret mode on the CPU
+                # backend (tests / CPU deployments)
                 interpret=jax.default_backend() != "tpu",
             )
         )
@@ -2109,6 +2093,28 @@ class CollectionReader:
                 int(count[r]),
             ))
         return out
+
+    def _search_vector_topk_fast(
+        self, params: SearchParams, ai_service, fid: int
+    ) -> Tuple[List[Tuple[int, float]], int]:
+        c = self._vector[fid].committed
+        qn = self._resolve_query_vec(
+            self.fields[fid].model, params.term, ai_service, params.vector
+        )
+        if params.vector is not None and len(qn) != c.dimension:
+            raise ValueError(
+                f"query vector has dimension {len(qn)}; collection "
+                f"embedding fields have [{c.dimension}]"
+            )
+        return self._vector_topk_fast_core([params], fid, qn[None, :])[0]
+
+    def _search_batch_vector_topk_fast(
+        self, params_list: List[SearchParams], ai_service, fid: int
+    ) -> List[Tuple[List[Tuple[int, float]], int]]:
+        model = self.fields[fid].model
+        q = ai_service.embed_query(model, [p.term for p in params_list])
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        return self._vector_topk_fast_core(params_list, fid, qn)
 
     def search(
         self, params: SearchParams, ai_service

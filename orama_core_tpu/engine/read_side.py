@@ -165,6 +165,15 @@ class ReadSide:
             and not params.facets
             and params.properties is None
             and bool(params.term.strip())
+            # raw-vector queries carry their own embedding, which the
+            # batched path (keyed/driven by term) cannot represent
+            and params.vector is None
+            # the batched vector scorer is the exact bf16 matmul; under
+            # int8/ivf/pq indexes batching would silently change scoring
+            and (
+                params.mode == SearchModeKind.FULLTEXT
+                or self.tpu_cfg.vector_index == "exact"
+            )
             # phrase queries don't batch: their cost is the per-query
             # full-stream phrase kernel (cumsums/gathers are per row, so a
             # batch just serializes them) and the batched fallback is the

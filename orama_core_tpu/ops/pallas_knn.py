@@ -126,6 +126,40 @@ def _dense_topk(sims: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return v.astype(jnp.float32), i.astype(jnp.int32)
 
 
+def _pick_sub(block_rows: int, sub_rows: int) -> int:
+    """Sub-block size: the [block_rows/sub, Q] out block's sublane dim
+    must stay a multiple of 8 for the TPU tiling rules."""
+    sub = min(sub_rows, block_rows // 8)
+    while sub > 1 and block_rows % (8 * sub):
+        sub //= 2
+    return sub
+
+
+def _pad_queries(queries: jax.Array) -> tuple[jax.Array, int]:
+    """Mosaic mis-lowers the matrix-vector (tiny lane dim) dot
+    ('vector.broadcast' dtype verification failure); pad query batches to
+    8 lanes — callers slice outputs back to the returned real count."""
+    qn = queries.shape[0]
+    if qn >= 8:
+        return queries, qn
+    pad = jnp.zeros((8 - qn, queries.shape[1]), queries.dtype)
+    return jnp.concatenate([queries, pad]), qn
+
+
+def _rescore_topk(bmax_t, rescore, k, sub, n_valid, qn):
+    """Phase 2: pick the k best sub-blocks per query from bmax_t [Q, nsub],
+    gather their rows, rescore exactly with `rescore(rows)`, final top-k."""
+    _, sub_ids = jax.lax.top_k(bmax_t, k)                  # [Q, k]
+    rows = (
+        sub_ids[:, :, None] * sub
+        + jax.lax.broadcasted_iota(jnp.int32, (qn, k, sub), 2)
+    ).reshape(qn, k * sub)                                 # [Q, k*SUB]
+    sims = rescore(rows)
+    sims = jnp.where(rows < n_valid, sims, NEG)
+    v, i = jax.lax.top_k(sims, k)
+    return v.astype(jnp.float32), jnp.take_along_axis(rows, i, axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_rows", "sub_rows", "interpret", "n_valid"),
@@ -140,27 +174,13 @@ def knn_topk(
     n_valid: int = -1,    # real rows; rest is padding (-1 => all valid)
 ):
     """(values f32[Q, k], indices int32[Q, k]) — exact brute-force top-k."""
-    if queries.shape[0] < 8:
-        # Mosaic mis-lowers the matrix-vector (tiny lane dim) dot; pad the
-        # query batch to 8 and slice the outputs back
-        qn_real = queries.shape[0]
-        pad = jnp.zeros((8 - qn_real, queries.shape[1]), queries.dtype)
-        v, i = knn_topk(
-            vecs, jnp.concatenate([queries, pad]), k=k,
-            block_rows=block_rows, sub_rows=sub_rows,
-            interpret=interpret, n_valid=n_valid,
-        )
-        return v[:qn_real], i[:qn_real]
+    queries, qn_real = _pad_queries(queries)
     n, d = vecs.shape
     qn = queries.shape[0]
     assert n % block_rows == 0, "pad corpus to a multiple of block_rows"
     if n_valid < 0:
         n_valid = n
-    # out block is [block_rows/sub, Q]: its sublane dim must stay a
-    # multiple of 8 for the TPU tiling rules
-    sub = min(sub_rows, block_rows // 8)
-    while sub > 1 and block_rows % (8 * sub):
-        sub //= 2
+    sub = _pick_sub(block_rows, sub_rows)
     nsub = n // sub
 
     if k * sub * 4 >= n_valid or k > nsub:
@@ -171,7 +191,8 @@ def knn_topk(
             preferred_element_type=jnp.float32,
         )
         cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-        return _dense_topk(jnp.where(cols < n_valid, sims, NEG), k)
+        v, i = _dense_topk(jnp.where(cols < n_valid, sims, NEG), k)
+        return v[:qn_real], i[:qn_real]
 
     kernel = functools.partial(_subblock_max_kernel, sub=sub, n_valid=n_valid)
     bmax = pl.pallas_call(
@@ -190,19 +211,14 @@ def knn_topk(
         interpret=interpret,
     )(queries, vecs)
 
-    # phase 2: gather the k best sub-blocks per query, rescore exactly
-    _, sub_ids = jax.lax.top_k(bmax.T, k)                  # [Q, k]
-    rows = (
-        sub_ids[:, :, None] * sub
-        + jax.lax.broadcasted_iota(jnp.int32, (qn, k, sub), 2)
-    ).reshape(qn, k * sub)                                 # [Q, k*SUB]
-    cand = vecs[rows]                                      # [Q, k*SUB, D]
-    sims = jnp.einsum(
-        "qd,qcd->qc", queries, cand, preferred_element_type=jnp.float32
-    )
-    sims = jnp.where(rows < n_valid, sims, NEG)
-    v, i = jax.lax.top_k(sims, k)
-    return v.astype(jnp.float32), jnp.take_along_axis(rows, i, axis=1)
+    def rescore(rows):
+        cand = vecs[rows]                                  # [Q, k*SUB, D]
+        return jnp.einsum(
+            "qd,qcd->qc", queries, cand, preferred_element_type=jnp.float32
+        )
+
+    v, i = _rescore_topk(bmax.T, rescore, k, sub, n_valid, qn)
+    return v[:qn_real], i[:qn_real]
 
 
 @functools.partial(
@@ -221,24 +237,13 @@ def knn_topk_with_count(
     """knn_topk plus the per-query count of strictly-positive similarities
     — the engine's vector-mode "match count" — from the same streaming
     pass. Returns (values f32[Q, k], indices int32[Q, k], count i32[Q])."""
-    if queries.shape[0] < 8:
-        # see knn_topk: tiny lane dims mis-lower in Mosaic; pad to 8
-        qn_real = queries.shape[0]
-        pad = jnp.zeros((8 - qn_real, queries.shape[1]), queries.dtype)
-        v, i, cnt = knn_topk_with_count(
-            vecs, jnp.concatenate([queries, pad]), k=k,
-            block_rows=block_rows, sub_rows=sub_rows,
-            interpret=interpret, n_valid=n_valid,
-        )
-        return v[:qn_real], i[:qn_real], cnt[:qn_real]
+    queries, qn_real = _pad_queries(queries)
     n, d = vecs.shape
     qn = queries.shape[0]
     assert n % block_rows == 0, "pad corpus to a multiple of block_rows"
     if n_valid < 0:
         n_valid = n
-    sub = min(sub_rows, block_rows // 8)
-    while sub > 1 and block_rows % (8 * sub):
-        sub //= 2
+    sub = _pick_sub(block_rows, sub_rows)
     nsub = n // sub
 
     if k * sub * 4 >= n_valid or k > nsub:
@@ -250,7 +255,8 @@ def knn_topk_with_count(
         cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
         sims = jnp.where(cols < n_valid, sims, NEG)
         v, i = _dense_topk(sims, k)
-        return v, i, jnp.sum(sims > 0.0, axis=1).astype(jnp.int32)
+        cnt = jnp.sum(sims > 0.0, axis=1).astype(jnp.int32)
+        return v[:qn_real], i[:qn_real], cnt[:qn_real]
 
     kernel = functools.partial(_subblock_max_kernel, sub=sub, n_valid=n_valid)
 
@@ -282,24 +288,18 @@ def knn_topk_with_count(
         ],
         interpret=interpret,
     )(queries, vecs)
-    count = jnp.sum(bcnt, axis=0).astype(jnp.int32)       # [Q]
+    # per-sub-block counts are small exact floats (<= sub); sum in int32 so
+    # totals beyond 2^24 stay exact on very large corpora
+    count = jnp.sum(bcnt.astype(jnp.int32), axis=0)       # [Q]
 
-    _, sub_ids = jax.lax.top_k(bmax.T, k)                  # [Q, k]
-    rows = (
-        sub_ids[:, :, None] * sub
-        + jax.lax.broadcasted_iota(jnp.int32, (qn, k, sub), 2)
-    ).reshape(qn, k * sub)
-    cand = vecs[rows]
-    sims = jnp.einsum(
-        "qd,qcd->qc", queries, cand, preferred_element_type=jnp.float32
-    )
-    sims = jnp.where(rows < n_valid, sims, NEG)
-    v, i = jax.lax.top_k(sims, k)
-    return (
-        v.astype(jnp.float32),
-        jnp.take_along_axis(rows, i, axis=1),
-        count,
-    )
+    def rescore(rows):
+        cand = vecs[rows]
+        return jnp.einsum(
+            "qd,qcd->qc", queries, cand, preferred_element_type=jnp.float32
+        )
+
+    v, i = _rescore_topk(bmax.T, rescore, k, sub, n_valid, qn)
+    return v[:qn_real], i[:qn_real], count[:qn_real]
 
 
 @functools.partial(
@@ -318,27 +318,24 @@ def knn_topk_int8(
 ):
     """Fused int8 kNN: half the HBM bytes/capacity of bf16 at recall ~1
     (slightly slower than bf16 at 64-query batches — see module doc)."""
+    queries, qn_real = _pad_queries(queries)
     n, d = codes.shape
     qn = queries.shape[0]
     assert n % block_rows == 0
     if n_valid < 0:
         n_valid = n
-    # out block is [block_rows/sub, Q]: its sublane dim must stay a
-    # multiple of 8 for the TPU tiling rules
-    sub = min(sub_rows, block_rows // 8)
-    while sub > 1 and block_rows % (8 * sub):
-        sub //= 2
+    sub = _pick_sub(block_rows, sub_rows)
     nsub = n // sub
 
     q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=-1, keepdims=True), 1e-9)
     q_scale = q_absmax / 127.0
     q8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
 
-    def int8_sims(rows_codes, rows_scales):
+    def int8_sims(rows):
         acc = jnp.einsum(
-            "qd,qcd->qc", q8, rows_codes, preferred_element_type=jnp.int32
+            "qd,qcd->qc", q8, codes[rows], preferred_element_type=jnp.int32
         )
-        return acc.astype(jnp.float32) * rows_scales * q_scale
+        return acc.astype(jnp.float32) * scales[rows] * q_scale
 
     if k * sub * 4 >= n_valid or k > nsub:
         acc = jax.lax.dot_general(
@@ -348,7 +345,8 @@ def knn_topk_int8(
         )
         sims = acc.astype(jnp.float32) * scales[None, :] * q_scale
         cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-        return _dense_topk(jnp.where(cols < n_valid, sims, NEG), k)
+        v, i = _dense_topk(jnp.where(cols < n_valid, sims, NEG), k)
+        return v[:qn_real], i[:qn_real]
 
     kernel = functools.partial(
         _subblock_max_int8_kernel, sub=sub, n_valid=n_valid
@@ -372,12 +370,5 @@ def knn_topk_int8(
         interpret=interpret,
     )(q8, codes, scales[:, None])
 
-    _, sub_ids = jax.lax.top_k(bmax.T, k)
-    rows = (
-        sub_ids[:, :, None] * sub
-        + jax.lax.broadcasted_iota(jnp.int32, (qn, k, sub), 2)
-    ).reshape(qn, k * sub)
-    sims = int8_sims(codes[rows], scales[rows])
-    sims = jnp.where(rows < n_valid, sims, NEG)
-    v, i = jax.lax.top_k(sims, k)
-    return v.astype(jnp.float32), jnp.take_along_axis(rows, i, axis=1)
+    v, i = _rescore_topk(bmax.T, int8_sims, k, sub, n_valid, qn)
+    return v[:qn_real], i[:qn_real]

@@ -249,7 +249,8 @@ class SearchParams:
             if mode != SearchModeKind.VECTOR:
                 raise ValueError('"vector" requires {"mode": "vector"}')
             if not isinstance(vector, list) or not vector or not all(
-                isinstance(x, (int, float)) for x in vector
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in vector
             ):
                 raise ValueError('"vector" must be a non-empty number list')
             vector = [float(x) for x in vector]

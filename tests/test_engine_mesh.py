@@ -197,3 +197,29 @@ def test_sharded_reader_matches_single_device_100k(tmp_path):
     assert isinstance(ft.sharding, NamedSharding)
     assert ft.sharding.spec[0] == "data", ft.sharding
     assert not ft.sharding.is_fully_replicated
+
+
+def test_sharded_raw_vector_dim_mismatch_raises(tmp_path):
+    """A malformed client vector must raise the same dimension error on
+    the mesh path as on the single-device path (review finding: it was a
+    silent empty result)."""
+    import pytest
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    cfg.tpu.mesh_shape = (8, 1)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", DOCS, WRITE)
+    e.flush()
+    e.commit()
+    try:
+        with pytest.raises(ValueError, match="dimension"):
+            e.read_side.search(
+                "c",
+                SearchParams.from_json({"mode": "vector", "vector": [1.0, 2.0]}),
+                READ,
+            )
+    finally:
+        e.close()

@@ -100,3 +100,38 @@ def test_fast_path_ineligibility():
     # non-exact vector index -> dense
     r2.cfg.vector_index = "ivf"
     assert r2._vector_fast_field(p) is None
+
+
+def test_review_regressions():
+    """Round-2 review findings: raw-vector queries must not batch, bool
+    lists are rejected as vectors, deep limits fall back to dense."""
+    from orama_core_tpu.config import OramaxConfig
+    from orama_core_tpu.engine.read_side import ReadSide
+
+    cfg = OramaxConfig()
+    cfg.tpu.query_batching = True
+    rs = ReadSide.__new__(ReadSide)
+    rs._batcher = object()
+    rs.tpu_cfg = cfg.tpu
+
+    def mk(body):
+        return SearchParams.from_json(body)
+
+    assert rs._batchable(mk({"term": "x", "mode": "vector"}))
+    assert not rs._batchable(
+        mk({"term": "x", "mode": "vector", "vector": [1.0] * 4})
+    )
+    # non-exact vector index must not batch vector/hybrid queries
+    cfg.tpu.vector_index = "int8"
+    assert not rs._batchable(mk({"term": "x", "mode": "vector"}))
+    assert rs._batchable(mk({"term": "x", "mode": "fulltext"}))
+    cfg.tpu.vector_index = "exact"
+
+    with pytest.raises(ValueError, match="number list"):
+        SearchParams.from_json({"mode": "vector", "vector": [True, False]})
+
+    # deep pagination is ineligible for the fused path
+    r = make_reader()
+    assert r._vector_fast_field(
+        SearchParams.from_json({"term": "x", "mode": "vector", "limit": 500})
+    ) is None
