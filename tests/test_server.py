@@ -107,6 +107,30 @@ def test_crud_and_search_over_http(server):
     assert status == 200
     assert [h["id"] for h in res["hits"]] == ["2"]
 
+    # raw client vector (reference TODO, dto.rs:196-201): querying with a
+    # doc's own passage embedding must return that doc; bad dims -> 400
+    model = next(
+        f.model
+        for f in engine.read_side._reader("c1").fields.values()
+        if f.model
+    )
+    raw = [
+        float(x)
+        for x in engine.read_side.ai.embed_passage(model, ["hello tpu world"])[0]
+    ]
+    status, res = _req(
+        base + "/v1/collections/c1/search?api-key=rk",
+        "POST",
+        {"mode": "vector", "vector": raw},
+    )
+    assert status == 200 and res["hits"][0]["id"] == "1"
+    status, _ = _req(
+        base + "/v1/collections/c1/search?api-key=rk",
+        "POST",
+        {"mode": "vector", "vector": [1.0, 2.0]},
+    )
+    assert status == 400
+
 
 def test_document_get_and_delete(server):
     engine, base = server
