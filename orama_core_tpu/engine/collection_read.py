@@ -2038,7 +2038,14 @@ class CollectionReader:
         if len(emb) != 1:
             return None
         vf = self._vector[emb[0]]
-        if not vf.uncommitted.is_empty or vf.committed.is_empty:
+        if vf.committed.is_empty:
+            return None
+        # a live freshness window is fine — it is host-merged over the
+        # kernel's committed top-k (window docs are disjoint from
+        # committed docs when there are no deletes, which eligibility
+        # already requires) — but keep it bounded so the host merge stays
+        # negligible
+        if len(vf.uncommitted.entries) > 10_000:
             return None
         c = vf.committed
         if c.n_vectors < 4096:
@@ -2081,17 +2088,29 @@ class CollectionReader:
                 interpret=jax.default_backend() != "tpu",
             )
         )
+        unc = self._vector[fid].uncommitted
         out = []
         for r, p in enumerate(params_list):
             docs = c.vec_docs[rows[r]]
-            out.append((
-                [
-                    (int(d), float(s))
-                    for d, s in zip(docs[: p.limit], vals[r][: p.limit])
-                    if s > 0.0
-                ],
-                int(count[r]),
-            ))
+            ranked = [
+                (int(d), float(s))
+                for d, s in zip(docs[: p.limit], vals[r][: p.limit])
+                if s > 0.0
+            ]
+            n_match = int(count[r])
+            if not unc.is_empty:
+                # freshness-window overlay: host-score the (small) window
+                # and merge — window docs are disjoint from committed docs
+                # (no deletes => no re-inserted ids)
+                host_out: Dict[int, float] = {}
+                unc.search(qn[r], None, self.deleted, host_out)
+                if host_out:
+                    n_match += len(host_out)
+                    ranked = sorted(
+                        ranked + list(host_out.items()),
+                        key=lambda t: -t[1],
+                    )[: p.limit]
+            out.append((ranked, n_match))
         return out
 
     def _search_vector_topk_fast(

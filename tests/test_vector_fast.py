@@ -80,15 +80,35 @@ def test_fast_path_matches_dense_single_and_batched():
         assert [d for d, _ in rf] == [d for d, _ in rd]
 
 
+def test_fast_path_with_freshness_window_matches_dense():
+    """A live uncommitted window host-merges over the kernel's committed
+    top-k — results and counts must equal the dense path's."""
+    ai = AIService()
+    r = make_reader()
+    # window docs beyond the committed id range (insert-only, no deletes)
+    qvec = ai.embed_query("fake-small", ["fresh stuff"])[0]
+    qn = qvec / np.linalg.norm(qvec)
+    r._vector[0].uncommitted.insert(N + 1, [qn])        # exact match: wins
+    r._vector[0].uncommitted.insert(N + 2, [-qn])       # negative: no match
+    r.max_doc_id = N + 2                                # window extends capacity
+    r._alive = np.ones(r.capacity, dtype=np.float32)
+    p = SearchParams.from_json({"term": "fresh stuff", "mode": "vector"})
+    assert r._vector_fast_field(p) == 0
+    fast_ranked, fast_count, _ = r.search(p, ai)
+    r.cfg.use_pallas = False
+    dense_ranked, dense_count, _ = r.search(p, ai)
+    assert fast_count == dense_count
+    assert [d for d, _ in fast_ranked] == [d for d, _ in dense_ranked]
+    assert fast_ranked[0][0] == N + 1  # the fresh exact match ranks first
+    for (_, sf), (_, sd) in zip(fast_ranked, dense_ranked):
+        assert abs(sf - sd) < 1e-4
+
+
 def test_fast_path_ineligibility():
     ai = AIService()
     p = SearchParams.from_json({"term": "x", "mode": "vector"})
     # multi-vector docs -> dense
     assert make_reader(multi_vec=True)._vector_fast_field(p) is None
-    # uncommitted window -> dense
-    r = make_reader()
-    r._vector[0].uncommitted.insert(3, [np.ones(D, np.float32)])
-    assert r._vector_fast_field(p) is None
     # filters / facets / fulltext -> dense
     r2 = make_reader()
     assert r2._vector_fast_field(
