@@ -2022,7 +2022,10 @@ class CollectionReader:
             params.mode != SearchModeKind.VECTOR
             or params.facets
             or params.where
-            or self.deleted
+            # a small tombstone window is corrected host-side exactly
+            # (deleted docs' committed vectors are host numpy); large
+            # delete batches wait for the next commit on the dense path
+            or len(self.deleted) > 64
             or self.cfg.vector_index != "exact"
             or not self.cfg.use_pallas
             # phase-2 rescore gathers k·SUB rows per query: an unbounded
@@ -2073,8 +2076,11 @@ class CollectionReader:
         qb = np.zeros((b_pad, qn.shape[1]), np.float32)
         qb[: len(params_list)] = qn
         limit = max(p.limit for p in params_list)
-        k = 16 if limit <= 16 else min(
-            bucket_pad(limit, (16, 128, 1024)), c.n_vectors
+        # over-fetch by the tombstone count so dropping deleted docs from
+        # the kernel's top-k can never underfill the requested limit
+        want = limit + len(self.deleted)
+        k = 16 if want <= 16 else min(
+            bucket_pad(want, (16, 128, 1024)), c.n_vectors
         )
         vals, rows, count = jax.device_get(
             knn_topk_with_count(
@@ -2089,15 +2095,32 @@ class CollectionReader:
             )
         )
         unc = self._vector[fid].uncommitted
+        deleted = self.deleted
+        # tombstone correction: each deleted doc's committed vector is on
+        # host — subtract its positive matches from the counts exactly
+        del_rows: List[Tuple[int, np.ndarray]] = []
+        if deleted:
+            order = getattr(c, "_sel_order", None)
+            if order is None:
+                order = np.argsort(c.vec_docs, kind="stable").astype(np.int64)
+                c._sel_order = order
+                c._sel_docs = c.vec_docs[order]
+            for dd in deleted:
+                j = np.searchsorted(c._sel_docs, dd)
+                if j < len(c._sel_docs) and c._sel_docs[j] == dd:
+                    del_rows.append((dd, c.vecs[order[j]]))
         out = []
         for r, p in enumerate(params_list):
             docs = c.vec_docs[rows[r]]
             ranked = [
                 (int(d), float(s))
-                for d, s in zip(docs[: p.limit], vals[r][: p.limit])
-                if s > 0.0
-            ]
+                for d, s in zip(docs, vals[r])
+                if s > 0.0 and int(d) not in deleted
+            ][: p.limit]
             n_match = int(count[r])
+            for dd, v in del_rows:
+                if float(np.dot(v, qn[r])) > 0.0:
+                    n_match -= 1
             if not unc.is_empty:
                 # freshness-window overlay: host-score the (small) window
                 # and merge — window docs are disjoint from committed docs

@@ -104,6 +104,27 @@ def test_fast_path_with_freshness_window_matches_dense():
         assert abs(sf - sd) < 1e-4
 
 
+def test_fast_path_with_tombstones_matches_dense():
+    """A small delete window is corrected host-side: deleted docs drop
+    from the kernel's top-k and from the match count, exactly."""
+    ai = AIService()
+    r = make_reader()
+    p = SearchParams.from_json({"term": "some query", "mode": "vector", "limit": 6})
+    # find the dense top docs, then delete the top two
+    ranked0, _, _ = r.search(p, ai)
+    victims = {ranked0[0][0], ranked0[1][0]}
+    from orama_core_tpu.oplog import DeleteDocumentsOp
+    r.apply(DeleteDocumentsOp("vfast", tuple(victims)))
+    assert r._vector_fast_field(p) == 0  # still eligible (small tombstone set)
+    fast_ranked, fast_count, _ = r.search(p, ai)
+    r.cfg.use_pallas = False
+    dense_ranked, dense_count, _ = r.search(p, ai)
+    assert fast_count == dense_count
+    assert [d for d, _ in fast_ranked] == [d for d, _ in dense_ranked]
+    assert not victims & {d for d, _ in fast_ranked}
+    assert len(fast_ranked) == 6  # over-fetch kept the limit filled
+
+
 def test_fast_path_ineligibility():
     ai = AIService()
     p = SearchParams.from_json({"term": "x", "mode": "vector"})
