@@ -2034,6 +2034,13 @@ class CollectionReader:
             or params.limit > 128
         ):
             return None
+        # Pallas kernels only run compiled on TPU; interpret mode (CPU
+        # backends) is orders of magnitude slower than the dense XLA path
+        # — tests opt in via _test_force_fast_path
+        if jax.default_backend() != "tpu" and not getattr(
+            self.cfg, "_test_force_fast_path", False
+        ):
+            return None
         emb = [
             fid for fid, f in self.fields.items()
             if f.type == ValueType.EMBEDDING and f.model

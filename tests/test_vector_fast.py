@@ -41,6 +41,9 @@ def make_reader(multi_vec=False):
         dimension=D, vecs=vecs, vec_docs=vec_docs
     )
     reader._vector[0].uncommitted = UncommittedVectorIndex(D)
+    # the fused path requires the TPU backend in production (interpret
+    # mode on CPU is far slower than dense); tests opt in explicitly
+    reader.cfg._test_force_fast_path = True
     return reader
 
 
