@@ -4,6 +4,13 @@
 """
 import os
 import sys
+
+# the image's sitecustomize may pre-register a TPU backend; honor the
+# JAX_PLATFORMS env var explicitly (env alone cannot switch after that)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
