@@ -1241,6 +1241,9 @@ class CollectionReader:
                     # selective gather of the full-precision matrix would
                     # change both semantics and HBM residency
                     if cand is not None and self.cfg.vector_index == "exact":
+                        from ..server import metrics as m
+
+                        m.VECTOR_PATH.inc(path="selective")
                         scores = scores + (
                             self._committed_vector_scores_selective(
                                 vf.committed, q_dev, cand, cap
@@ -2174,6 +2177,9 @@ class CollectionReader:
             return ranked, count, None
         fast_fid = self._vector_fast_field(params)
         if fast_fid is not None:
+            from ..server import metrics as m
+
+            m.VECTOR_PATH.inc(path="fast")
             ranked, count = self._search_vector_topk_fast(
                 params, ai_service, fast_fid
             )

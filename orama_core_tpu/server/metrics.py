@@ -206,3 +206,9 @@ JS_REQUEST_GAUGE = REGISTRY.register(
 HTTP_REQUESTS = REGISTRY.register(
     Counter("http_requests_total", "http requests by route/status")
 )
+# serving-path engagement (no reference counterpart): which vector route
+# answered — "fast" (fused kNN kernel), "selective" (gather-then-score
+# filter), "dense" — so deployments can verify the fast paths engage
+VECTOR_PATH = REGISTRY.register(
+    Counter("reader_vector_path_total", "vector queries by serving path")
+)
