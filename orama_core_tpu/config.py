@@ -139,6 +139,9 @@ class TpuConfig:
     query_batching: bool = False
     batch_max: int = 256
     batch_wait_ms: float = 2.0
+    # how long a caller waits on its coalesced result; must cover a
+    # worst-case first compile (minutes through a dev relay)
+    batch_submit_timeout_s: float = 120.0
 
 
 @dataclasses.dataclass

@@ -76,6 +76,7 @@ class ReadSide:
                 self._run_search_batch,
                 max_batch=self.tpu_cfg.batch_max,
                 max_wait_ms=self.tpu_cfg.batch_wait_ms,
+                submit_timeout_s=self.tpu_cfg.batch_submit_timeout_s,
             )
         self.load()
 

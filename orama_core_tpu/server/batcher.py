@@ -38,19 +38,23 @@ class MicroBatcher:
         run_batch: Callable[[Tuple, List[Any]], List[Any]],
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
+        submit_timeout_s: float = 120.0,
     ) -> None:
         self._run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
+        # must exceed a worst-case first compile (minutes on a dev relay;
+        # seconds co-located) or cold-start queries spuriously time out
+        self.submit_timeout = submit_timeout_s
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, key: Tuple, payload: Any, timeout: float = 30.0) -> Any:
+    def submit(self, key: Tuple, payload: Any, timeout: Optional[float] = None) -> Any:
         p = _Pending(key=key, payload=payload)
         self._q.put(p)
-        if not p.event.wait(timeout):
+        if not p.event.wait(self.submit_timeout if timeout is None else timeout):
             raise TimeoutError("batched query timed out")
         if p.error is not None:
             raise p.error
