@@ -2029,7 +2029,9 @@ class CollectionReader:
             # (deleted docs' committed vectors are host numpy); large
             # delete batches wait for the next commit on the dense path
             or len(self.deleted) > 64
-            or self.cfg.vector_index != "exact"
+            # exact and int8 both have fused kernels; ivf/pq keep their
+            # own candidate structures
+            or self.cfg.vector_index not in ("exact", "int8")
             or not self.cfg.use_pallas
             # phase-2 rescore gathers k·SUB rows per query: an unbounded
             # client limit would materialize [B, k·SUB, D] — huge; the
@@ -2074,11 +2076,19 @@ class CollectionReader:
     ) -> List[Tuple[List[Tuple[int, float]], int]]:
         """Shared body of the single/batched fused-kernel vector paths:
         qn [B, D] normalized queries aligned with params_list."""
-        from ..ops.pallas_knn import knn_topk_with_count
+        from ..ops.pallas_knn import (
+            knn_topk_int8_with_count,
+            knn_topk_with_count,
+        )
 
         c = self._vector[fid].committed
-        vecs_dev, _, _ = self._device.vector_arrays(c)
-        p_pad = vecs_dev.shape[0]
+        use_int8 = self.cfg.vector_index == "int8"
+        if use_int8:
+            codes_dev, scales_dev, _, _ = self._device.vector_int8_arrays(c)
+            p_pad = codes_dev.shape[0]
+        else:
+            vecs_dev, _, _ = self._device.vector_arrays(c)
+            p_pad = vecs_dev.shape[0]
         bn = 2048
         while p_pad % bn:
             bn //= 2
@@ -2092,18 +2102,30 @@ class CollectionReader:
         k = 16 if want <= 16 else min(
             bucket_pad(want, (16, 128, 1024)), c.n_vectors
         )
-        vals, rows, count = jax.device_get(
-            knn_topk_with_count(
-                vecs_dev,
-                jnp.asarray(qb, vecs_dev.dtype),
-                k=min(k, c.n_vectors),
-                block_rows=bn,
-                n_valid=c.n_vectors,
-                # Pallas TPU kernels run in interpret mode on the CPU
-                # backend (tests / CPU deployments)
-                interpret=jax.default_backend() != "tpu",
+        interpret = jax.default_backend() != "tpu"
+        if use_int8:
+            # scores are the quantized cosines — identical to the int8
+            # dense scorer this path replaces
+            vals, rows, count = jax.device_get(
+                knn_topk_int8_with_count(
+                    codes_dev, scales_dev, jnp.asarray(qb, jnp.float32),
+                    k=min(k, c.n_vectors), block_rows=bn,
+                    n_valid=c.n_vectors, interpret=interpret,
+                )
             )
-        )
+        else:
+            vals, rows, count = jax.device_get(
+                knn_topk_with_count(
+                    vecs_dev,
+                    jnp.asarray(qb, vecs_dev.dtype),
+                    k=min(k, c.n_vectors),
+                    block_rows=bn,
+                    n_valid=c.n_vectors,
+                    # Pallas TPU kernels run in interpret mode on the CPU
+                    # backend (tests / CPU deployments)
+                    interpret=interpret,
+                )
+            )
         unc = self._vector[fid].uncommitted
         deleted = self.deleted
         # tombstone correction: each deleted doc's committed vector is on

@@ -92,12 +92,13 @@ def _subblock_max_kernel(
 
 
 def _subblock_max_int8_kernel(
-    q_ref, v_ref, scale_ref, out_ref, *, sub: int, n_valid: int
+    q_ref, v_ref, scale_ref, out_ref, *, sub: int, n_valid: int, cnt_ref=None
 ):
     """int8 variant: corpus block int8 [BN, D] + per-row scales [BN, 1];
     the query arrives pre-quantized int8 (its per-query scale is a positive
     constant within each column here, so sub-block ARGmaxes — all phase 1
-    feeds phase 2 — are unaffected; true values are restored in phase 2)."""
+    feeds phase 2 — are unaffected; true values are restored in phase 2).
+    With cnt_ref, also emits per-sub-block positive-sim counts."""
     step = pl.program_id(0)
     bn = v_ref.shape[0]
 
@@ -119,6 +120,15 @@ def _subblock_max_int8_kernel(
         ],
         axis=0,
     )
+    if cnt_ref is not None:
+        pos = (sims > 0.0).astype(jnp.float32)
+        cnt_ref[:] = jnp.concatenate(
+            [
+                jnp.sum(pos[c * sub : (c + 1) * sub, :], axis=0, keepdims=True)
+                for c in range(bn // sub)
+            ],
+            axis=0,
+        )
 
 
 def _dense_topk(sims: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
@@ -372,3 +382,94 @@ def knn_topk_int8(
 
     v, i = _rescore_topk(bmax.T, int8_sims, k, sub, n_valid, qn)
     return v[:qn_real], i[:qn_real]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_rows", "sub_rows", "interpret", "n_valid"),
+)
+def knn_topk_int8_with_count(
+    codes: jax.Array,     # int8[N, D]
+    scales: jax.Array,    # f32[N] per-row scales
+    queries: jax.Array,   # f32[Q, D] (quantized on the fly)
+    k: int = 10,
+    block_rows: int = 2048,
+    sub_rows: int = 32,
+    interpret: bool = False,
+    n_valid: int = -1,
+):
+    """knn_topk_int8 plus the per-query positive-similarity count, for the
+    engine's int8 (capacity-mode) vector fast path. Note the count is of
+    POSITIVE QUANTIZED sims — identical to the int8 dense scorer's count,
+    which is the path it replaces."""
+    queries, qn_real = _pad_queries(queries)
+    n, d = codes.shape
+    qn = queries.shape[0]
+    assert n % block_rows == 0
+    if n_valid < 0:
+        n_valid = n
+    sub = _pick_sub(block_rows, sub_rows)
+    nsub = n // sub
+
+    q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=-1, keepdims=True), 1e-9)
+    q_scale = q_absmax / 127.0
+    q8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+
+    def int8_sims(rows):
+        acc = jnp.einsum(
+            "qd,qcd->qc", q8, codes[rows], preferred_element_type=jnp.int32
+        )
+        return acc.astype(jnp.float32) * scales[rows] * q_scale
+
+    if k * sub * 4 >= n_valid or k > nsub:
+        acc = jax.lax.dot_general(
+            q8, codes,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sims = acc.astype(jnp.float32) * scales[None, :] * q_scale
+        cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        sims = jnp.where(cols < n_valid, sims, NEG)
+        v, i = _dense_topk(sims, k)
+        cnt = jnp.sum(sims > 0.0, axis=1).astype(jnp.int32)
+        return v[:qn_real], i[:qn_real], cnt[:qn_real]
+
+    kernel = functools.partial(
+        _subblock_max_int8_kernel, sub=sub, n_valid=n_valid
+    )
+
+    def kernel2(q_ref, v_ref, s_ref, out_ref, cnt_out_ref):
+        kernel(q_ref, v_ref, s_ref, out_ref, cnt_ref=cnt_out_ref)
+
+    bmax, bcnt = pl.pallas_call(
+        kernel2,
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_rows // sub, qn), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_rows // sub, qn), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
+            jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q8, codes, scales[:, None])
+    count = jnp.sum(bcnt.astype(jnp.int32), axis=0)
+
+    v, i = _rescore_topk(bmax.T, int8_sims, k, sub, n_valid, qn)
+    return v[:qn_real], i[:qn_real], count[:qn_real]

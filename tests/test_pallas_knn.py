@@ -119,3 +119,34 @@ def test_knn_topk_with_count_matches_dense():
             np.asarray(vals)[r], np.sort(sims[r])[::-1][:k], rtol=1e-5
         )
     assert (np.asarray(idx) < n_valid).all()
+
+
+def test_knn_topk_int8_with_count_matches_dense():
+    from orama_core_tpu.ops.pallas_knn import knn_topk_int8_with_count
+    from orama_core_tpu.ops.quant import quantize_int8
+
+    rng = np.random.default_rng(17)
+    n_valid, n, d, q, k = 7000, 8192, 64, 8, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    codes, scales = quantize_int8(jnp.asarray(vecs))
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+    vals, idx, cnt = knn_topk_int8_with_count(
+        codes, scales, jnp.asarray(queries), k=k, block_rows=512,
+        sub_rows=64, interpret=True, n_valid=n_valid,
+    )
+    # the oracle uses the same quantized arithmetic the kernel scores with
+    q_absmax = np.maximum(np.abs(queries).max(axis=1, keepdims=True), 1e-9)
+    q_scale = q_absmax / 127.0
+    q8 = np.clip(np.round(queries / q_scale), -127, 127)
+    sims = (q8 @ np.asarray(codes[:n_valid]).T.astype(np.float64)) * \
+        np.asarray(scales[:n_valid])[None, :] * q_scale
+    np.testing.assert_array_equal(
+        np.asarray(cnt), (sims > 0).sum(axis=1).astype(np.int32)
+    )
+    ref_idx = np.argsort(-sims, axis=1)[:, :k]
+    got = np.asarray(idx)
+    for r in range(q):
+        assert (got[r] < n_valid).all()
+        overlap = len(set(got[r]) & set(ref_idx[r])) / k
+        assert overlap >= 0.8, (r, got[r], ref_idx[r])

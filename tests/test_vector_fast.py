@@ -179,3 +179,20 @@ def test_review_regressions():
     assert r._vector_fast_field(
         SearchParams.from_json({"term": "x", "mode": "vector", "limit": 500})
     ) is None
+
+
+def test_fast_path_int8_mode_matches_dense():
+    """vector_index='int8' (capacity mode) also serves from the fused
+    kernel; results must match the int8 dense scorer."""
+    ai = AIService()
+    r = make_reader()
+    r.cfg.vector_index = "int8"
+    p = SearchParams.from_json({"term": "capacity mode", "mode": "vector"})
+    assert r._vector_fast_field(p) == 0
+    fast_ranked, fast_count, _ = r.search(p, ai)
+    r.cfg.use_pallas = False
+    dense_ranked, dense_count, _ = r.search(p, ai)
+    assert fast_count == dense_count
+    assert [d for d, _ in fast_ranked] == [d for d, _ in dense_ranked]
+    for (_, sf), (_, sd) in zip(fast_ranked, dense_ranked):
+        assert abs(sf - sd) < 1e-4
