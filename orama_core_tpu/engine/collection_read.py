@@ -2150,8 +2150,21 @@ class CollectionReader:
                 if s > 0.0 and int(d) not in deleted
             ][: p.limit]
             n_match = int(count[r])
+            if del_rows and use_int8:
+                # the kernel counted positive QUANTIZED sims — replicate its
+                # arithmetic (round(q/q_scale) · round(v/v_scale)) so a doc
+                # whose float and quantized sims disagree in sign near zero
+                # still corrects the count exactly
+                q_scale = max(float(np.max(np.abs(qn[r]))), 1e-9) / 127.0
+                q8 = np.clip(np.round(qn[r] / q_scale), -127, 127)
             for dd, v in del_rows:
-                if float(np.dot(v, qn[r])) > 0.0:
+                if use_int8:
+                    v_scale = max(float(np.max(np.abs(v))), 1e-9) / 127.0
+                    v8 = np.clip(np.round(v / v_scale), -127, 127)
+                    sim = float(np.dot(v8, q8))
+                else:
+                    sim = float(np.dot(v, qn[r]))
+                if sim > 0.0:
                     n_match -= 1
             if not unc.is_empty:
                 # freshness-window overlay: host-score the (small) window

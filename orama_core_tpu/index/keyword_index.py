@@ -22,6 +22,11 @@ from ..types import StringFilter
 
 IGNORE_ABOVE = 256  # values longer than this are not keyword-indexed
 
+# Value ids ride float32 device columns (eq/in masks, facet segment-sums);
+# ids past 2^24 are no longer exactly representable and would silently
+# collide adjacent values — reject at intern time instead.
+MAX_INTERNED = 1 << 24
+
 
 class UncommittedKeywordIndex:
     def __init__(self) -> None:
@@ -97,6 +102,12 @@ class CommittedKeywordIndex:
             vid = value_ids.get(v)
             if vid is None:
                 vid = len(values)
+                if vid >= MAX_INTERNED:
+                    raise ValueError(
+                        f"keyword field exceeds {MAX_INTERNED} distinct values; "
+                        "ids would lose float32 exactness on device — use a "
+                        "number field or raise IGNORE_ABOVE-style bounds"
+                    )
                 value_ids[v] = vid
                 values.append(v)
             ids.append(float(vid))

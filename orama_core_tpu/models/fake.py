@@ -59,10 +59,20 @@ class FakeLLM:
     deterministically so the full answer/RAG pipeline is testable offline."""
 
     def chat(self, role: str, prompt: str, context: str = "") -> str:
-        if role == "google_query_translator":
-            # "optimize the query": keep the content words
+        import json as _json
+
+        if role in ("google_query_translator", "pp:OPTIMIZE_QUERY"):
+            # "optimize the query": keep the content words — wrapped in the
+            # reference's {"query": ...} reply contract (prompts/main.py:43-49)
             words = _TOKEN.findall(prompt.lower())
-            return " ".join(words[:8]) or prompt
+            return _json.dumps({"query": " ".join(words[:8]) or prompt})
+        if role == "pp:GENERATE_QUERIES":
+            words = _TOKEN.findall(prompt.lower())
+            return _json.dumps({"queries": [" ".join(words[:6]) or prompt]})
+        if role == "pp:CREATE_CODE":
+            return _json.dumps({"code": f"// generated for: {prompt[:60]}"})
+        if role == "pp:DESCRIBE_INPUT_CODE":
+            return _json.dumps({"description": f"code about {prompt[:60]}"})
         if role == "party_planner":
             return (
                 '{"actions": ['

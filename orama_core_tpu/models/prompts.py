@@ -15,10 +15,14 @@ _TEMPLATES: Dict[str, str] = {
         "to answer. If the context is insufficient, say so briefly.\n"
         "### Context\n{context}\n### Question\n{prompt}\n### Answer\n"
     ),
+    # Output contract matches the reference (prompts/main.py:43-49): the
+    # model must reply {"query": "<translated_query>"} so reference-tuned
+    # models drop in unchanged; consumers parse via answer.parse_query_json
     "google_query_translator": (
-        "Rewrite the user's question as a short keyword search query. "
-        "Reply with the query only, no punctuation.\n"
-        "Question: {prompt}\nQuery:"
+        "Rewrite the user's question as a short refined search query. "
+        'Reply ONLY with a JSON object {{"query": "<translated_query>"}} '
+        "and nothing more.\n"
+        "### Query\n{prompt}\n\n### Translated Query\n"
     ),
     "party_planner": (
         "Plan the steps to answer the user's request. Reply with JSON "
@@ -30,6 +34,52 @@ _TEMPLATES: Dict[str, str] = {
     "autoquery": (
         "Convert the natural-language request into a JSON search-params "
         'object {{"term": ..., "mode": ...}}.\nRequest: {prompt}\nJSON:'
+    ),
+    # -- per-action Party Planner templates ---------------------------------
+    # One template per agent action, with the reference's output contracts
+    # (prompts/party_planner_actions.py:34-178): JSON replies for
+    # OPTIMIZE_QUERY/GENERATE_QUERIES/DESCRIBE_INPUT_CODE/CREATE_CODE,
+    # plain text for IMPROVE_INPUT/ASK_FOLLOWUP/GIVE_REPLY. For most
+    # actions {context} carries the step DESCRIPTION; GIVE_REPLY gets the
+    # retrieved search context instead (its reference user prompt is
+    # question+context).
+    "pp:OPTIMIZE_QUERY": (
+        "Optimize the user input into a refined search-engine query. "
+        'Reply ONLY with JSON {{"query": "<optimized-query>"}}.\n'
+        "### Input\n{prompt}\n\n### Description\n{context}\n"
+    ),
+    "pp:GENERATE_QUERIES": (
+        "Create up to three distinct optimized search queries from the "
+        'input. Reply ONLY with JSON {{"queries": ["<q>", "<q>"]}}.\n'
+        "### Input\n{prompt}\n\n### Description\n{context}\n"
+    ),
+    "pp:DESCRIBE_INPUT_CODE": (
+        "Describe the input code in natural language: key features, "
+        "intent, and errors if any. Reply ONLY with JSON "
+        '{{"description": "<code-description>"}}.\n'
+        "### Input\n{prompt}\n\n### Description\n{context}\n"
+    ),
+    "pp:IMPROVE_INPUT": (
+        "Improve the input following the instructions in the description. "
+        "Reply in plain text.\n"
+        "### Input\n{prompt}\n\n### Description\n{context}\n"
+    ),
+    "pp:CREATE_CODE": (
+        "Generate code for the input, following the description. Reply "
+        'ONLY with JSON {{"code": "<example-code>"}}.\n'
+        "### Input\n{prompt}\n\n### Description\n{context}\n"
+    ),
+    "pp:ASK_FOLLOWUP": (
+        "The user's question may be unclear; ask a follow-up question to "
+        "clarify their inquiry, per the description.\n"
+        "### Input\n{prompt}\n\n### Description\n{context}\n"
+    ),
+    "pp:GIVE_REPLY": (
+        "You are a support agent. Answer the user's question using ONLY "
+        "the provided context. Separate content into paragraphs, reply in "
+        "valid markdown, name the language of any code snippet, and say "
+        "you are not sure if the context is insufficient.\n"
+        "### Question\n{prompt}\n\n### Context\n{context}\n"
     ),
 }
 

@@ -172,9 +172,9 @@ class MultiSliceRouter:
     # -- writes (routed) ------------------------------------------------------
 
     def write(self, cid: str, docs: List[dict], write_key: str) -> List[str]:
-        """Docs without an id cannot be hash-routed deterministically by the
-        caller, so the router assigns cuid-less synthetic ids up front
-        (mirroring the write side's id assignment, write_side.py)."""
+        """Multi-slice writes require explicit doc ids: a doc's slice is a
+        stable hash of its user id, and an id assigned slice-side would not
+        be routable for later delete/update calls."""
         n = len(self.slices)
         groups: List[List[dict]] = [[] for _ in range(n)]
         for doc in docs:
@@ -226,9 +226,13 @@ class MultiSliceRouter:
                     if cur is None:
                         facets[name] = FacetResult(count=fr.count, values=dict(fr.values))
                     else:
-                        cur.count += fr.count
                         for k, v in fr.values.items():
                             cur.values[k] = cur.values.get(k, 0) + v
+            # `count` is the number of DISTINCT buckets, not a per-slice
+            # additive quantity (number facets report the same ranges on
+            # every slice) — recompute it from the merged values
+            for fr in facets.values():
+                fr.count = len(fr.values)
         elapsed = max((r.elapsed_ms for r in results), default=0.0)
         return SearchResult(hits=hits, count=count, elapsed_ms=elapsed, facets=facets)
 

@@ -125,15 +125,39 @@ def _make_handler(orama):
 
             q: "_queue.Queue" = _queue.Queue(maxsize=64)
             _DONE, _ERR = object(), object()
+            # consumer-gone flag: when the client disconnects mid-stream the
+            # pump must not block forever on a full queue (it would leak the
+            # thread and keep any in-flight LLM generation alive)
+            stopped = threading.Event()
 
             def pump():
                 try:
                     for ev in events:
-                        q.put(ev)
-                    q.put(_DONE)
+                        while not stopped.is_set():
+                            try:
+                                q.put(ev, timeout=1.0)
+                                break
+                            except _queue.Full:
+                                continue
+                        if stopped.is_set():
+                            return
+                    q.put_nowait(_DONE)
+                except _queue.Full:
+                    pass  # consumer gone; nothing to signal
                 except Exception as e:  # surface generator errors as an event
                     tracing.log("error", f"sse generator error: {e!r}")
-                    q.put(_ERR)
+                    if not stopped.is_set():
+                        try:
+                            q.put_nowait(_ERR)
+                        except _queue.Full:
+                            pass
+                finally:
+                    close = getattr(events, "close", None)
+                    if close is not None:
+                        try:
+                            close()
+                        except Exception:
+                            pass
 
             t = threading.Thread(target=pump, daemon=True)
             t.start()
@@ -156,6 +180,14 @@ def _make_handler(orama):
                     self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client disconnected
+            finally:
+                stopped.set()
+                # drain so a pump blocked in put(timeout=1) exits promptly
+                try:
+                    while True:
+                        q.get_nowait()
+                except _queue.Empty:
+                    pass
 
         # -- routing ----------------------------------------------------------
 

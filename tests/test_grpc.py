@@ -111,7 +111,7 @@ def test_engine_exposes_grpc_sidecar(tmp_path):
         events = list(client.planned_answer("tell me about cats", "c1"))
         assert events[-1][1] is True  # finished marker
         actions = [json.loads(d)["action"] for d, fin in events if d]
-        assert "PLAN" in actions and "GIVE_REPLY" in actions
+        assert "ACTION_PLAN" in actions and "GIVE_REPLY" in actions
     finally:
         client.close()
         engine.close()

@@ -195,3 +195,18 @@ def test_keyword_filter_mesh_mode(mesh_engine):
         mesh_engine, {"term": "shoe", "where": {"color": {"in": ["blue", "green"]}}}
     )
     assert {h.id for h in res.hits} == {"2", "6"}
+
+
+def test_keyword_intern_cardinality_guard(monkeypatch):
+    """Value ids ride float32 device columns; interning past 2^24 would
+    silently collide ids, so merge refuses instead (ADVICE r2)."""
+    import pytest
+
+    from orama_core_tpu.index import keyword_index as ki
+
+    monkeypatch.setattr(ki, "MAX_INTERNED", 4)
+    unc = ki.UncommittedKeywordIndex()
+    for i in range(6):
+        unc.insert(i, [f"value-{i}"])
+    with pytest.raises(ValueError, match="distinct values"):
+        ki.CommittedKeywordIndex.empty().merge(unc)

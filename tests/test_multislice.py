@@ -107,6 +107,10 @@ def test_merged_facets_sum(router, oracle):
     assert merged.facets is not None
     for k in single.facets:
         assert merged.facets[k].values == single.facets[k].values
+        # count = number of DISTINCT buckets, not sum over slices (a
+        # number facet reports the same ranges on every slice)
+        assert merged.facets[k].count == single.facets[k].count
+        assert merged.facets[k].count == len(merged.facets[k].values)
 
 
 def test_filter_pushdown(router, oracle):

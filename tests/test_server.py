@@ -257,7 +257,7 @@ def test_planned_answer_sse(server):
     # the plan itself streams first, then each executed step
     payloads = [json.loads(e["message"]) for e in events]
     actions = [p["action"] for p in payloads]
-    assert actions[0] == "PLAN"
+    assert actions[0] == "ACTION_PLAN"  # reference label, party_planner.py:112
     assert "PERFORM_ORAMA_SEARCH" in actions
     assert "GIVE_REPLY" in actions
     search_step = next(p for p in payloads if p["action"] == "PERFORM_ORAMA_SEARCH")
@@ -309,3 +309,50 @@ def test_hooks_api(server):
         bearer="wk",
     )
     assert status == 200
+
+
+def test_sse_pump_exits_on_client_disconnect(server, monkeypatch):
+    """When an SSE client disconnects mid-stream, the pump thread must not
+    stay blocked on the full queue forever (ADVICE r2: it leaked a thread
+    and kept the in-flight generation alive under client churn)."""
+    import socket
+    import time
+
+    engine, base = server
+    _setup_collection(engine, base)
+
+    state = {"closed": False, "produced": 0}
+
+    def endless_events(*a, **kw):
+        try:
+            while True:
+                state["produced"] += 1
+                yield {"type": "answer_chunk", "message": {"text": "x" * 512}}
+        finally:
+            state["closed"] = True
+
+    from orama_core_tpu.server import http as http_mod
+
+    monkeypatch.setattr(
+        "orama_core_tpu.engine.answer.answer_events", endless_events
+    )
+
+    host, port = base[len("http://"):].split(":")
+    s = socket.create_connection((host, int(port)), timeout=10)
+    body = json.dumps({"query": "hi"}).encode()
+    s.sendall(
+        b"POST /v1/collections/c1/answer?api-key=rk HTTP/1.1\r\n"
+        b"Host: x\r\nContent-Type: application/json\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    s.recv(4096)  # read a bit of the stream, then vanish
+    s.close()
+
+    deadline = time.time() + 15
+    while not state["closed"] and time.time() < deadline:
+        time.sleep(0.2)
+    assert state["closed"], "pump thread still alive after client disconnect"
+    # generator stopped promptly — not still producing unboundedly
+    p = state["produced"]
+    time.sleep(1.0)
+    assert state["produced"] == p
