@@ -30,6 +30,11 @@ class DocumentStorage:
         self._committed_where: Dict[int, List[int]] = {}
         self._segments: List[str] = []
         self._deleted: Set[int] = set()
+        # user id ("id" field) -> dense doc id, maintained from the op
+        # stream so doc-fetch-by-user-id never reaches into the write side
+        # (CQRS: the sides may run as separate processes, operation.rs:119)
+        self._by_uid: Dict[str, int] = {}
+        self._uid_of: Dict[int, str] = {}
         self.load()
 
     # -- write path -----------------------------------------------------------
@@ -38,6 +43,10 @@ class DocumentStorage:
         with self._lock:
             self._uncommitted[doc_id] = doc
             self._deleted.discard(doc_id)
+            uid = doc.get("id")
+            if isinstance(uid, str) and uid:
+                self._by_uid[uid] = doc_id
+                self._uid_of[doc_id] = uid
 
     def delete_documents(self, doc_ids: Iterable[int]) -> None:
         with self._lock:
@@ -45,6 +54,11 @@ class DocumentStorage:
                 self._uncommitted.pop(d, None)
                 self._cache.pop(d, None)
                 self._deleted.add(d)
+                uid = self._uid_of.pop(d, None)
+                # a re-insert may already have remapped the uid to its new
+                # doc id; only drop the mapping if it still points at d
+                if uid is not None and self._by_uid.get(uid) == d:
+                    del self._by_uid[uid]
 
     # -- read path ------------------------------------------------------------
 
@@ -77,6 +91,14 @@ class DocumentStorage:
     def get_many(self, doc_ids: Iterable[int]) -> List[Optional[Dict[str, Any]]]:
         return [self.get(d) for d in doc_ids]
 
+    def doc_id_of(self, user_id: str) -> Optional[int]:
+        with self._lock:
+            return self._by_uid.get(user_id)
+
+    def get_by_user_id(self, user_id: str) -> Optional[Dict[str, Any]]:
+        doc_id = self.doc_id_of(user_id)
+        return self.get(doc_id) if doc_id is not None else None
+
     # -- commit / load --------------------------------------------------------
 
     def commit(self) -> None:
@@ -108,6 +130,11 @@ class DocumentStorage:
             manifest = {
                 "segments": self._segments,
                 "where": {str(k): v for k, v in self._committed_where.items()},
+                "by_uid": {
+                    u: d
+                    for u, d in self._by_uid.items()
+                    if d in self._committed_where
+                },
             }
         atomic_write_json(os.path.join(self.data_dir, "manifest.json"), manifest)
 
@@ -120,6 +147,10 @@ class DocumentStorage:
             self._committed_where = {
                 int(k): v for k, v in manifest.get("where", {}).items()
             }
+            self._by_uid = {
+                str(u): int(d) for u, d in manifest.get("by_uid", {}).items()
+            }
+            self._uid_of = {d: u for u, d in self._by_uid.items()}
 
     def count_committed(self) -> int:
         with self._lock:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import threading
 import time
-from typing import Dict, List, Optional
+from typing import Any, Dict, List, Optional
 
 from ..config import ReaderSideConfig, TpuConfig
 from ..oplog import (
@@ -242,6 +242,16 @@ class ReadSide:
 
     def count_documents(self, collection_id: str) -> int:
         return self._reader(collection_id).doc_count
+
+    def get_document_by_user_id(
+        self, collection_id: str, user_id: str
+    ) -> Optional[Dict[str, Any]]:
+        """Fetch a raw document by its user-facing "id" using the map the
+        read side builds from InsertDocumentOp — no write-side access
+        (CQRS-safe when the sides run as separate processes)."""
+        self._reader(collection_id)  # raises CollectionNotFound
+        storage = self.doc_storage.get(collection_id)
+        return storage.get_by_user_id(user_id) if storage else None
 
     # -- commit / load (reference: read/mod.rs:93-125) ------------------------
 

@@ -302,15 +302,12 @@ def _make_handler(orama):
 
             mo = re.match(r"^/v1/collections/([^/]+)/documents/([^/]+)$", path)
             if mo and method == "GET":
+                # resolved entirely read-side: the user-id map flows through
+                # the op log (InsertDocumentOp carries the forced "id"), so
+                # the route keeps working when the sides run as separate
+                # processes (CQRS, reference operation.rs:119-133)
                 read_side.check_read_key(mo.group(1), self._api_key())
-                cid = mo.group(1)
-                writer = write_side.collections.get(cid)
-                doc_id = writer.doc_id_by_user_id.get(mo.group(2)) if writer else None
-                doc = (
-                    read_side.doc_storage[cid].get(doc_id)
-                    if doc_id is not None
-                    else None
-                )
+                doc = read_side.get_document_by_user_id(mo.group(1), mo.group(2))
                 if doc is None:
                     raise HttpError(404, "document not found")
                 self._send(200, doc)

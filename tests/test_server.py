@@ -356,3 +356,26 @@ def test_sse_pump_exits_on_client_disconnect(server, monkeypatch):
     p = state["produced"]
     time.sleep(1.0)
     assert state["produced"] == p
+
+
+def test_document_fetch_is_cqrs_safe(server):
+    """GET /documents/{user_id} must resolve entirely read-side: it keeps
+    working with the write side's collection registry emptied (the sides
+    may run as separate processes — reference operation.rs:119-133)."""
+    engine, base = server
+    _setup_collection(engine, base)
+
+    saved = dict(engine.write_side.collections)
+    engine.write_side.collections.clear()
+    try:
+        status, doc = _req(base + "/v1/collections/c1/documents/1?api-key=rk")
+        assert status == 200 and doc["title"] == "hello tpu world"
+        status, _ = _req(base + "/v1/collections/c1/documents/ghost?api-key=rk")
+        assert status == 404
+    finally:
+        engine.write_side.collections.update(saved)
+
+    # survives commit + reload (map persists in the doc-storage manifest)
+    engine.commit()
+    status, doc = _req(base + "/v1/collections/c1/documents/2?api-key=rk")
+    assert status == 200 and doc["title"] == "another document"
