@@ -11,18 +11,22 @@ budget against runaway code).
 
 Supported subset (everything a realistic embedding-selection hook uses):
   - `function name(doc) { ... }`, arrow functions (block or expression body)
-  - statements: const/let/var, if/else, return, blocks, expression stmts
-  - literals: strings ('/"/`template ${}`), numbers, true/false/null/undefined,
-    arrays, objects
+  - statements: const/let/var, if/else, return, blocks, expression stmts,
+    `for (;;)`, `for..of`, `for..in`, while, do/while, break/continue,
+    try/catch/finally, throw
+  - literals: strings ('/"/`template ${}` with nesting), numbers,
+    true/false/null/undefined, arrays, objects
   - member access `a.b`, `a?.b`, `a["b"]`, calls, ternary, unary `! - + typeof`,
-    binary `+ - * / % == != === !== < <= > >= && || ??`
+    binary `+ - * / % == != === !== < <= > >= && || ??`, assignment
+    `= += -= *= /= %=`, `++`/`--` (prefix and postfix)
   - methods: string toLowerCase/toUpperCase/trim/includes/startsWith/endsWith/
     split/slice/concat/replace; array includes/filter/map/join/slice/concat/
-    flat/indexOf/length; Object.keys/values/entries, Array.isArray,
+    flat/indexOf/push/length; Object.keys/values/entries, Array.isArray,
     JSON.stringify/parse, String(), Number(), Boolean()
 
 Anything outside the subset raises MiniJsError — callers fall back to the
-other hook tiers (engine/hooks.py).
+other hook tiers (engine/hooks.py). Step/recursion budgets raise
+MiniJsFatal, which user-level try/catch cannot swallow.
 """
 
 from __future__ import annotations
@@ -36,6 +40,11 @@ class MiniJsError(Exception):
     pass
 
 
+class MiniJsFatal(MiniJsError):
+    """Resource-budget violations (steps/recursion) — NOT catchable by
+    user-level try/catch, so a runaway hook cannot swallow its own kill."""
+
+
 _UNDEFINED = object()  # JS undefined (distinct from null=None)
 
 
@@ -47,22 +56,88 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<name>[A-Za-z_$][A-Za-z0-9_$]*)
   | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
-  | (?P<tmpl>`(?:\\.|[^`\\])*`)
-  | (?P<punct>=>|\?\.|\?\?|===|!==|==|!=|<=|>=|&&|\|\||[-+*/%!<>=(){}\[\],.:;?])
+  | (?P<punct>=>|\?\.|\?\?|===|!==|==|!=|<=|>=|&&|\|\||\+\+|--
+             |\+=|-=|\*=|/=|%=|[-+*/%!<>=(){}\[\],.:;?])
     """,
     re.VERBOSE | re.DOTALL,
 )
 
 _KEYWORDS = {
     "function", "return", "if", "else", "const", "let", "var", "true",
-    "false", "null", "undefined", "typeof",
+    "false", "null", "undefined", "typeof", "for", "while", "do", "break",
+    "continue", "try", "catch", "finally", "throw", "of", "in",
 }
+
+
+def _skip_string(src: str, i: int) -> int:
+    """src[i] is ' or "; return index just past the closing quote."""
+    q = src[i]
+    j = i + 1
+    while j < len(src):
+        if src[j] == "\\":
+            j += 2
+            continue
+        if src[j] == q:
+            return j + 1
+        j += 1
+    raise MiniJsError("unterminated string literal")
+
+
+def _match_brace(src: str, i: int) -> int:
+    """src[i] is '{'; return the index of the MATCHING '}' — tracking
+    nested braces, strings, and nested templates (the naive first-'}' scan
+    mis-parsed `${a ? \"x}\" : b}`)."""
+    depth = 0
+    j = i
+    while j < len(src):
+        c = src[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c in ("'", '"'):
+            j = _skip_string(src, j)
+            continue
+        if c == "`":
+            _, j = _scan_template(src, j)
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise MiniJsError("unterminated ${ in template literal")
+
+
+def _scan_template(src: str, i: int) -> Tuple[str, int]:
+    """src[i] is a backtick; return (inner raw text, index past the
+    closing backtick), honoring ${...} nesting (incl. nested templates)."""
+    j = i + 1
+    while j < len(src):
+        c = src[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "`":
+            return src[i + 1 : j], j + 1
+        if c == "$" and j + 1 < len(src) and src[j + 1] == "{":
+            j = _match_brace(src, j + 1) + 1
+            continue
+        j += 1
+    raise MiniJsError("unterminated template literal")
 
 
 def _tokenize(src: str) -> List[Tuple[str, str]]:
     out: List[Tuple[str, str]] = []
     i = 0
     while i < len(src):
+        if src[i] == "`":
+            # templates need a hand scanner: the closing backtick of a
+            # nested `${`...`}` would end a regex-matched token early
+            raw, i = _scan_template(src, i)
+            out.append(("tmpl", raw))
+            continue
         m = _TOKEN_RE.match(src, i)
         if m is None:
             raise MiniJsError(f"unexpected character {src[i]!r} at {i}")
@@ -154,6 +229,50 @@ class _Parser:
             if self.eat("else"):
                 other = self.parse_statement()
             return ("if", cond, then, other)
+        if t == "while":
+            self.next()
+            self.expect("(")
+            cond = self.parse_expression()
+            self.expect(")")
+            return ("while", cond, self.parse_statement())
+        if t == "do":
+            self.next()
+            body = self.parse_statement()
+            self.expect("while")
+            self.expect("(")
+            cond = self.parse_expression()
+            self.expect(")")
+            self.eat(";")
+            return ("dowhile", body, cond)
+        if t == "for":
+            return self.parse_for()
+        if t == "break":
+            self.next()
+            self.eat(";")
+            return ("break",)
+        if t == "continue":
+            self.next()
+            self.eat(";")
+            return ("continue",)
+        if t == "throw":
+            self.next()
+            e = self.parse_expression()
+            self.eat(";")
+            return ("throw", e)
+        if t == "try":
+            self.next()
+            body = self.parse_statement()  # canonically a block
+            catch_name = catch_body = fin = None
+            if self.eat("catch"):
+                if self.eat("("):
+                    _, catch_name = self.next()
+                    self.expect(")")
+                catch_body = self.parse_statement()
+            if self.eat("finally"):
+                fin = self.parse_statement()
+            if catch_body is None and fin is None:
+                raise MiniJsError("try needs catch or finally")
+            return ("try", body, catch_name, catch_body, fin)
         if t == "{":
             self.next()
             body = []
@@ -163,6 +282,37 @@ class _Parser:
         e = self.parse_expression()
         self.eat(";")
         return ("expr", e)
+
+    def parse_for(self) -> Any:
+        self.expect("for")
+        self.expect("(")
+        k, t = self.peek()
+        if t in ("const", "let", "var"):
+            self.next()
+            _, name = self.next()
+            nk, nt = self.peek()
+            if nt in ("of", "in"):  # for (const x of xs) / (const k in o)
+                self.next()
+                iterable = self.parse_expression()
+                self.expect(")")
+                body = self.parse_statement()
+                return ("forof" if nt == "of" else "forin", name, iterable, body)
+            init_e = _UNDEFINED
+            if self.eat("="):
+                init_e = self.parse_expression()
+            init = ("decl", name, init_e)
+            self.expect(";")
+        elif t == ";":
+            self.next()
+            init = None
+        else:
+            init = ("expr", self.parse_expression())
+            self.expect(";")
+        cond = None if self.at(";") else self.parse_expression()
+        self.expect(";")
+        update = None if self.at(")") else self.parse_expression()
+        self.expect(")")
+        return ("for", init, cond, update, self.parse_statement())
 
     def parse_function_decl(self) -> Any:
         self.expect("function")
@@ -189,8 +339,18 @@ class _Parser:
 
     # -- expressions ------------------------------------------------------------
 
+    _ASSIGN_OPS = ("=", "+=", "-=", "*=", "/=", "%=")
+
     def parse_expression(self) -> Any:
-        return self.parse_ternary()
+        left = self.parse_ternary()
+        _, t = self.peek()
+        if t in self._ASSIGN_OPS:
+            if left[0] not in ("name", "member"):
+                raise MiniJsError("invalid assignment target")
+            self.next()
+            # right-associative: a = b = c
+            return ("assign", t, left, self.parse_expression())
+        return left
 
     def parse_ternary(self) -> Any:
         cond = self.parse_binary(0)
@@ -217,6 +377,12 @@ class _Parser:
         if t in ("!", "-", "+"):
             self.next()
             return ("unary", t, self.parse_unary())
+        if t in ("++", "--"):
+            self.next()
+            target = self.parse_postfix(self.parse_primary())
+            if target[0] not in ("name", "member"):
+                raise MiniJsError("invalid ++/-- target")
+            return ("update", t, target, True)
         if t == "typeof":
             self.next()
             return ("typeof", self.parse_unary())
@@ -224,6 +390,11 @@ class _Parser:
 
     def parse_postfix(self, e: Any) -> Any:
         while True:
+            _, nt = self.peek()
+            if nt in ("++", "--") and e[0] in ("name", "member"):
+                self.next()
+                e = ("update", nt, e, False)
+                continue
             if self.eat("."):
                 _, name = self.next()
                 e = ("member", e, ("lit", name), False)
@@ -251,7 +422,7 @@ class _Parser:
         if k == "str":
             return ("lit", _unescape(t[1:-1]))
         if k == "tmpl":
-            return self.parse_template(t[1:-1])
+            return self.parse_template(t)  # token carries the inner text
         if k == "kw":
             if t == "true":
                 return ("lit", True)
@@ -319,24 +490,29 @@ class _Parser:
         return ("arrow", params, [("return", self.parse_expression())])
 
     def parse_template(self, raw: str) -> Any:
-        """`a ${x} b` -> concat of parts."""
+        """`a ${x} b` -> concat of parts. ${} bounds come from the
+        brace-matching scanner, so `${a ? "x}" : b}` and nested templates
+        parse correctly."""
         parts: List[Any] = []
         i = 0
         buf = ""
         while i < len(raw):
             if raw.startswith("${", i):
-                end = raw.index("}", i)
+                end = _match_brace(raw, i + 1)
                 if buf:
-                    parts.append(("lit", buf))
+                    parts.append(("lit", _unescape(buf)))
                     buf = ""
                 sub = _Parser(_tokenize(raw[i + 2:end]))
                 parts.append(("tostr", sub.parse_expression()))
                 i = end + 1
+            elif raw.startswith("\\", i) and i + 1 < len(raw):
+                buf += raw[i : i + 2]
+                i += 2
             else:
                 buf += raw[i]
                 i += 1
         if buf:
-            parts.append(("lit", buf))
+            parts.append(("lit", _unescape(buf)))
         if not parts:
             return ("lit", "")
         e = parts[0] if parts[0][0] == "lit" else ("tostr", parts[0][1])
@@ -373,8 +549,32 @@ class _Env:
     def set(self, name: str, value: Any) -> None:
         self.vars[name] = value
 
+    def assign(self, name: str, value: Any) -> None:
+        e: Optional[_Env] = self
+        while e is not None:
+            if name in e.vars:
+                e.vars[name] = value
+                return
+            e = e.parent
+        raise MiniJsError(f"assignment to undeclared identifier {name!r}")
+
 
 class _Return(Exception):
+    def __init__(self, value: Any) -> None:
+        self.value = value
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Throw(Exception):
+    """A JS `throw` in flight; .value is the thrown JSON-shaped value."""
+
     def __init__(self, value: Any) -> None:
         self.value = value
 
@@ -416,7 +616,7 @@ class _Interp:
     def tick(self) -> None:
         self.steps += 1
         if self.steps > self.MAX_STEPS:
-            raise MiniJsError("step budget exhausted (runaway hook)")
+            raise MiniJsFatal("step budget exhausted (runaway hook)")
 
     # statements
     def run_block(self, stmts: List[Any], env: _Env) -> None:
@@ -441,6 +641,99 @@ class _Interp:
             self.eval(s[1], env)
         elif op == "funcdecl":
             env.set(s[1], ("closure", s[2], s[3], env))
+        elif op == "while":
+            while _truthy(self.eval(s[1], env)):
+                self.tick()
+                try:
+                    self.run_stmt(s[2], env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif op == "dowhile":
+            while True:
+                self.tick()
+                try:
+                    self.run_stmt(s[1], env)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if not _truthy(self.eval(s[2], env)):
+                    break
+        elif op == "for":
+            _, init, cond, update, body = s
+            fenv = _Env(env)  # init decl scopes to the loop
+            if init is not None:
+                self.run_stmt(init, fenv)
+            while cond is None or _truthy(self.eval(cond, fenv)):
+                self.tick()
+                try:
+                    self.run_stmt(body, fenv)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if update is not None:
+                    self.eval(update, fenv)
+        elif op in ("forof", "forin"):
+            _, name, iter_e, body = s
+            seq = self.eval(iter_e, env)
+            if op == "forof":
+                if isinstance(seq, str):
+                    items: List[Any] = list(seq)
+                elif isinstance(seq, list):
+                    items = list(seq)
+                else:
+                    raise MiniJsError("for..of needs an array or string")
+            else:  # for..in yields keys (string indices for arrays, as JS)
+                if isinstance(seq, dict):
+                    items = list(seq.keys())
+                elif isinstance(seq, list):
+                    items = [str(i) for i in range(len(seq))]
+                else:
+                    raise MiniJsError("for..in needs an object or array")
+            for item in items:
+                self.tick()
+                fenv = _Env(env)
+                fenv.set(name, item)
+                try:
+                    self.run_stmt(body, fenv)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        elif op == "break":
+            raise _Break()
+        elif op == "continue":
+            raise _Continue()
+        elif op == "throw":
+            raise _Throw(self.eval(s[1], env))
+        elif op == "try":
+            _, body, catch_name, catch_body, fin = s
+            try:
+                try:
+                    self.run_stmt(body, env)
+                except _Throw as th:
+                    if catch_body is None:
+                        raise
+                    cenv = _Env(env)
+                    if catch_name:
+                        cenv.set(catch_name, th.value)
+                    self.run_stmt(catch_body, cenv)
+                except MiniJsFatal:
+                    raise  # budgets are not user-catchable
+                except MiniJsError as ex:
+                    # runtime errors are catchable, surfaced as {message}
+                    if catch_body is None:
+                        raise
+                    cenv = _Env(env)
+                    if catch_name:
+                        cenv.set(catch_name, {"message": str(ex)})
+                    self.run_stmt(catch_body, cenv)
+            finally:
+                if fin is not None:
+                    self.run_stmt(fin, env)
         else:
             raise MiniJsError(f"unsupported statement {op}")
 
@@ -471,9 +764,18 @@ class _Interp:
             if e[1] == "-":
                 return -self._num(v)
             return +self._num(v)
+        if op == "assign":
+            return self.eval_assign(e[1], e[2], e[3], env)
+        if op == "update":
+            cur = self._num(self.eval(e[2], env))
+            new = cur + 1 if e[1] == "++" else cur - 1
+            self._store(e[2], new, env)
+            return new if e[3] else cur  # prefix -> new, postfix -> old
         if op == "typeof":
             try:
                 v = self.eval(e[1], env)
+            except MiniJsFatal:
+                raise
             except MiniJsError:
                 return "undefined"
             if v is _UNDEFINED:
@@ -512,6 +814,34 @@ class _Interp:
                 raise MiniJsError(f"NaN from {v!r}")
         raise MiniJsError(f"not a number: {v!r}")
 
+    def eval_assign(self, opr: str, target: Any, rhs: Any, env: _Env) -> Any:
+        val = self.eval(rhs, env)
+        if opr != "=":
+            val = self._bin_vals(opr[:-1], self.eval(target, env), val)
+        self._store(target, val, env)
+        return val
+
+    def _store(self, target: Any, val: Any, env: _Env) -> None:
+        if target[0] == "name":
+            env.assign(target[1], val)
+            return
+        if target[0] == "member":
+            obj = self.eval(target[1], env)
+            key = self.eval(target[2], env)
+            if isinstance(obj, dict):
+                obj[key] = val
+                return
+            if isinstance(obj, list) and isinstance(key, (int, float)):
+                i = int(key)
+                if 0 <= i < len(obj):
+                    obj[i] = val
+                    return
+                if i == len(obj):
+                    obj.append(val)
+                    return
+                raise MiniJsError("sparse array assignment unsupported")
+        raise MiniJsError("invalid assignment target")
+
     def eval_bin(self, opr: str, le: Any, re_: Any, env: _Env) -> Any:
         if opr == "&&":
             lv = self.eval(le, env)
@@ -522,7 +852,9 @@ class _Interp:
         if opr == "??":
             lv = self.eval(le, env)
             return self.eval(re_, env) if lv is None or lv is _UNDEFINED else lv
-        lv, rv = self.eval(le, env), self.eval(re_, env)
+        return self._bin_vals(opr, self.eval(le, env), self.eval(re_, env))
+
+    def _bin_vals(self, opr: str, lv: Any, rv: Any) -> Any:
         if opr == "+":
             if isinstance(lv, str) or isinstance(rv, str):
                 return _js_str(lv) + _js_str(rv)
@@ -666,6 +998,8 @@ class _Interp:
                 "slice": lambda: obj[_slice(args, len(obj))],
                 "concat": lambda: obj + (args[0] if args and isinstance(args[0], list) else list(args)),
                 "flat": lambda: _flat(obj),
+                "push": lambda: (obj.extend(args), len(obj))[1],
+                "pop": lambda: obj.pop() if obj else _UNDEFINED,
                 "filter": lambda: [
                     x for x in obj if _truthy(self.call_closure(args[0], [x]))
                 ],

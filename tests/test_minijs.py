@@ -134,3 +134,192 @@ def test_dynamic_hook_through_engine_without_node(tmp_path):
         e.flush()
     finally:
         e.close()
+
+
+# -- round-3 subset extensions: loops, assignment, try/catch, templates ------
+
+
+def test_for_loop_hook_runs_on_bundled_tier(tmp_path):
+    """A hook with a plain for loop must run on the bundled interpreter —
+    no subprocess tier (VERDICT r2 item 9; reference V8 runs arbitrary JS,
+    deno.rs:29-101)."""
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+    from orama_core_tpu.engine.hooks import SELECT_EMBEDDING_PROPERTIES
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    e = build_orama(cfg, start_background=False)
+    try:
+        e.write_side.create_collection("master", "c", "rk", "wk")
+        assert e.hooks._node is None  # subprocess tier is opt-in & absent
+        e.hooks.insert_hook(
+            "c",
+            SELECT_EMBEDDING_PROPERTIES,
+            """
+            function selectEmbeddingProperties(doc) {
+              let out = [];
+              for (let i = 0; i < doc.parts.length; i++) {
+                if (doc.parts[i] !== 'skip') { out.push(doc.parts[i]); }
+              }
+              return out;
+            }
+            """,
+        )
+        out = e.hooks.eval(
+            "c", SELECT_EMBEDDING_PROPERTIES,
+            {"parts": ["title", "skip", "body"]},
+        )
+        assert out == ["title", "body"]
+    finally:
+        e.close()
+
+
+def test_while_do_break_continue():
+    code = """
+    function f(doc) {
+      let out = []; let i = 0;
+      while (true) {
+        i += 1;
+        if (i === 2) { continue; }
+        if (i > 4) { break; }
+        out.push(i);
+      }
+      let j = 10;
+      do { out.push(j); j--; } while (j > 8);
+      return out;
+    }
+    """
+    assert run_hook(code, "f", {}) == [1, 3, 4, 10, 9]
+
+
+def test_forof_forin_and_compound_assign():
+    code = """
+    function f(doc) {
+      let total = 0;
+      for (const v of doc.nums) { total += v; }
+      total *= 2;
+      const keys = [];
+      for (const k in doc.obj) { keys.push(k); }
+      return {total: total, keys: keys};
+    }
+    """
+    out = run_hook(code, "f", {"nums": [1, 2, 3], "obj": {"a": 1, "b": 2}})
+    assert out == {"total": 12, "keys": ["a", "b"]}
+
+
+def test_try_catch_finally_throw():
+    code = """
+    function f(doc) {
+      const log = [];
+      try { throw {message: 'boom'}; }
+      catch (e) { log.push(e.message); }
+      finally { log.push('fin'); }
+      try { doc.missing.deep; } catch (e) { log.push('rt'); }
+      return log;
+    }
+    """
+    assert run_hook(code, "f", {}) == ["boom", "fin", "rt"]
+
+
+def test_budget_not_catchable():
+    from orama_core_tpu.engine.minijs import MiniJsFatal
+
+    code = (
+        "function f(d) { try { while (true) { d.x; } } "
+        "catch (e) { return 'swallowed'; } }"
+    )
+    with pytest.raises(MiniJsFatal):
+        run_hook(code, "f", {"x": 1})
+
+
+def test_nested_template_interpolation():
+    """`${a ? "x}" : b}` used to mis-parse at the first '}' (VERDICT r2
+    item 9 latent bug); nested templates must work too."""
+    code = """
+    function f(doc) {
+      const a = doc.a; const b = 'B';
+      return `${a ? "x}" : b}|${`inner ${b}`}|${{k: '}'}.k}`;
+    }
+    """
+    assert run_hook(code, "f", {"a": 1}) == "x}|inner B|}"
+    assert run_hook(code, "f", {"a": 0}) == "B|inner B|}"
+
+
+def test_prefix_postfix_update_semantics():
+    code = """
+    function f(doc) {
+      let i = 5;
+      const a = i++;
+      const b = ++i;
+      const c = i--;
+      const d = --i;
+      return [a, b, c, d, i];
+    }
+    """
+    assert run_hook(code, "f", {}) == [5, 7, 7, 5, 5]
+
+
+def test_member_assignment():
+    code = """
+    function f(doc) {
+      doc.tags[0] = 'x';
+      doc.extra = doc.tags.length;
+      doc.tags[doc.tags.length] = 'appended';
+      return doc;
+    }
+    """
+    out = run_hook(code, "f", {"tags": ["a", "b"]})
+    assert out == {"tags": ["x", "b", "appended"], "extra": 2}
+
+
+# -- hypothesis: generated sources agree with a Python oracle ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    nums=st.lists(st.integers(min_value=-50, max_value=50), max_size=8),
+    threshold=st.integers(min_value=-50, max_value=50),
+    start=st.integers(min_value=0, max_value=5),
+)
+def test_hypothesis_loop_sum_matches_python(nums, threshold, start):
+    """Generated for-loop programs over random inputs behave like the
+    Python oracle (sum of elements > threshold, counted from `start`)."""
+    code = f"""
+    function f(doc) {{
+      let total = 0; let count = 0;
+      for (let i = {start}; i < doc.nums.length; i++) {{
+        if (doc.nums[i] > {threshold}) {{ total += doc.nums[i]; count++; }}
+      }}
+      return `${{count}}:${{total}}`;
+    }}
+    """
+    expected_items = [v for v in nums[start:] if v > threshold]
+    expected = f"{len(expected_items)}:{sum(expected_items)}"
+    assert run_hook(code, "f", {"nums": nums}) == expected
+
+
+_TMPL_TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" _-"
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(left=_TMPL_TEXT, right=_TMPL_TEXT, flag=st.booleans())
+def test_hypothesis_nested_templates(left, right, flag):
+    """Ternaries with brace-bearing strings inside ${} always parse to the
+    value JS would produce."""
+    code = f"""
+    function f(doc) {{
+      return `{left}${{doc.flag ? "}}" : `<${{doc.x}}>`}}{right}`;
+    }}
+    """
+    mid = "}" if flag else "<42>"
+    assert run_hook(code, "f", {"flag": flag, "x": 42}) == f"{left}{mid}{right}"
