@@ -1660,12 +1660,11 @@ class CollectionReader:
     def _use_sharded(self, params: SearchParams) -> bool:
         if self._device._mesh is None or self._device.n_shards < 2:
             return False
-        if params.facets:
-            return False
         if params.mode != SearchModeKind.FULLTEXT and self.cfg.vector_index in (
-            "ivf", "pq", "ivf_pq",
+            "ivf", "pq",
         ):
-            # sharded IVF/PQ layouts not built yet — replicated path is exact
+            # flat-PQ / plain-IVF stay replicated (exact there); the scale
+            # mode ivf_pq has its own sharded layout (sharded_ivfpq_arrays)
             return False
         return True
 
@@ -1982,23 +1981,28 @@ class CollectionReader:
 
     def _search_sharded(
         self, params: SearchParams, ai_service
-    ) -> Tuple[List[Tuple[int, float]], int]:
+    ) -> Tuple[List[Tuple[int, float]], int, Optional[Dict[str, FacetResult]]]:
         from ..parallel import sharded_engine as se
 
         mesh, S, local_cap, cap_s = self._sharded_ctx()
         filter_mask = self._filter_mask_sharded(params.where)
         masked = bool(params.where) or bool(self.deleted)
         k = min(params.limit, cap_s)
+        matched_sh: Optional[jax.Array] = None
         if params.mode == SearchModeKind.FULLTEXT:
             ft = self._fulltext_scores_sharded(
                 params.term, params.properties, params.boost, filter_mask, masked
             )
             out = se.topk_with_count(mesh, k, local_cap)(ft)
+            if params.facets:
+                matched_sh = (ft > 0).astype(jnp.float32)
         elif params.mode == SearchModeKind.VECTOR:
             vec = self._vector_scores_sharded(
                 params.term, ai_service, filter_mask, raw_vec=params.vector
             )
             out = se.topk_with_count(mesh, k, local_cap)(vec)
+            if params.facets:
+                matched_sh = (vec > 0).astype(jnp.float32)
         else:
             ft = self._fulltext_scores_sharded(
                 params.term, params.properties, params.boost, filter_mask, masked
@@ -2010,9 +2014,120 @@ class CollectionReader:
                 out = se.rrf_topk(
                     mesh, k, se.rrf_candidate_count(k), local_cap
                 )(ft, vec)
+            if params.facets:
+                # fused scores are > 0 exactly where either modality
+                # matched (both fusions are over non-negative scores)
+                matched_sh = ((ft > 0) | (vec > 0)).astype(jnp.float32)
+        facets = (
+            self.compute_facets_sharded(matched_sh, params.facets)
+            if matched_sh is not None
+            else None
+        )
         vals, gids, count = jax.device_get(out)
         ranked = [(int(d), float(s)) for d, s in zip(gids, vals) if s > 0.0]
-        return ranked, int(count)
+        return ranked, int(count), facets
+
+    def compute_facets_sharded(
+        self, matched: jax.Array, facet_defs: Dict[str, Any]
+    ) -> Dict[str, FacetResult]:
+        """Facets over the mesh: per-shard masked reductions + one psum per
+        facet (sharded_engine facet programs) — the dense compute_facets
+        body restated over shard-local layouts. Uncommitted windows overlay
+        host-side, reading the matched mask only at their (few) doc ids."""
+        from ..parallel import sharded_engine as se
+
+        mesh, S, local_cap, cap_s = self._sharded_ctx()
+        out: Dict[str, FacetResult] = {}
+        mask_cache: Dict[int, float] = {}
+
+        def mask_at(doc_ids) -> Dict[int, float]:
+            ids = [int(d) for d in doc_ids]
+            missing = [d for d in ids if d not in mask_cache]
+            if missing:
+                idx, _ = self._padded_scatter(missing, [0.0] * len(missing))
+                got = np.asarray(
+                    se.gather_values(mesh, local_cap)(matched, idx)
+                )
+                for i, d in enumerate(missing):
+                    mask_cache[d] = float(got[i])
+            return {d: mask_cache[d] for d in ids}
+
+        for field_name, fdef in facet_defs.items():
+            fid = self.field_by_name.get(field_name)
+            if fid is None:
+                raise ValueError(f"unknown facet field {field_name}")
+            if isinstance(fdef, NumberFacetDefinition):
+                nf = self._number[fid]
+                lows = jnp.asarray(
+                    [float(r.low) for r in fdef.ranges], jnp.float32
+                )
+                highs = jnp.asarray(
+                    [float(r.high) for r in fdef.ranges], jnp.float32
+                )
+                vals, docs, valid = self._device.sharded_number_arrays(
+                    nf.committed, local_cap
+                )
+                counts = np.array(
+                    se.number_facet_counts(mesh, local_cap, len(fdef.ranges))(
+                        vals, docs, valid, lows, highs, matched
+                    )
+                )
+                if not nf.uncommitted.is_empty:
+                    m = mask_at(d for _, d in nf.uncommitted.pairs)
+                    for i, r in enumerate(fdef.ranges):
+                        for v, d in nf.uncommitted.pairs:
+                            if float(r.low) <= v <= float(r.high) and m[d] > 0:
+                                counts[i] += 1
+                values = {r.key: int(c) for r, c in zip(fdef.ranges, counts)}
+                out[field_name] = FacetResult(count=len(values), values=values)
+            elif isinstance(fdef, StringFacetDefinition):
+                kf = self._keyword[fid]
+                agg: Dict[str, int] = {}
+                if not kf.committed.is_empty:
+                    ids, docs, valid = self._device.sharded_keyword_arrays(
+                        kf.committed, local_cap
+                    )
+                    counts = np.asarray(
+                        se.keyword_facet_counts(
+                            mesh, local_cap, kf.committed.n_values
+                        )(ids, docs, valid, matched)
+                    )
+                    for vid, c in enumerate(counts):
+                        if c > 0:
+                            agg[kf.committed.values[vid]] = int(c)
+                if not kf.uncommitted.is_empty:
+                    m = mask_at(d for _, d in kf.uncommitted.pairs)
+                    for v, d in kf.uncommitted.pairs:
+                        if m[d] > 0:
+                            agg[v] = agg.get(v, 0) + 1
+                top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[
+                    : fdef.limit
+                ]
+                out[field_name] = FacetResult(count=len(agg), values=dict(top))
+            elif isinstance(fdef, BoolFacetDefinition):
+                bf = self._bool[fid]
+                true_mask, has_mask = self._device.sharded_bool_arrays(
+                    bf.committed, cap_s
+                )
+                tc, fc = np.asarray(
+                    se.bool_facet_counts(mesh, local_cap)(
+                        true_mask, has_mask, matched
+                    )
+                ).tolist()
+                if not bf.uncommitted.is_empty:
+                    m = mask_at(
+                        list(bf.uncommitted.true_docs)
+                        + list(bf.uncommitted.false_docs)
+                    )
+                    tc += sum(1 for d in bf.uncommitted.true_docs if m[d] > 0)
+                    fc += sum(1 for d in bf.uncommitted.false_docs if m[d] > 0)
+                values = {}
+                if fdef.true:
+                    values["true"] = int(tc)
+                if fdef.false:
+                    values["false"] = int(fc)
+                out[field_name] = FacetResult(count=len(values), values=values)
+        return out
 
     def _vector_fast_field(self, params: SearchParams) -> Optional[int]:
         """The fused top-k kNN kernel (ops/pallas_knn) can serve a query
@@ -2208,8 +2323,7 @@ class CollectionReader:
     ) -> Tuple[List[Tuple[int, float]], int, Optional[Dict[str, FacetResult]]]:
         """Returns (ranked [(doc_id, score)], match count, facets)."""
         if self._use_sharded(params):
-            ranked, count = self._search_sharded(params, ai_service)
-            return ranked, count, None
+            return self._search_sharded(params, ai_service)
         fast_fid = self._vector_fast_field(params)
         if fast_fid is not None:
             from ..server import metrics as m

@@ -204,6 +204,80 @@ def keyword_set_mask(mesh: Mesh, n_local_docs: int):
     )
 
 
+# --- facets --------------------------------------------------------------------
+#
+# Facet counts are masked reductions (ops/facets.py) over doc-disjoint
+# shards: each shard reduces its local columns against its local matched
+# slice, then one psum merges the counts — O(values) cross-device bytes
+# per facet, never a dense gather (reference recomputes filters instead,
+# collection.rs:1004-1126).
+
+
+@functools.lru_cache(maxsize=None)
+def number_facet_counts(mesh: Mesh, n_local_docs: int, n_ranges: int):
+    from ..ops import facets as facet_ops
+
+    def local(vals, docs, valid, lows, highs, matched):
+        c = facet_ops.number_facet_counts(
+            vals[0], docs[0], valid[0], lows, highs, matched,
+            n_docs=n_local_docs,
+        )
+        return jax.lax.psum(c, DATA_AXIS)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P(),
+                P(DATA_AXIS),
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def keyword_facet_counts(mesh: Mesh, n_local_docs: int, n_values: int):
+    from ..ops import facets as facet_ops
+
+    def local(ids, docs, valid, matched):
+        c = facet_ops.keyword_facet_counts(
+            ids[0], docs[0], valid[0], matched, n_values=n_values
+        )
+        return jax.lax.psum(c, DATA_AXIS)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def bool_facet_counts(mesh: Mesh, n_local_docs: int):
+    from ..ops import facets as facet_ops
+
+    def local(true_mask, has_mask, matched):
+        c = facet_ops.bool_facet_counts(true_mask, has_mask, matched)
+        return jax.lax.psum(c, DATA_AXIS)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
 # --- host-window overlay -------------------------------------------------------
 
 
