@@ -570,6 +570,85 @@ class _DeviceCache:
 
         return self._get(v, ("vec_int8_sh", local_cap), build)
 
+    def sharded_ivfpq_arrays(self, v: CommittedVectorIndex, local_cap: int):
+        """Per-shard IVF-PQ layout for the mesh serving path (BASELINE
+        config 5). Centroids and PQ codebooks stay replicated (small,
+        trained once at commit); rows partition by owning doc shard; each
+        shard re-derives its slice of every cluster's member list as LOCAL
+        row indices. The union over shards of a cluster's members equals
+        the global list, so probing the same nprobe clusters scans exactly
+        the same candidate set as the single-device path."""
+
+        def build():
+            S = self.n_shards
+            P = v.n_vectors
+            perm, offs, local_docs = self._shard_perm(
+                v.vec_docs.astype(np.int64), local_cap, S
+            )
+            owner = v.vec_docs.astype(np.int64) // local_cap
+            # global row -> position in the shard-packed row arrays
+            inv = np.empty(P, np.int64)
+            inv[perm] = np.arange(P, dtype=np.int64)
+            local_row = inv - offs[owner]
+
+            # packed per-shard rows: codes (the ADC scan), full-precision
+            # vecs (exact rerank), local doc ids
+            p_l = max(int(np.diff(offs).max()), 1)
+            p_l = max(((p_l + 127) // 128) * 128, 128)
+            m = v.pq_codes.shape[1]
+            codes_st = np.zeros((S, p_l, m), np.uint8)
+            vecs_st = np.zeros((S, p_l, v.dimension), np.float32)
+            docs_st = np.zeros((S, p_l), np.int32)
+            cp, vp = v.pq_codes[perm], v.vecs[perm]
+            for si in range(S):
+                a, b = int(offs[si]), int(offs[si + 1])
+                codes_st[si, : b - a] = cp[a:b]
+                vecs_st[si, : b - a] = vp[a:b]
+                docs_st[si, : b - a] = local_docs[a:b]
+
+            # per-(shard, cluster) member lists in local row ids. A row's
+            # effective cluster is the list it sits in (incl. overflow
+            # spills, ops/ivf.build_ivf_lists) — matching the scan the
+            # single-device path actually performs.
+            cl = v.ivf_lists.shape[0]
+            lens_g = v.ivf_lens.astype(np.int64)
+            flat_rows = np.concatenate(
+                [v.ivf_lists[c, : lens_g[c]] for c in range(cl)]
+            ) if lens_g.sum() else np.zeros(0, np.int64)
+            flat_rows = flat_rows.astype(np.int64)
+            flat_cluster = np.repeat(np.arange(cl, dtype=np.int64), lens_g)
+            s_of = owner[flat_rows]
+            key = flat_cluster * S + s_of
+            order2 = np.argsort(key, kind="stable")
+            counts2 = np.bincount(key, minlength=cl * S).reshape(cl, S)
+            cap_sh = int(counts2.max()) if counts2.size else 1
+            cap_sh = max(((cap_sh + 127) // 128) * 128, 128)
+            lists_st = np.zeros((S, cl, cap_sh), np.int32)
+            lens_st = counts2.T.astype(np.int32).copy()  # [S, cl]
+            if len(flat_rows):
+                ksort = key[order2]
+                group_starts = np.searchsorted(ksort, np.arange(cl * S))
+                pos_in_group = np.arange(len(ksort), dtype=np.int64) - (
+                    np.repeat(group_starts, counts2.reshape(-1))
+                )
+                lists_st[
+                    s_of[order2], flat_cluster[order2], pos_in_group
+                ] = local_row[flat_rows[order2]].astype(np.int32)
+            dtype = (
+                jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
+            )
+            return (
+                self._put_stacked(codes_st),
+                jnp.asarray(v.pq_codebooks, jnp.float32),
+                self._put_stacked(vecs_st, dtype=dtype),
+                jnp.asarray(v.ivf_cents, jnp.float32),
+                self._put_stacked(lists_st),
+                self._put_stacked(lens_st),
+                self._put_stacked(docs_st),
+            )
+
+        return self._get(v, ("vec_ivfpq_sh", local_cap), build)
+
     def sharded_keyword_arrays(self, kidx: "CommittedKeywordIndex", local_cap: int):
         def build():
             S = self.n_shards
@@ -1564,6 +1643,15 @@ class CollectionReader:
         if not params_list:
             return []
         p0 = params_list[0]
+        if len(params_list) == 1:
+            # a lone micro-batch gains nothing from the batch kernels —
+            # the one-dispatch fused hybrid program is strictly better
+            helig = self._hybrid_fused_eligible(p0)
+            if helig is not None:
+                ranked, count, _ = self._search_hybrid_fused(
+                    p0, ai_service, *helig
+                )
+                return [(ranked, count)]
         # phrase rows route through the single-query path: the phrase
         # kernel's cost is per row either way and its batched fallback is
         # the slower vmapped sort (read_side._batchable applies the same
@@ -1906,7 +1994,12 @@ class CollectionReader:
         return scores
 
     def _vector_scores_sharded(
-        self, term: str, ai_service, filter_mask: jax.Array, raw_vec=None
+        self,
+        term: str,
+        ai_service,
+        filter_mask: jax.Array,
+        raw_vec=None,
+        limit: int = 10,
     ) -> jax.Array:
         from ..parallel import sharded_engine as se
 
@@ -1930,7 +2023,29 @@ class CollectionReader:
             for fid in fids:
                 vf = self._vector[fid]
                 if not vf.committed.is_empty:
-                    if self.cfg.vector_index == "int8":
+                    c = vf.committed
+                    if (
+                        self.cfg.vector_index == "ivf_pq"
+                        and c.has_ivf
+                        and c.has_pq
+                    ):
+                        (
+                            codes, books, vecs, cents, lists, lens, docs,
+                        ) = self._device.sharded_ivfpq_arrays(c, local_cap)
+                        expand = c.tuned_expand or self.cfg.ivf_candidate_expand
+                        cand_k = min(max(limit, 10) * expand, c.n_vectors)
+                        nprobe = min(
+                            c.tuned_nprobe or self.cfg.ivf_nprobe,
+                            int(lists.shape[1]),
+                        )
+                        raw = se.ivfpq_scores(
+                            mesh, local_cap, nprobe, cand_k, expand,
+                            c.pq_residual,
+                        )(
+                            codes, books, vecs, cents, lists, lens, docs,
+                            q_dev, filter_mask,
+                        )
+                    elif self.cfg.vector_index == "int8":
                         codes, scales, docs, valid = (
                             self._device.sharded_vector_int8_arrays(
                                 vf.committed, local_cap
@@ -1998,7 +2113,8 @@ class CollectionReader:
                 matched_sh = (ft > 0).astype(jnp.float32)
         elif params.mode == SearchModeKind.VECTOR:
             vec = self._vector_scores_sharded(
-                params.term, ai_service, filter_mask, raw_vec=params.vector
+                params.term, ai_service, filter_mask, raw_vec=params.vector,
+                limit=params.limit,
             )
             out = se.topk_with_count(mesh, k, local_cap)(vec)
             if params.facets:
@@ -2007,7 +2123,9 @@ class CollectionReader:
             ft = self._fulltext_scores_sharded(
                 params.term, params.properties, params.boost, filter_mask, masked
             )
-            vec = self._vector_scores_sharded(params.term, ai_service, filter_mask)
+            vec = self._vector_scores_sharded(
+                params.term, ai_service, filter_mask, limit=params.limit
+            )
             if params.fusion == HybridFusion.MINMAX:
                 out = se.minmax_topk(mesh, k, local_cap)(ft, vec)
             else:
@@ -2318,12 +2436,167 @@ class CollectionReader:
         qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         return self._vector_topk_fast_core(params_list, fid, qn)
 
+    # -- fused hybrid (one dispatch per query; ops/hybrid.py) -----------------
+
+    def _hybrid_fused_eligible(self, params: SearchParams):
+        """One-dispatch hybrid applies when the whole query is expressible
+        as a single static-shape program: one committed string field + one
+        committed vector field (exact mode), no uncommitted windows, no
+        facets, and a filter that is at most one number predicate. Returns
+        (string_fid, vector_fid, (filter_fid, NumberFilter)|None) or None."""
+        if (
+            params.mode != SearchModeKind.HYBRID
+            or params.facets
+            or not params.term.strip()
+            or params.limit > 1024
+            or self.cfg.vector_index != "exact"
+        ):
+            return None
+        sfids = [
+            fid for fid, f in self.fields.items() if f.type == ValueType.STRING
+        ]
+        vfids = [
+            fid for fid, f in self.fields.items()
+            if f.type == ValueType.EMBEDDING and f.model
+        ]
+        if len(sfids) != 1 or len(vfids) != 1:
+            return None
+        if params.properties is not None and params.properties != [
+            self.fields[sfids[0]].name
+        ]:
+            return None
+        sf, vf = self._string[sfids[0]], self._vector[vfids[0]]
+        if sf.committed.n_terms == 0 or vf.committed.is_empty:
+            return None
+        if not sf.uncommitted.is_empty or not vf.uncommitted.is_empty:
+            return None
+        nf = None
+        if params.where:
+            if len(params.where) != 1:
+                return None
+            ((fname, filt),) = params.where.items()
+            fid = self.field_by_name.get(fname)
+            if (
+                fid is None
+                or not isinstance(filt, NumberFilter)
+                or self.fields[fid].type != ValueType.NUMBER
+                or not self._number[fid].uncommitted.is_empty
+            ):
+                return None
+            nf = (fid, filt)
+        return sfids[0], vfids[0], nf
+
+    def _search_hybrid_fused(
+        self, params: SearchParams, ai_service, sfid: int, vfid: int, nf
+    ) -> Tuple[List[Tuple[int, float]], int, None]:
+        from ..ops import hybrid as hybrid_ops
+
+        cap = self.capacity
+        f = self.fields[sfid]
+        locale = f.locale or self.default_locale
+        tokens = get_parser(locale).tokenize(params.term)
+        committed = self._string[sfid].committed
+        gi = committed.global_info()  # windows are empty by eligibility
+        token_spans = [committed.term_dict.prefix_range(t) for t in tokens]
+        token_spans = [(lo, hi) for lo, hi in token_spans if hi > lo]
+        phrase = len(tokens) > 1
+        field_boost = float(params.boost.get(f.name, 1.0))
+
+        ts_host = committed.term_starts
+        p_lo = [int(ts_host[lo]) for lo, hi in token_spans]
+        p_len = [int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans]
+        from ..ops.bm25 import BLOCK, build_block_plan
+
+        need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
+        nb = bucket_pad(max(need, 1), (16, 256, 4096, 65536))
+        b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
+        (
+            d_docs, d_tf, d_ni, d_plens, _d_pos, _d_posdocs, _ts, _ps,
+        ) = self._device.string_arrays(committed)
+
+        if phrase:
+            ph_docs, ph_poss, ph_terms, ph_bounds = (
+                self._device.phrase_docmajor_arrays(committed, cap)
+            )
+            spans_a = np.zeros((32, 2), np.int32)
+            for si, (lo, hi) in enumerate(token_spans[:32]):
+                spans_a[si] = (lo, hi)
+            ph_spans = jnp.asarray(spans_a)
+        else:
+            z = jnp.zeros(1, jnp.int32)
+            ph_docs = ph_poss = ph_terms = ph_bounds = z
+            ph_spans = jnp.zeros((1, 2), jnp.int32)
+
+        vf = self._vector[vfid]
+        vecs, vec_docs, vec_valid = self._device.vector_arrays(vf.committed)
+        qn = self._resolve_query_vec(
+            self.fields[vfid].model, params.term, ai_service, None
+        )
+        q_dev = jnp.asarray(qn, jnp.float32)
+
+        alive = self._alive_mask_device()
+        masked = bool(params.where) or bool(self.deleted)
+        if nf is not None:
+            nfid, filt = nf
+            nvals, ndocs, nvalid = self._device.number_arrays(
+                self._number[nfid].committed
+            )
+            if filt.op == "eq":
+                kind = "eq"
+                lo = hi = jnp.float32(filt.value)
+                lx = hx = jnp.array(True)
+            else:
+                kind = "range"
+                lo_, hi_, lx_, hx_ = self._number[nfid].committed.filter_bounds(
+                    filt
+                )
+                lo, hi = jnp.float32(lo_), jnp.float32(hi_)
+                lx, hx = jnp.array(lx_), jnp.array(hx_)
+        else:
+            kind = "none"
+            zf = jnp.zeros(1, jnp.float32)
+            nvals, nvalid = zf, jnp.zeros(1, bool)
+            ndocs = jnp.zeros(1, jnp.int32)
+            lo = hi = jnp.float32(0.0)
+            lx = hx = jnp.array(True)
+
+        k = min(bucket_pad(params.limit, (16, 128, 1024)), cap)
+        vals, idx, count = jax.device_get(
+            hybrid_ops.hybrid_fused_topk(
+                d_docs, d_tf, d_ni, d_plens,
+                jnp.asarray(b_starts), jnp.asarray(b_valid),
+                jnp.float32(1.0 if phrase else field_boost),
+                jnp.float32(gi.avgdl), jnp.float32(gi.total_documents),
+                ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans,
+                jnp.float32(field_boost),
+                vecs, vec_docs, vec_valid, q_dev,
+                alive, nvals, ndocs, nvalid, lo, hi, lx, hx,
+                n_docs=cap, n_blocks=nb, k=k,
+                fusion=(
+                    "minmax" if params.fusion == HybridFusion.MINMAX else "rrf"
+                ),
+                phrase=phrase, nf=kind, masked=masked,
+            )
+        )
+        ranked = [
+            (int(d), float(s))
+            for d, s in zip(idx[: params.limit], vals[: params.limit])
+            if s > 0.0
+        ]
+        return ranked, int(count), None
+
     def search(
         self, params: SearchParams, ai_service
     ) -> Tuple[List[Tuple[int, float]], int, Optional[Dict[str, FacetResult]]]:
         """Returns (ranked [(doc_id, score)], match count, facets)."""
         if self._use_sharded(params):
             return self._search_sharded(params, ai_service)
+        helig = self._hybrid_fused_eligible(params)
+        if helig is not None:
+            from ..server import metrics as m
+
+            m.VECTOR_PATH.inc(path="hybrid_fused")
+            return self._search_hybrid_fused(params, ai_service, *helig)
         fast_fid = self._vector_fast_field(params)
         if fast_fid is not None:
             from ..server import metrics as m

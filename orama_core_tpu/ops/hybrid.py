@@ -1,0 +1,94 @@
+"""Fused hybrid serving program: one XLA dispatch per query.
+
+The general hybrid path issues separate program chains for the filter
+mask, BM25, the vector matmul, fusion, and top-k — each dispatch costs a
+host->device round trip (~50 ms through a remote-device relay), so a 1M
+hybrid query paid ~3x the vector-only latency (BENCH_NOTES r2: 111 ms vs
+32 ms p50). This module fuses the whole pipeline
+
+    (number filter mask ->) blocked BM25 (-> phrase boost) ->
+    vector matmul -> RRF/minmax fusion -> top-k + count
+
+into ONE jitted program per shape family (capacity bucket x block budget
+x k bucket x fusion x phrase x filter kind), so serving is one dispatch +
+one fetch. The constituent kernels are the exact single-purpose kernels
+(ops/bm25.py, ops/vector.py, ops/filters.py, ops/fusion.py) called
+inside one trace — results are bit-identical to the unfused path.
+
+Replaces the reference's sequential hybrid join (collection.rs:730-772).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import bm25 as bm25_ops
+from . import filters as filter_ops
+from . import vector as vector_ops
+from .fusion import minmax_fuse, rrf_fuse
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_docs", "n_blocks", "k", "fusion", "phrase", "nf", "masked",
+    ),
+)
+def hybrid_fused_topk(
+    # committed postings (device cache: string_arrays)
+    post_docs, post_tf, post_ni, post_lens,
+    b_starts, b_valid,          # int32[n_blocks] query block plan
+    bm25_boost,                 # f32[] (1.0 when phrase: boost rides the kernel)
+    avgdl, nfd,                 # f32[] global info
+    # phrase stream (device cache: phrase_docmajor_arrays; dummies when
+    # phrase=False — unused args are dropped by XLA)
+    ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans, ph_boost,
+    # committed vectors (device cache: vector_arrays)
+    vecs, vec_docs, vec_valid, query,
+    # masks/filters
+    alive_mask,
+    nf_vals, nf_docs, nf_valid,   # number filter columns (dummies if nf=none)
+    nf_lo, nf_hi, nf_lx, nf_hx,   # f32[]/bool[] bounds
+    *,
+    n_docs: int,
+    n_blocks: int,
+    k: int,
+    fusion: str,       # "rrf" | "minmax"
+    phrase: bool,
+    nf: str,           # "none" | "range" | "eq"
+    masked: bool,      # multiply ft by the mask (where-filters or deletes)
+):
+    if nf == "range":
+        m = filter_ops.number_range_mask(
+            nf_vals, nf_docs, nf_valid, nf_lo, nf_hi, nf_lx, nf_hx,
+            n_docs=n_docs,
+        )
+        mask = filter_ops.combine_masks(alive_mask, m)
+    elif nf == "eq":
+        m = filter_ops.number_eq_mask(
+            nf_vals, nf_docs, nf_valid, nf_lo, n_docs=n_docs
+        )
+        mask = filter_ops.combine_masks(alive_mask, m)
+    else:
+        mask = alive_mask
+    ft = bm25_ops.bm25_scores_blocked(
+        post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
+        bm25_boost, avgdl, nfd, n_docs=n_docs, n_blocks=n_blocks,
+    )
+    if phrase:
+        ft = ft * bm25_ops.phrase_boost_docmajor(
+            ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans, ph_boost,
+            n_docs=n_docs,
+        )
+    if masked:
+        ft = ft * mask
+    vec = vector_ops.brute_force_scores(
+        vecs, vec_docs, vec_valid, query, mask, n_docs=n_docs
+    )
+    fused = minmax_fuse(ft, vec) if fusion == "minmax" else rrf_fuse(ft, vec)
+    vals, idx = jax.lax.top_k(fused, k)
+    count = jnp.sum(fused > 0).astype(jnp.int32)
+    return vals, idx.astype(jnp.int32), count

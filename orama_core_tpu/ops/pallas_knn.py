@@ -312,6 +312,202 @@ def knn_topk_with_count(
     return v[:qn_real], i[:qn_real], count[:qn_real]
 
 
+def _subblock_max_mv_kernel(
+    q_ref, v_ref, d_ref, out_ref, cnt_ref, carry_ref, *, sub: int, n_valid: int
+):
+    """Multi-vector variant: corpus rows carry an int32 doc-id column
+    (ASCENDING along rows — each doc's chunk rows are contiguous), and the
+    count output is the number of DOCS with a positive row, not rows: a
+    row counts iff it is positive and its doc id exceeds the running max
+    doc id over all earlier positive rows (exact because doc ids ascend).
+    The running max carries across corpus blocks in a VMEM scratch — the
+    TPU grid is sequential, so the scan order is the row order."""
+    step = pl.program_id(0)
+    bn = v_ref.shape[0]
+
+    @pl.when(step == 0)
+    def _init():
+        carry_ref[:] = jnp.full(carry_ref.shape, -1, jnp.int32)
+
+    sims = jax.lax.dot_general(
+        v_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BN, Q]
+    base = step * bn
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 0) + base
+    sims = jnp.where(row_ids < n_valid, sims, NEG)
+
+    out_ref[:] = jnp.concatenate(
+        [
+            jnp.max(sims[c * sub : (c + 1) * sub, :], axis=0, keepdims=True)
+            for c in range(bn // sub)
+        ],
+        axis=0,
+    )
+
+    pos = sims > 0.0                                    # [BN, Q]
+    d_col = d_ref[:]                                    # int32 [BN, 1]
+    eff = jnp.where(pos, d_col, -1)                     # [BN, Q]
+    run = jax.lax.cummax(eff, axis=0)                   # inclusive
+    prev = jnp.concatenate([carry_ref[:], run[:-1, :]], axis=0)  # exclusive
+    newdoc = (pos & (d_col > prev)).astype(jnp.float32)
+    cnt_ref[:] = jnp.concatenate(
+        [
+            jnp.sum(newdoc[c * sub : (c + 1) * sub, :], axis=0, keepdims=True)
+            for c in range(bn // sub)
+        ],
+        axis=0,
+    )
+    carry_ref[:] = jnp.maximum(carry_ref[:], run[-1:, :])
+
+
+def _rescore_topk_segmented(
+    bmax_t, rescore, row_docs, k: int, over: int, sub: int, n_valid: int, qn: int
+):
+    """Phase 2 for multi-vector docs: gather k*over candidate sub-blocks,
+    rescore their rows exactly, relu, and aggregate BY DOC (sum over the
+    doc's candidate rows — matching the dense scorer's sum-of-relu-cos,
+    restricted to candidates) before the final doc top-k. Returns
+    (values f32[Q, k], DOC ids int32[Q, k]).
+
+    Approximation contract: a doc's score sums only its rows that made
+    the candidate set; over-fetching `over`x sub-blocks makes misses rare
+    (the bench pins agreement vs the dense path)."""
+    nsub = bmax_t.shape[1]
+    k2 = min(k * over, nsub)
+    _, sub_ids = jax.lax.top_k(bmax_t, k2)                 # [Q, k2]
+    rows = (
+        sub_ids[:, :, None] * sub
+        + jax.lax.broadcasted_iota(jnp.int32, (qn, k2, sub), 2)
+    ).reshape(qn, k2 * sub)                                # [Q, C]
+    c = k2 * sub
+    sims = rescore(rows)
+    sims = jnp.where(rows < n_valid, jnp.maximum(sims, 0.0), 0.0)
+    d = row_docs[rows]                                     # [Q, C]
+    order = jnp.argsort(d, axis=1)
+    ds = jnp.take_along_axis(d, order, axis=1)
+    ss = jnp.take_along_axis(sims, order, axis=1)
+    is_start = jnp.concatenate(
+        [jnp.ones((qn, 1), bool), ds[:, 1:] != ds[:, :-1]], axis=1
+    )
+    run_id = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1  # [Q, C]
+    totals = jax.vmap(
+        lambda s, r: jax.ops.segment_sum(s, r, num_segments=c)
+    )(ss, run_id)                                          # [Q, C]
+    per_elem = jnp.take_along_axis(totals, run_id, axis=1)
+    scored = jnp.where(is_start, per_elem, NEG)
+    v, i = jax.lax.top_k(scored, k)
+    docs_k = jnp.take_along_axis(ds, i, axis=1)
+    return (
+        jnp.maximum(v, 0.0).astype(jnp.float32),
+        docs_k.astype(jnp.int32),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "block_rows", "sub_rows", "over", "interpret", "n_valid",
+        "n_docs",
+    ),
+)
+def knn_topk_multivec_with_count(
+    vecs: jax.Array,      # [N, D] bf16/f32, rows doc-sorted (ascending)
+    row_docs: jax.Array,  # int32[N] owning doc per row, ASCENDING
+    queries: jax.Array,   # [Q, D]
+    k: int = 10,
+    block_rows: int = 2048,
+    sub_rows: int = 32,
+    over: int = 4,
+    interpret: bool = False,
+    n_valid: int = -1,
+    n_docs: int = -1,     # doc-id space bound (for the dense fallback)
+):
+    """Fused kNN over multi-vector (chunked) docs: phase 1 streams
+    sub-block maxes + EXACT per-doc match counts; phase 2 aggregates
+    candidate rows by doc (sum of relu cos — the dense scorer's
+    semantics). Returns (values f32[Q, k], doc ids int32[Q, k],
+    count i32[Q]). Requires ascending row_docs (chunk rows contiguous)."""
+    queries, qn_real = _pad_queries(queries)
+    n, d = vecs.shape
+    qn = queries.shape[0]
+    assert n % block_rows == 0, "pad corpus to a multiple of block_rows"
+    if n_valid < 0:
+        n_valid = n
+    sub = _pick_sub(block_rows, sub_rows)
+    nsub = n // sub
+
+    if n_docs < 0:
+        n_docs = n
+    if k * over * sub * 4 >= n_valid or k * over > nsub:
+        # small corpus: dense sims + exact per-doc segment sum
+        sims = jax.lax.dot_general(
+            queries, vecs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        sims = jnp.where(cols < n_valid, jnp.maximum(sims, 0.0), 0.0)
+        seg = jax.vmap(
+            lambda s: jax.ops.segment_sum(
+                s, row_docs.astype(jnp.int32), num_segments=n_docs
+            )
+        )(sims)
+        v, i = jax.lax.top_k(seg, k)
+        cnt = jnp.sum(seg > 0.0, axis=1).astype(jnp.int32)
+        return (
+            v[:qn_real].astype(jnp.float32),
+            i[:qn_real].astype(jnp.int32),
+            cnt[:qn_real],
+        )
+
+    kernel = functools.partial(
+        _subblock_max_mv_kernel, sub=sub, n_valid=n_valid
+    )
+    bmax, bcnt = pl.pallas_call(
+        kernel,
+        grid=(n // block_rows,),
+        in_specs=[
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_rows // sub, qn), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_rows // sub, qn), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
+            jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, qn), jnp.int32)],
+        interpret=interpret,
+    )(queries, vecs, row_docs[:, None].astype(jnp.int32))
+    count = jnp.sum(bcnt.astype(jnp.int32), axis=0)
+
+    def rescore(rows):
+        cand = vecs[rows]
+        return jnp.einsum(
+            "qd,qcd->qc", queries, cand, preferred_element_type=jnp.float32
+        )
+
+    v, docs_k = _rescore_topk_segmented(
+        bmax.T, rescore, row_docs, k, over, sub, n_valid, qn
+    )
+    return v[:qn_real], docs_k[:qn_real], count[:qn_real]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_rows", "sub_rows", "interpret", "n_valid"),

@@ -143,6 +143,54 @@ def vector_scores_int8(mesh: Mesh, n_local_docs: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def ivfpq_scores(
+    mesh: Mesh,
+    n_local_docs: int,
+    nprobe: int,
+    cand_k: int,
+    expand: int,
+    residual: bool,
+):
+    """Sharded IVF-PQ serving program (BASELINE config 5's mesh path):
+    every shard probes the SAME global centroids, ADC-scans its own slice
+    of the probed clusters' members, exact-reranks its top candidates, and
+    scatters them into its dense local score slice — the downstream
+    pipeline (hybrid fusion, top-k merge, facets) is unchanged. The union
+    of per-shard candidate sets contains the single-device candidate set
+    (a row's local ADC rank is never worse than its global rank), so
+    recall is >= the replicated path at the same nprobe/expand.
+
+    Replaces the reference's HNSW (committed/vector.rs:36-236) at
+    beyond-HBM scale: partitions + compression instead of graph hops."""
+    from ..ops import ivf as ivf_ops
+
+    def local(codes, books, vecs, cents, lists, lens, docs, query, mask):
+        kk = min(cand_k, nprobe * lists.shape[2])
+        sims, rows = ivf_ops.ivf_pq_search(
+            codes[0], books, vecs[0], cents, lists[0], lens[0],
+            query[None, :], nprobe=nprobe, k=kk, expand=expand,
+            residual=residual,
+        )
+        d = docs[0][rows[0]]
+        contrib = jnp.maximum(sims[0], 0.0)  # -inf pads -> 0 contribution
+        scores = jnp.zeros((n_local_docs,), jnp.float32).at[d].add(contrib)
+        return scores * mask
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(DATA_AXIS), P(), P(DATA_AXIS), P(), P(DATA_AXIS),
+                P(DATA_AXIS), P(DATA_AXIS), P(), P(DATA_AXIS),
+            ),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )
+    )
+
+
 # --- filters ------------------------------------------------------------------
 
 

@@ -411,3 +411,78 @@ def test_selective_filter_vector_path_matches_dense(tmp_engine):
     dense = run_all(0)
     sel = run_all(10_000)
     assert dense == sel, (dense, sel)
+
+
+def test_hybrid_fused_single_dispatch_parity(tmp_path):
+    """The one-dispatch fused hybrid program (ops/hybrid.py) must be
+    bit-identical to the multi-dispatch path it replaces — same kernels,
+    one trace (VERDICT r2 item 2). Covers rrf/minmax, phrase, and the
+    fused number filter (range + eq)."""
+    import jax
+
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+    from orama_core_tpu.ops import topk as topk_ops
+    from orama_core_tpu.types import SearchParams
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    cfg.tpu.query_batching = False
+    e = build_orama(cfg, start_background=False)
+    try:
+        e.write_side.create_collection("master", "c", "rk", "wk")
+        docs = [
+            {"id": str(i), "body": t, "price": i}
+            for i, t in enumerate([
+                "solar panels convert sunlight into power",
+                "wind turbines spin in the breeze",
+                "bake a chocolate cake for dessert",
+                "quantum computing with qubits",
+                "solar and wind renewable energy mix",
+                "the power grid balances supply",
+            ])
+        ]
+        e.write_side.write("c", docs, "wk")
+        e.flush()
+        e.commit()
+        reader = e.read_side._reader("c")
+        ai = e.read_side.ai
+        for body in (
+            {"term": "solar power", "mode": "hybrid"},          # phrase
+            {"term": "solar", "mode": "hybrid"},
+            {"term": "wind", "mode": "hybrid", "fusion": "minmax"},
+            {"term": "solar energy", "mode": "hybrid",
+             "where": {"price": {"gte": 2}}},
+            {"term": "power", "mode": "hybrid",
+             "where": {"price": {"eq": 0}}},
+        ):
+            p = SearchParams.from_json(dict(body))
+            helig = reader._hybrid_fused_eligible(p)
+            assert helig is not None, body
+            ranked_f, count_f, _ = reader._search_hybrid_fused(p, ai, *helig)
+            scores = reader.search_scores(p, ai)
+            vals, idx, count = jax.device_get(
+                topk_ops.topk_with_count(scores, min(p.limit, reader.capacity))
+            )
+            ranked = [
+                (int(d), float(s)) for d, s in zip(idx, vals) if s > 0.0
+            ]
+            assert count_f == int(count), body
+            assert [d for d, _ in ranked_f] == [d for d, _ in ranked], body
+            for (_, s1), (_, s2) in zip(ranked_f, ranked):
+                assert abs(s1 - s2) < 1e-6, body
+        # ineligibility: facets, uncommitted window, multi-filter
+        p = SearchParams.from_json(
+            {"term": "solar", "mode": "hybrid",
+             "facets": {"price": {"ranges": [{"from": 0, "to": 9}]}}}
+        )
+        assert reader._hybrid_fused_eligible(p) is None
+        e.write_side.write("c", [{"id": "9", "body": "fresh", "price": 9}], "wk")
+        e.flush()
+        p = SearchParams.from_json({"term": "solar", "mode": "hybrid"})
+        assert reader._hybrid_fused_eligible(p) is None  # live window
+        r = e.read_side.search("c", p, "rk")  # falls back, still correct
+        assert r.count >= 1
+    finally:
+        e.close()

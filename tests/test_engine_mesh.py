@@ -263,3 +263,74 @@ def test_sharded_raw_vector_dim_mismatch_raises(tmp_path):
             )
     finally:
         e.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_ivfpq_engine_recall(tmp_path):
+    """BASELINE config 5's mesh path: vector_index=ivf_pq runs through the
+    engine's shard_map serving path (no replicated fallback) at
+    recall@10 >= 0.95 vs exact brute force, and is never worse than the
+    single-device ivf_pq path (its candidate set is a superset)."""
+    from orama_core_tpu.config import TpuConfig
+    from orama_core_tpu.engine.collection_read import CollectionReader
+    from orama_core_tpu.oplog import (
+        CreateFieldOp, IndexEmbeddingOp, InsertDocumentOp,
+    )
+    from orama_core_tpu.types import TypedField, ValueType
+
+    N, D, CENTERS = 20_000, 128, 64
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((CENTERS, D)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, CENTERS, N)
+    vecs = centers[assign] + 0.25 * rng.standard_normal((N, D)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def make(mesh_shape):
+        cfg = TpuConfig(
+            mesh_shape=mesh_shape,
+            vector_index="ivf_pq",
+            ivf_threshold=1_000,
+            ivf_nprobe=64,
+            ivf_autotune=False,
+        )
+        r = CollectionReader("c", "rk", None, cfg)
+        r.apply(CreateFieldOp(
+            "c", TypedField(0, "emb", ValueType.EMBEDDING, model="fake-small")
+        ))
+        for i in range(N):
+            r.apply(InsertDocumentOp("c", i, {"id": str(i)}))
+            r.apply(IndexEmbeddingOp(
+                "c", i, 0, (tuple(float(x) for x in vecs[i]),)
+            ))
+        return r
+
+    single = make(())
+    sharded = make((8, 1))
+    single.commit(str(tmp_path / "s"), offset=1)
+    sharded.commit(str(tmp_path / "m"), offset=1)
+    assert sharded._use_sharded(
+        SearchParams.from_json({"mode": "vector", "vector": [0.0] * D})
+    ), "ivf_pq must ride the mesh path, not fall back"
+
+    Q, K = 20, 10
+    queries = centers[rng.integers(0, CENTERS, Q)] + 0.25 * rng.standard_normal(
+        (Q, D)
+    ).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    exact = np.argsort(-(queries @ vecs.T), axis=1)[:, :K]
+
+    hits_sh = hits_sg = 0
+    for q in range(Q):
+        p = SearchParams.from_json(
+            {"mode": "vector", "vector": [float(x) for x in queries[q]],
+             "limit": K}
+        )
+        r_sh, _, _ = sharded.search(p, ai_service=None)
+        r_sg, _, _ = single.search(p, ai_service=None)
+        hits_sh += len({d for d, _ in r_sh} & set(exact[q]))
+        hits_sg += len({d for d, _ in r_sg} & set(exact[q]))
+    recall_sh = hits_sh / (Q * K)
+    recall_sg = hits_sg / (Q * K)
+    assert recall_sh >= 0.95, (recall_sh, recall_sg)
+    assert recall_sh >= recall_sg - 1e-9, (recall_sh, recall_sg)
