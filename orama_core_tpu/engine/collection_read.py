@@ -268,6 +268,18 @@ class _DeviceCache:
 
         return self._get(v, "vec", build)
 
+    def vector_rowstarts(self, v: CommittedVectorIndex, cap: int):
+        """Doc -> row-range CSR (int32[cap+1]) for the multi-vector fast
+        path's exact rescore; valid only for doc-ascending row layouts."""
+
+        def build():
+            counts = np.bincount(v.vec_docs, minlength=cap)
+            starts = np.zeros(cap + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            return jnp.asarray(starts.astype(np.int32))
+
+        return self._get(v, ("vec_rowstarts", cap), build)
+
     def vector_int8_arrays(self, v: CommittedVectorIndex):
         def build():
             from ..ops.quant import quantize_int8
@@ -2251,9 +2263,11 @@ class CollectionReader:
         """The fused top-k kNN kernel (ops/pallas_knn) can serve a query
         directly — skipping the dense [cap] score array + full-corpus
         top_k — when nothing downstream needs dense scores: pure vector
-        mode, no filters/facets/deletes, exact index, exactly one
-        embedding field, committed-only, one vector per doc. Returns that
-        field id, or None for the general path."""
+        mode, no filters/facets, few deletes, exact/int8 index, exactly
+        one embedding field, committed-dominant. Single-vector docs use
+        the row-top-k kernels; multi-vector (chunked) docs use the
+        segment-aware kernel (exact mode only). Returns that field id, or
+        None for the general path."""
         if (
             params.mode != SearchModeKind.VECTOR
             or params.facets
@@ -2302,7 +2316,24 @@ class CollectionReader:
         if single is None:
             single = len(np.unique(c.vec_docs)) == c.n_vectors
             c._single_vec_per_doc = single
-        return emb[0] if single else None
+        if single:
+            return emb[0]
+        # multi-vector (chunked) docs: the segment-aware kernel
+        # (knn_topk_multivec_with_count) serves them when rows are
+        # doc-ascending (chunk rows contiguous — true for the op-ordered
+        # committed layout) and the index is exact bf16 (no int8 variant)
+        if self.cfg.vector_index != "exact":
+            return None
+        asc = getattr(c, "_docs_ascending", None)
+        if asc is None:
+            asc = bool(np.all(np.diff(c.vec_docs) >= 0))
+            c._docs_ascending = asc
+            c._max_chunks = (
+                int(np.bincount(c.vec_docs).max()) if asc else 0
+            )
+        # the exact rescore gathers [k·over, m_max] rows per query — an
+        # extreme chunk fan-out would blow that block up; dense handles it
+        return emb[0] if asc and c._max_chunks <= 64 else None
 
     def _vector_topk_fast_core(
         self, params_list: List[SearchParams], fid: int, qn: np.ndarray
@@ -2311,16 +2342,18 @@ class CollectionReader:
         qn [B, D] normalized queries aligned with params_list."""
         from ..ops.pallas_knn import (
             knn_topk_int8_with_count,
+            knn_topk_multivec_with_count,
             knn_topk_with_count,
         )
 
         c = self._vector[fid].committed
         use_int8 = self.cfg.vector_index == "int8"
+        multivec = not c._single_vec_per_doc
         if use_int8:
             codes_dev, scales_dev, _, _ = self._device.vector_int8_arrays(c)
             p_pad = codes_dev.shape[0]
         else:
-            vecs_dev, _, _ = self._device.vector_arrays(c)
+            vecs_dev, rowdocs_dev, _ = self._device.vector_arrays(c)
             p_pad = vecs_dev.shape[0]
         bn = 2048
         while p_pad % bn:
@@ -2336,7 +2369,21 @@ class CollectionReader:
             bucket_pad(want, (16, 128, 1024)), c.n_vectors
         )
         interpret = jax.default_backend() != "tpu"
-        if use_int8:
+        if multivec:
+            # rows aggregate by doc inside the kernel (sum of relu cos —
+            # the dense scorer's semantics); ids come back as DOC ids
+            rowstarts_dev = self._device.vector_rowstarts(c, self.capacity)
+            m_max = 1 << max(0, int(np.ceil(np.log2(c._max_chunks))))
+            vals, rows, count = jax.device_get(
+                knn_topk_multivec_with_count(
+                    vecs_dev, rowdocs_dev, rowstarts_dev,
+                    jnp.asarray(qb, vecs_dev.dtype),
+                    k=min(k, c.n_vectors), block_rows=bn, m_max=m_max,
+                    n_valid=c.n_vectors, n_docs=self.capacity,
+                    interpret=interpret,
+                )
+            )
+        elif use_int8:
             # scores are the quantized cosines — identical to the int8
             # dense scorer this path replaces
             vals, rows, count = jax.device_get(
@@ -2361,8 +2408,9 @@ class CollectionReader:
             )
         unc = self._vector[fid].uncommitted
         deleted = self.deleted
-        # tombstone correction: each deleted doc's committed vector is on
+        # tombstone correction: each deleted doc's committed vectors are on
         # host — subtract its positive matches from the counts exactly
+        # (for multi-vector docs, matched = ANY chunk row positive)
         del_rows: List[Tuple[int, np.ndarray]] = []
         if deleted:
             order = getattr(c, "_sel_order", None)
@@ -2371,12 +2419,13 @@ class CollectionReader:
                 c._sel_order = order
                 c._sel_docs = c.vec_docs[order]
             for dd in deleted:
-                j = np.searchsorted(c._sel_docs, dd)
-                if j < len(c._sel_docs) and c._sel_docs[j] == dd:
-                    del_rows.append((dd, c.vecs[order[j]]))
+                j = np.searchsorted(c._sel_docs, dd, "left")
+                j2 = np.searchsorted(c._sel_docs, dd, "right")
+                if j2 > j:
+                    del_rows.append((dd, c.vecs[order[j:j2]]))
         out = []
         for r, p in enumerate(params_list):
-            docs = c.vec_docs[rows[r]]
+            docs = rows[r] if multivec else c.vec_docs[rows[r]]
             ranked = [
                 (int(d), float(s))
                 for d, s in zip(docs, vals[r])
@@ -2390,14 +2439,16 @@ class CollectionReader:
                 # still corrects the count exactly
                 q_scale = max(float(np.max(np.abs(qn[r]))), 1e-9) / 127.0
                 q8 = np.clip(np.round(qn[r] / q_scale), -127, 127)
-            for dd, v in del_rows:
+            for dd, vm in del_rows:  # vm: [rows_of_doc, D]
                 if use_int8:
-                    v_scale = max(float(np.max(np.abs(v))), 1e-9) / 127.0
-                    v8 = np.clip(np.round(v / v_scale), -127, 127)
-                    sim = float(np.dot(v8, q8))
+                    v_scale = (
+                        np.maximum(np.abs(vm).max(axis=1), 1e-9) / 127.0
+                    )
+                    v8 = np.clip(np.round(vm / v_scale[:, None]), -127, 127)
+                    sims_d = v8 @ q8
                 else:
-                    sim = float(np.dot(v, qn[r]))
-                if sim > 0.0:
+                    sims_d = vm @ qn[r]
+                if float(np.max(sims_d)) > 0.0:
                     n_match -= 1
             if not unc.is_empty:
                 # freshness-window overlay: host-score the (small) window

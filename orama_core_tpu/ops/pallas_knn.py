@@ -363,17 +363,23 @@ def _subblock_max_mv_kernel(
 
 
 def _rescore_topk_segmented(
-    bmax_t, rescore, row_docs, k: int, over: int, sub: int, n_valid: int, qn: int
+    vecs, queries, bmax_t, row_docs, row_starts,
+    k: int, over: int, sub: int, m_max: int, n_valid: int, qn: int,
 ):
-    """Phase 2 for multi-vector docs: gather k*over candidate sub-blocks,
-    rescore their rows exactly, relu, and aggregate BY DOC (sum over the
-    doc's candidate rows — matching the dense scorer's sum-of-relu-cos,
-    restricted to candidates) before the final doc top-k. Returns
-    (values f32[Q, k], DOC ids int32[Q, k]).
+    """Phase 2 for multi-vector docs, two stages:
 
-    Approximation contract: a doc's score sums only its rows that made
-    the candidate set; over-fetching `over`x sub-blocks makes misses rare
-    (the bench pins agreement vs the dense path)."""
+    2a (candidate docs): gather k*over candidate sub-blocks, rescore
+    their rows, relu, aggregate by doc via a sorted-run segment sum —
+    PARTIAL per-doc sums that rank candidate docs.
+
+    2b (exact rescore): for the top k*over docs by partial sum, gather
+    ALL of each doc's chunk rows through the doc-CSR ``row_starts`` and
+    compute the exact sum of relu cos — the dense scorer's semantics —
+    then take the final doc top-k. A true top-k doc is missed only if its
+    PARTIAL sum fell below k*over candidates' partials, which over-fetch
+    makes rare (the engine test pins agreement vs the dense path).
+
+    Returns (values f32[Q, k], DOC ids int32[Q, k])."""
     nsub = bmax_t.shape[1]
     k2 = min(k * over, nsub)
     _, sub_ids = jax.lax.top_k(bmax_t, k2)                 # [Q, k2]
@@ -382,7 +388,9 @@ def _rescore_topk_segmented(
         + jax.lax.broadcasted_iota(jnp.int32, (qn, k2, sub), 2)
     ).reshape(qn, k2 * sub)                                # [Q, C]
     c = k2 * sub
-    sims = rescore(rows)
+    sims = jnp.einsum(
+        "qd,qcd->qc", queries, vecs[rows], preferred_element_type=jnp.float32
+    )
     sims = jnp.where(rows < n_valid, jnp.maximum(sims, 0.0), 0.0)
     d = row_docs[rows]                                     # [Q, C]
     order = jnp.argsort(d, axis=1)
@@ -397,38 +405,67 @@ def _rescore_topk_segmented(
     )(ss, run_id)                                          # [Q, C]
     per_elem = jnp.take_along_axis(totals, run_id, axis=1)
     scored = jnp.where(is_start, per_elem, NEG)
-    v, i = jax.lax.top_k(scored, k)
-    docs_k = jnp.take_along_axis(ds, i, axis=1)
-    return (
-        jnp.maximum(v, 0.0).astype(jnp.float32),
-        docs_k.astype(jnp.int32),
+
+    kd = min(k2, c)
+    v_part, i_part = jax.lax.top_k(scored, kd)             # [Q, kd]
+    docs_kd = jnp.take_along_axis(ds, i_part, axis=1)      # [Q, kd]
+    # slots beyond the number of distinct candidate docs hold non-start
+    # positions (score NEG) — mark them -1 so they cannot duplicate a
+    # real doc in the final top-k
+    docs_kd = jnp.where(v_part > NEG / 2, docs_kd, -1)
+    safe = jnp.maximum(docs_kd, 0)
+    starts = row_starts[safe]                              # [Q, kd]
+    lens = row_starts[safe + 1] - starts
+    rows2 = starts[:, :, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (qn, kd, m_max), 2
+    )                                                      # [Q, kd, M]
+    valid2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (qn, kd, m_max), 2)
+        < lens[:, :, None]
     )
+    rows2 = jnp.clip(rows2, 0, n_valid - 1)
+    sims2 = jnp.einsum(
+        "qd,qkmd->qkm", queries, vecs[rows2],
+        preferred_element_type=jnp.float32,
+    )
+    sums = jnp.sum(
+        jnp.where(valid2, jnp.maximum(sims2, 0.0), 0.0), axis=2
+    )                                                      # [Q, kd]
+    # a doc can appear once per partial-sum run only (runs are per-doc),
+    # so no dedup is needed before the final top-k
+    sums = jnp.where(docs_kd >= 0, sums, NEG)
+    v, i = jax.lax.top_k(sums, k)
+    docs_k = jnp.take_along_axis(docs_kd, i, axis=1)
+    return v.astype(jnp.float32), docs_k.astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "block_rows", "sub_rows", "over", "interpret", "n_valid",
-        "n_docs",
+        "k", "block_rows", "sub_rows", "over", "m_max", "interpret",
+        "n_valid", "n_docs",
     ),
 )
 def knn_topk_multivec_with_count(
-    vecs: jax.Array,      # [N, D] bf16/f32, rows doc-sorted (ascending)
-    row_docs: jax.Array,  # int32[N] owning doc per row, ASCENDING
-    queries: jax.Array,   # [Q, D]
+    vecs: jax.Array,        # [N, D] bf16/f32, rows doc-sorted (ascending)
+    row_docs: jax.Array,    # int32[N] owning doc per row, ASCENDING
+    row_starts: jax.Array,  # int32[n_docs+1] doc -> row range CSR
+    queries: jax.Array,     # [Q, D]
     k: int = 10,
     block_rows: int = 2048,
     sub_rows: int = 32,
     over: int = 4,
+    m_max: int = 8,         # max chunk rows per doc (static)
     interpret: bool = False,
     n_valid: int = -1,
-    n_docs: int = -1,     # doc-id space bound (for the dense fallback)
+    n_docs: int = -1,       # doc-id space bound (for the dense fallback)
 ):
     """Fused kNN over multi-vector (chunked) docs: phase 1 streams
-    sub-block maxes + EXACT per-doc match counts; phase 2 aggregates
-    candidate rows by doc (sum of relu cos — the dense scorer's
-    semantics). Returns (values f32[Q, k], doc ids int32[Q, k],
-    count i32[Q]). Requires ascending row_docs (chunk rows contiguous)."""
+    sub-block maxes + EXACT per-doc match counts; phase 2 ranks candidate
+    docs by partial sums then exactly rescores ALL chunk rows of the top
+    k*over docs (sum of relu cos — the dense scorer's semantics).
+    Returns (values f32[Q, k], doc ids int32[Q, k], count i32[Q]).
+    Requires ascending row_docs (chunk rows contiguous)."""
     queries, qn_real = _pad_queries(queries)
     n, d = vecs.shape
     qn = queries.shape[0]
@@ -496,14 +533,9 @@ def knn_topk_multivec_with_count(
     )(queries, vecs, row_docs[:, None].astype(jnp.int32))
     count = jnp.sum(bcnt.astype(jnp.int32), axis=0)
 
-    def rescore(rows):
-        cand = vecs[rows]
-        return jnp.einsum(
-            "qd,qcd->qc", queries, cand, preferred_element_type=jnp.float32
-        )
-
     v, docs_k = _rescore_topk_segmented(
-        bmax.T, rescore, row_docs, k, over, sub, n_valid, qn
+        vecs, queries, bmax.T, row_docs, row_starts,
+        k, over, sub, m_max, n_valid, qn,
     )
     return v[:qn_real], docs_k[:qn_real], count[:qn_real]
 

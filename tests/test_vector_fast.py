@@ -131,8 +131,18 @@ def test_fast_path_with_tombstones_matches_dense():
 def test_fast_path_ineligibility():
     ai = AIService()
     p = SearchParams.from_json({"term": "x", "mode": "vector"})
-    # multi-vector docs -> dense
-    assert make_reader(multi_vec=True)._vector_fast_field(p) is None
+    # multi-vector docs now ride the segment-aware kernel (round 3) —
+    # eligible when rows are doc-ascending and the index is exact
+    assert make_reader(multi_vec=True)._vector_fast_field(p) is not None
+    # ...but NOT in int8 mode (no multivec int8 kernel)
+    r_mv = make_reader(multi_vec=True)
+    r_mv.cfg.vector_index = "int8"
+    assert r_mv._vector_fast_field(p) is None
+    # ...and not for non-ascending row layouts
+    r_shuf = make_reader(multi_vec=True)
+    c = r_shuf._vector[0].committed
+    c.vec_docs = c.vec_docs[::-1].copy()
+    assert r_shuf._vector_fast_field(p) is None
     # filters / facets / fulltext -> dense
     r2 = make_reader()
     assert r2._vector_fast_field(
@@ -196,3 +206,88 @@ def test_fast_path_int8_mode_matches_dense():
     assert [d for d, _ in fast_ranked] == [d for d, _ in dense_ranked]
     for (_, sf), (_, sd) in zip(fast_ranked, dense_ranked):
         assert abs(sf - sd) < 1e-4
+
+
+def _make_chunked_reader(force_fast, n_docs=6000, seed=0):
+    """Planted-relevance corpus (cf. sharded_int8_bench) with 1-3 chunk
+    rows per doc, committed via ops so the layout is doc-ascending."""
+    import tempfile
+
+    from orama_core_tpu.oplog import IndexEmbeddingOp, InsertDocumentOp
+
+    rng = np.random.default_rng(seed)
+    modes = rng.standard_normal((256, D)).astype(np.float32)
+    modes /= np.linalg.norm(modes, axis=1, keepdims=True)
+    centers = modes[rng.integers(0, 256, n_docs)] + (
+        0.25 / np.sqrt(D)
+    ) * rng.standard_normal((n_docs, D)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cfg = TpuConfig()
+    if force_fast:
+        cfg._test_force_fast_path = True
+    r = CollectionReader("mv", "rk", None, cfg)
+    r.apply(CreateFieldOp(
+        "mv", TypedField(0, "emb", ValueType.EMBEDDING, model="fake-small")
+    ))
+    for i in range(n_docs):
+        r.apply(InsertDocumentOp("mv", i, {"id": str(i)}))
+        nch = 1 + (i % 3)
+        chunks = centers[i] + (0.12 / np.sqrt(D)) * rng.standard_normal(
+            (nch, D)
+        ).astype(np.float32)
+        chunks /= np.linalg.norm(chunks, axis=1, keepdims=True)
+        r.apply(IndexEmbeddingOp(
+            "mv", i, 0, tuple(tuple(float(x) for x in c) for c in chunks)
+        ))
+    r.commit(tempfile.mkdtemp(), 1)
+    return r, centers, rng
+
+
+def test_multivec_fast_path_matches_dense():
+    """VERDICT r2 item 5: chunked (multi-vector) docs keep the fused fast
+    path — the segment-aware kernel aggregates by doc (sum of relu cos)
+    with EXACT doc-level match counts, and agrees with the dense path on
+    planted-relevance data."""
+    fast, centers, rng = _make_chunked_reader(True)
+    dense, _, _ = _make_chunked_reader(False)
+    n_docs = len(centers)
+    qs = centers[rng.integers(0, n_docs, 8)] + (
+        0.05 / np.sqrt(D)
+    ) * rng.standard_normal((8, D)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    agree = 0.0
+    for i in range(8):
+        p = SearchParams.from_json({
+            "mode": "vector", "vector": [float(x) for x in qs[i]],
+            "limit": 10,
+        })
+        assert fast._vector_fast_field(p) is not None, "must engage"
+        rf, cf, _ = fast.search(p, None)
+        rd, cd, _ = dense.search(p, None)
+        assert rf[0][0] == rd[0][0]
+        agree += len({d for d, _ in rf} & {d for d, _ in rd}) / 10
+        for (df_, sf_), (dd_, sd_) in zip(rf, rd):
+            if df_ == dd_:
+                assert abs(sf_ - sd_) < 1e-3
+        # exact doc-level count (small slack for float-sign flips at ~0)
+        assert abs(cf - cd) <= max(3, int(0.002 * max(cd, 1))), (cf, cd)
+    assert agree / 8 >= 0.95, agree / 8
+
+
+def test_multivec_fast_path_with_tombstones():
+    from orama_core_tpu.oplog import DeleteDocumentsOp
+
+    fast, centers, rng = _make_chunked_reader(True, seed=1)
+    dense, _, _ = _make_chunked_reader(False, seed=1)
+    for r in (fast, dense):
+        r.apply(DeleteDocumentsOp("mv", (7, 8, 9)))
+    q = centers[7] / np.linalg.norm(centers[7])
+    p = SearchParams.from_json({
+        "mode": "vector", "vector": [float(x) for x in q], "limit": 10
+    })
+    rf, cf, _ = fast.search(p, None)
+    rd, cd, _ = dense.search(p, None)
+    got = [d for d, _ in rf]
+    assert 7 not in got and 8 not in got and 9 not in got
+    assert rf[0][0] == rd[0][0]
+    assert abs(cf - cd) <= max(3, int(0.002 * max(cd, 1))), (cf, cd)
