@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=64)
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--phase1", choices=("pallas", "xla"), default="pallas",
+        help="int8 phase-1 lowering: Mosaic streaming kernel or the "
+             "XLA int8 matmul (ROADMAP r2 measured the XLA dot ~1.4x "
+             "faster; compare both on the target chip)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -48,7 +54,10 @@ def main() -> None:
 
     import jax.numpy as jnp
 
-    from orama_core_tpu.ops.pallas_knn import knn_topk_int8
+    from orama_core_tpu.ops.pallas_knn import (
+        knn_topk_int8,
+        knn_topk_int8_xla_with_count,
+    )
 
     N, D, QB, K = args.docs, args.dim, args.queries, 10
     BN = args.block
@@ -94,9 +103,15 @@ def main() -> None:
     # the relay). Host loop dispatches async; one fetch per iteration.
     @functools.partial(jax.jit, static_argnames=("n_valid",))
     def score_chunk(c, s, q, best, n_valid):
-        vv, _ = knn_topk_int8(
-            c, s, q, k=K, block_rows=BN, n_valid=n_valid, interpret=args.cpu
-        )
+        if args.phase1 == "xla":
+            vv, _, _ = knn_topk_int8_xla_with_count(
+                c, s, q, k=K, n_valid=n_valid
+            )
+        else:
+            vv, _ = knn_topk_int8(
+                c, s, q, k=K, block_rows=BN, n_valid=n_valid,
+                interpret=args.cpu,
+            )
         return jax.lax.top_k(jnp.concatenate([best, vv], axis=1), K)[0]
 
     def full_scan(q):
@@ -123,7 +138,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"int8_exact_knn_qps_{N//1_000_000}Mx{D}_top10",
+                "metric": f"int8_exact_knn_qps_{N//1_000_000}Mx{D}_top10_{args.phase1}",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "ms_per_batch": round(dt / ITERS * 1e3, 2),

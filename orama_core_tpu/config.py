@@ -118,6 +118,11 @@ class TpuConfig:
     # "pq" (ADC + exact rerank), "ivf_pq" (IVF partitions + PQ candidate
     # scan + exact rerank — the scale mode)
     vector_index: str = "exact"
+    # int8 fast-path phase 1: "pallas" (streaming Mosaic kernel — minimum
+    # HBM traffic) or "xla" (XLA's int8 MXU matmul + reduce, ~1.4x faster
+    # dot at the cost of materializing sims; pick per-hardware via
+    # benchmarks/int8_30m_bench.py --phase1)
+    int8_phase1: str = "pallas"
     ivf_threshold: int = 50_000
     ivf_nprobe: int = 16
     ivf_candidate_expand: int = 8

@@ -2386,13 +2386,23 @@ class CollectionReader:
         elif use_int8:
             # scores are the quantized cosines — identical to the int8
             # dense scorer this path replaces
-            vals, rows, count = jax.device_get(
-                knn_topk_int8_with_count(
-                    codes_dev, scales_dev, jnp.asarray(qb, jnp.float32),
-                    k=min(k, c.n_vectors), block_rows=bn,
-                    n_valid=c.n_vectors, interpret=interpret,
+            from ..ops.pallas_knn import knn_topk_int8_xla_with_count
+
+            if self.cfg.int8_phase1 == "xla":
+                vals, rows, count = jax.device_get(
+                    knn_topk_int8_xla_with_count(
+                        codes_dev, scales_dev, jnp.asarray(qb, jnp.float32),
+                        k=min(k, c.n_vectors), n_valid=c.n_vectors,
+                    )
                 )
-            )
+            else:
+                vals, rows, count = jax.device_get(
+                    knn_topk_int8_with_count(
+                        codes_dev, scales_dev, jnp.asarray(qb, jnp.float32),
+                        k=min(k, c.n_vectors), block_rows=bn,
+                        n_valid=c.n_vectors, interpret=interpret,
+                    )
+                )
         else:
             vals, rows, count = jax.device_get(
                 knn_topk_with_count(

@@ -29,7 +29,10 @@ from ..oplog import (
 from ..types import TypedField, ValueType
 
 AUTO_EMBEDDING_FIELD = "___orama_auto_embedding"
-MAX_EMBEDDING_CHUNKS = 8  # bound per-doc vector count for giant documents
+# Bound per-doc vector count for giant documents (32 x 512-token chunks
+# ~ 16k tokens of coverage). Overflowing docs keep their FIRST chunks plus
+# the LAST one, so tail content stays retrievable (test_multivector).
+MAX_EMBEDDING_CHUNKS = 32
 
 
 def _tokenize_and_stem(text: str, locale: str):
@@ -233,9 +236,13 @@ class CollectionWriter:
 
                 budget = model_info(f.model).max_input_tokens
                 if approx_token_count(text) > budget:
-                    chunks = Chunker(max_tokens=budget).chunk_text(text)[
-                        :MAX_EMBEDDING_CHUNKS
-                    ]
+                    chunks = Chunker(max_tokens=budget).chunk_text(text)
+                    if len(chunks) > MAX_EMBEDDING_CHUNKS:
+                        # keep the head AND the tail chunk: truncating to a
+                        # pure prefix silently loses end-of-document content
+                        chunks = (
+                            chunks[: MAX_EMBEDDING_CHUNKS - 1] + chunks[-1:]
+                        )
                 else:
                     chunks = [text]
                 for chunk in chunks:

@@ -613,6 +613,61 @@ def knn_topk_int8(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("k", "sub_rows", "n_valid")
+)
+def knn_topk_int8_xla_with_count(
+    codes: jax.Array,     # int8[N, D]
+    scales: jax.Array,    # f32[N] per-row scales
+    queries: jax.Array,   # f32[Q, D] (quantized on the fly)
+    k: int = 10,
+    sub_rows: int = 32,
+    n_valid: int = -1,
+):
+    """int8 phase 1 on the XLA int8 matmul instead of the Mosaic in-kernel
+    dot (ROADMAP r2: XLA's int8 MXU lowering measured ~1.4x faster than
+    the in-kernel dot; the trade is the [N/sub, Q] max tree running as an
+    XLA reduce over the materialized sims). Phase 2 (sub-block gather +
+    exact rescore) is shared with the Pallas variant. Same contract as
+    knn_topk_int8_with_count — count is of positive QUANTIZED sims."""
+    queries, qn_real = _pad_queries(queries)
+    n, d = codes.shape
+    qn = queries.shape[0]
+    if n_valid < 0:
+        n_valid = n
+    sub = _pick_sub(2048, sub_rows)
+    nsub = n // sub if n % sub == 0 else 0
+
+    q_absmax = jnp.maximum(jnp.max(jnp.abs(queries), axis=-1, keepdims=True), 1e-9)
+    q_scale = q_absmax / 127.0
+    q8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        q8, codes,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                     # [Q, N] int32
+    sims = acc.astype(jnp.float32) * scales[None, :] * q_scale
+    cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+    sims = jnp.where(cols < n_valid, sims, NEG)
+    cnt = jnp.sum(sims > 0.0, axis=1).astype(jnp.int32)
+
+    if nsub == 0 or k * sub * 4 >= n_valid or k > nsub:
+        v, i = _dense_topk(sims, k)
+        return v[:qn_real], i[:qn_real], cnt[:qn_real]
+
+    bmax_t = jnp.max(sims.reshape(qn, nsub, sub), axis=2)  # [Q, nsub]
+
+    def int8_sims(rows):
+        a = jnp.einsum(
+            "qd,qcd->qc", q8, codes[rows], preferred_element_type=jnp.int32
+        )
+        return a.astype(jnp.float32) * scales[rows] * q_scale
+
+    v, i = _rescore_topk(bmax_t, int8_sims, k, sub, n_valid, qn)
+    return v[:qn_real], i[:qn_real], cnt[:qn_real]
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("k", "block_rows", "sub_rows", "interpret", "n_valid"),
 )
