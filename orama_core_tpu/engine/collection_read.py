@@ -189,7 +189,8 @@ class _DeviceCache:
             # query-time searchsorted + random doc_lens gather
             ni = np.zeros(p_pad, np.float32)
             if p:
-                df = np.diff(s.term_starts).astype(np.float32)
+                # df may be the cross-slice global override (term_df)
+                df = s.term_df()
                 ni[:p] = np.repeat(df, np.diff(s.term_starts))
             plens_col = np.zeros(p_pad, np.float32)
             if p:
@@ -467,7 +468,7 @@ class _DeviceCache:
             ts_sh[:, 1:] = np.cumsum(ts_counts.T, axis=1)
             # permuted posting columns (stable sort keeps term-major order)
             tf_p = s.post_tf[perm]
-            ni_p = np.repeat(t_count.astype(np.float32), t_count)[perm]
+            ni_p = np.repeat(s.term_df(), t_count)[perm]
             plens_p = s.doc_lens_dense[s.post_docs[perm]].astype(np.float32)
             # positions: gather each posting's run in perm order
             run_lens = np.diff(s.pos_starts).astype(np.int64)[perm]
@@ -1655,9 +1656,10 @@ class CollectionReader:
         if not params_list:
             return []
         p0 = params_list[0]
-        if len(params_list) == 1:
+        if len(params_list) == 1 and self._vector_fast_field(p0) is None:
             # a lone micro-batch gains nothing from the batch kernels —
-            # the one-dispatch fused hybrid program is strictly better
+            # the one-dispatch fused program is strictly better (the
+            # Pallas kNN path, when eligible, still wins below)
             helig = self._hybrid_fused_eligible(p0)
             if helig is not None:
                 ranked, count, _ = self._search_hybrid_fused(
@@ -2500,37 +2502,52 @@ class CollectionReader:
     # -- fused hybrid (one dispatch per query; ops/hybrid.py) -----------------
 
     def _hybrid_fused_eligible(self, params: SearchParams):
-        """One-dispatch hybrid applies when the whole query is expressible
-        as a single static-shape program: one committed string field + one
-        committed vector field (exact mode), no uncommitted windows, no
-        facets, and a filter that is at most one number predicate. Returns
-        (string_fid, vector_fid, (filter_fid, NumberFilter)|None) or None."""
-        if (
-            params.mode != SearchModeKind.HYBRID
-            or params.facets
-            or not params.term.strip()
-            or params.limit > 1024
-            or self.cfg.vector_index != "exact"
-        ):
+        """One-dispatch serving applies when the whole query is expressible
+        as a single static-shape program (ops/hybrid.py): committed-only
+        segments, no facets, and a filter that is at most one number
+        predicate. Covers all three modes — hybrid (one string + one
+        vector field), fulltext (one string field), and filtered vector
+        (one vector field; the unfiltered case belongs to the Pallas fast
+        path). Returns (mode, string_fid, vector_fid, (filter_fid,
+        NumberFilter)|None) or None."""
+        if params.facets or params.limit > 1024:
             return None
-        sfids = [
-            fid for fid, f in self.fields.items() if f.type == ValueType.STRING
-        ]
-        vfids = [
-            fid for fid, f in self.fields.items()
-            if f.type == ValueType.EMBEDDING and f.model
-        ]
-        if len(sfids) != 1 or len(vfids) != 1:
+        mode = {
+            SearchModeKind.HYBRID: "hybrid",
+            SearchModeKind.FULLTEXT: "fulltext",
+            SearchModeKind.VECTOR: "vector",
+        }[params.mode]
+        if mode != "vector" and not params.term.strip():
             return None
-        if params.properties is not None and params.properties != [
-            self.fields[sfids[0]].name
-        ]:
-            return None
-        sf, vf = self._string[sfids[0]], self._vector[vfids[0]]
-        if sf.committed.n_terms == 0 or vf.committed.is_empty:
-            return None
-        if not sf.uncommitted.is_empty or not vf.uncommitted.is_empty:
-            return None
+        sfid = vfid = None
+        if mode != "vector":
+            sfids = [
+                fid for fid, f in self.fields.items()
+                if f.type == ValueType.STRING
+            ]
+            if len(sfids) != 1:
+                return None
+            if params.properties is not None and params.properties != [
+                self.fields[sfids[0]].name
+            ]:
+                return None
+            sf = self._string[sfids[0]]
+            if sf.committed.n_terms == 0 or not sf.uncommitted.is_empty:
+                return None
+            sfid = sfids[0]
+        if mode != "fulltext":
+            if self.cfg.vector_index != "exact":
+                return None
+            vfids = [
+                fid for fid, f in self.fields.items()
+                if f.type == ValueType.EMBEDDING and f.model
+            ]
+            if len(vfids) != 1:
+                return None
+            vf = self._vector[vfids[0]]
+            if vf.committed.is_empty or not vf.uncommitted.is_empty:
+                return None
+            vfid = vfids[0]
         nf = None
         if params.where:
             if len(params.where) != 1:
@@ -2545,35 +2562,55 @@ class CollectionReader:
             ):
                 return None
             nf = (fid, filt)
-        return sfids[0], vfids[0], nf
+        return mode, sfid, vfid, nf
 
     def _search_hybrid_fused(
-        self, params: SearchParams, ai_service, sfid: int, vfid: int, nf
+        self,
+        params: SearchParams,
+        ai_service,
+        mode: str,
+        sfid: Optional[int],
+        vfid: Optional[int],
+        nf,
     ) -> Tuple[List[Tuple[int, float]], int, None]:
         from ..ops import hybrid as hybrid_ops
 
         cap = self.capacity
-        f = self.fields[sfid]
-        locale = f.locale or self.default_locale
-        tokens = get_parser(locale).tokenize(params.term)
-        committed = self._string[sfid].committed
-        gi = committed.global_info()  # windows are empty by eligibility
-        token_spans = [committed.term_dict.prefix_range(t) for t in tokens]
-        token_spans = [(lo, hi) for lo, hi in token_spans if hi > lo]
-        phrase = len(tokens) > 1
-        field_boost = float(params.boost.get(f.name, 1.0))
+        phrase = False
+        field_boost = 1.0
+        gi_avgdl = gi_n = 1.0
+        if sfid is not None:
+            f = self.fields[sfid]
+            locale = f.locale or self.default_locale
+            tokens = get_parser(locale).tokenize(params.term)
+            committed = self._string[sfid].committed
+            gi = committed.global_info()  # windows are empty by eligibility
+            gi_avgdl, gi_n = gi.avgdl, gi.total_documents
+            token_spans = [
+                committed.term_dict.prefix_range(t) for t in tokens
+            ]
+            token_spans = [(lo, hi) for lo, hi in token_spans if hi > lo]
+            phrase = len(tokens) > 1
+            field_boost = float(params.boost.get(f.name, 1.0))
 
-        ts_host = committed.term_starts
-        p_lo = [int(ts_host[lo]) for lo, hi in token_spans]
-        p_len = [int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans]
-        from ..ops.bm25 import BLOCK, build_block_plan
+            ts_host = committed.term_starts
+            p_lo = [int(ts_host[lo]) for lo, hi in token_spans]
+            p_len = [int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans]
+            from ..ops.bm25 import BLOCK, build_block_plan
 
-        need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
-        nb = bucket_pad(max(need, 1), (16, 256, 4096, 65536))
-        b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
-        (
-            d_docs, d_tf, d_ni, d_plens, _d_pos, _d_posdocs, _ts, _ps,
-        ) = self._device.string_arrays(committed)
+            need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
+            nb = bucket_pad(max(need, 1), (16, 256, 4096, 65536))
+            b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
+            (
+                d_docs, d_tf, d_ni, d_plens, _d_pos, _d_posdocs, _ts, _ps,
+            ) = self._device.string_arrays(committed)
+        else:
+            nb = 1
+            b_starts = b_valid = np.zeros(1, np.int32)
+            z = jnp.zeros(1, jnp.int32)
+            zf = jnp.zeros(1, jnp.float32)
+            d_docs = z
+            d_tf = d_ni = d_plens = zf
 
         if phrase:
             ph_docs, ph_poss, ph_terms, ph_bounds = (
@@ -2588,12 +2625,26 @@ class CollectionReader:
             ph_docs = ph_poss = ph_terms = ph_bounds = z
             ph_spans = jnp.zeros((1, 2), jnp.int32)
 
-        vf = self._vector[vfid]
-        vecs, vec_docs, vec_valid = self._device.vector_arrays(vf.committed)
-        qn = self._resolve_query_vec(
-            self.fields[vfid].model, params.term, ai_service, None
-        )
-        q_dev = jnp.asarray(qn, jnp.float32)
+        if vfid is not None:
+            vf = self._vector[vfid]
+            raw_vec = params.vector if mode == "vector" else None
+            if raw_vec is not None and len(raw_vec) != vf.committed.dimension:
+                raise ValueError(
+                    f"query vector has dimension {len(raw_vec)}; collection "
+                    f"embedding fields have [{vf.committed.dimension}]"
+                )
+            vecs, vec_docs, vec_valid = self._device.vector_arrays(
+                vf.committed
+            )
+            qn = self._resolve_query_vec(
+                self.fields[vfid].model, params.term, ai_service, raw_vec
+            )
+            q_dev = jnp.asarray(qn, jnp.float32)
+        else:
+            vecs = jnp.zeros((1, 1), jnp.float32)
+            vec_docs = jnp.zeros(1, jnp.int32)
+            vec_valid = jnp.zeros(1, jnp.float32)
+            q_dev = jnp.zeros(1, jnp.float32)
 
         alive = self._alive_mask_device()
         masked = bool(params.where) or bool(self.deleted)
@@ -2627,7 +2678,7 @@ class CollectionReader:
                 d_docs, d_tf, d_ni, d_plens,
                 jnp.asarray(b_starts), jnp.asarray(b_valid),
                 jnp.float32(1.0 if phrase else field_boost),
-                jnp.float32(gi.avgdl), jnp.float32(gi.total_documents),
+                jnp.float32(gi_avgdl), jnp.float32(gi_n),
                 ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans,
                 jnp.float32(field_boost),
                 vecs, vec_docs, vec_valid, q_dev,
@@ -2636,7 +2687,7 @@ class CollectionReader:
                 fusion=(
                     "minmax" if params.fusion == HybridFusion.MINMAX else "rrf"
                 ),
-                phrase=phrase, nf=kind, masked=masked,
+                phrase=phrase, nf=kind, masked=masked, mode=mode,
             )
         )
         ranked = [
@@ -2652,12 +2703,9 @@ class CollectionReader:
         """Returns (ranked [(doc_id, score)], match count, facets)."""
         if self._use_sharded(params):
             return self._search_sharded(params, ai_service)
-        helig = self._hybrid_fused_eligible(params)
-        if helig is not None:
-            from ..server import metrics as m
-
-            m.VECTOR_PATH.inc(path="hybrid_fused")
-            return self._search_hybrid_fused(params, ai_service, *helig)
+        # the Pallas kNN fast path outranks the fused dense program for
+        # eligible (unfiltered exact) vector queries — it never builds the
+        # dense [cap] score array at all
         fast_fid = self._vector_fast_field(params)
         if fast_fid is not None:
             from ..server import metrics as m
@@ -2667,6 +2715,12 @@ class CollectionReader:
                 params, ai_service, fast_fid
             )
             return ranked, count, None
+        helig = self._hybrid_fused_eligible(params)
+        if helig is not None:
+            from ..server import metrics as m
+
+            m.VECTOR_PATH.inc(path="fused_" + helig[0])
+            return self._search_hybrid_fused(params, ai_service, *helig)
         scores = self.search_scores(params, ai_service)
         facets = self.compute_facets(scores, params.facets) if params.facets else None
         k = min(params.limit, self.capacity)
@@ -2708,6 +2762,40 @@ class CollectionReader:
             except Exception:
                 pass  # warmup must never break serving
         return n
+
+    # -- cross-slice global statistics (multislice DFS mode) ------------------
+
+    def export_term_stats(self) -> Dict[str, Any]:
+        """Per-string-field committed statistics for the multi-slice
+        global-idf exchange: terms + df arrays + (n_docs, total_len).
+        Commit-static — call after commit; uncommitted windows excluded."""
+        out: Dict[str, Any] = {}
+        for fid, sf in self._string.items():
+            c = sf.committed
+            if c.n_terms == 0:
+                continue
+            out[self.fields[fid].name] = {
+                "terms": list(c.term_dict.terms),
+                "df": np.diff(c.term_starts).astype(np.float32).tolist(),
+                "n_docs": int(c.n_docs_with_field),
+                "total_len": int(c.total_len),
+            }
+        return out
+
+    def apply_global_stats(self, stats: Dict[str, Any]) -> None:
+        """Install merged cross-slice statistics; invalidates the affected
+        device caches so the next query scores with global idf."""
+        for name, s in stats.items():
+            fid = self.field_by_name.get(name)
+            if fid is None or fid not in self._string:
+                continue
+            c = self._string[fid].committed
+            if c.n_terms == 0:
+                continue
+            c.set_stats_override(
+                dict(zip(s["terms"], s["df"])), s["n_docs"], s["total_len"]
+            )
+            self._device.drop(c)
 
     # -- facets (reference: collection.rs:1004-1126) --------------------------
 

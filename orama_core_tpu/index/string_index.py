@@ -174,6 +174,13 @@ class CommittedStringIndex:
     doc_lens_dense: np.ndarray  # float32[cap] (0 => doc lacks field)
     n_docs_with_field: int
     total_len: int
+    # Cross-slice global-statistics override (multi-slice DFS mode,
+    # parallel/multislice.sync_global_stats): per-term GLOBAL doc
+    # frequency aligned with term_dict, plus global (n_docs, total_len).
+    # None => slice-local stats (ES-style query-then-fetch). Set via
+    # set_stats_override; not persisted — re-synced after commits.
+    df_override: Optional[np.ndarray] = None
+    n_override: Optional[Tuple[int, int]] = None
 
     @staticmethod
     def empty(capacity: int = 0) -> "CommittedStringIndex":
@@ -198,7 +205,32 @@ class CommittedStringIndex:
         return len(self.post_docs)
 
     def global_info(self) -> GlobalInfo:
+        if self.n_override is not None:
+            return GlobalInfo(*self.n_override)
         return GlobalInfo(self.n_docs_with_field, self.total_len)
+
+    def term_df(self) -> np.ndarray:
+        """Per-term doc frequency used for idf: the global override when
+        synced, else the slice-local CSR span widths."""
+        if self.df_override is not None:
+            return self.df_override
+        return np.diff(self.term_starts).astype(np.float32)
+
+    def set_stats_override(
+        self,
+        df_by_term: Dict[str, float],
+        n_docs: int,
+        total_len: int,
+    ) -> None:
+        """Install merged cross-slice statistics (terms absent from the
+        mapping keep their local df)."""
+        df = np.diff(self.term_starts).astype(np.float32)
+        for i, t in enumerate(self.term_dict.terms):
+            g = df_by_term.get(t)
+            if g is not None:
+                df[i] = g
+        self.df_override = df
+        self.n_override = (int(n_docs), int(total_len))
 
     # -- query resolution (host, O(tokens * log T)) ---------------------------
 

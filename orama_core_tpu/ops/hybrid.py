@@ -35,6 +35,7 @@ from .fusion import minmax_fuse, rrf_fuse
     jax.jit,
     static_argnames=(
         "n_docs", "n_blocks", "k", "fusion", "phrase", "nf", "masked",
+        "mode",
     ),
 )
 def hybrid_fused_topk(
@@ -60,6 +61,7 @@ def hybrid_fused_topk(
     phrase: bool,
     nf: str,           # "none" | "range" | "eq"
     masked: bool,      # multiply ft by the mask (where-filters or deletes)
+    mode: str = "hybrid",  # "hybrid" | "fulltext" | "vector"
 ):
     if nf == "range":
         m = filter_ops.number_range_mask(
@@ -74,21 +76,30 @@ def hybrid_fused_topk(
         mask = filter_ops.combine_masks(alive_mask, m)
     else:
         mask = alive_mask
-    ft = bm25_ops.bm25_scores_blocked(
-        post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
-        bm25_boost, avgdl, nfd, n_docs=n_docs, n_blocks=n_blocks,
-    )
-    if phrase:
-        ft = ft * bm25_ops.phrase_boost_docmajor(
-            ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans, ph_boost,
-            n_docs=n_docs,
+    if mode != "vector":
+        ft = bm25_ops.bm25_scores_blocked(
+            post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
+            bm25_boost, avgdl, nfd, n_docs=n_docs, n_blocks=n_blocks,
         )
-    if masked:
-        ft = ft * mask
-    vec = vector_ops.brute_force_scores(
-        vecs, vec_docs, vec_valid, query, mask, n_docs=n_docs
-    )
-    fused = minmax_fuse(ft, vec) if fusion == "minmax" else rrf_fuse(ft, vec)
+        if phrase:
+            ft = ft * bm25_ops.phrase_boost_docmajor(
+                ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans, ph_boost,
+                n_docs=n_docs,
+            )
+        if masked:
+            ft = ft * mask
+    if mode != "fulltext":
+        vec = vector_ops.brute_force_scores(
+            vecs, vec_docs, vec_valid, query, mask, n_docs=n_docs
+        )
+    if mode == "fulltext":
+        fused = ft
+    elif mode == "vector":
+        fused = vec
+    else:
+        fused = (
+            minmax_fuse(ft, vec) if fusion == "minmax" else rrf_fuse(ft, vec)
+        )
     vals, idx = jax.lax.top_k(fused, k)
     count = jnp.sum(fused > 0).astype(jnp.int32)
     return vals, idx.astype(jnp.int32), count

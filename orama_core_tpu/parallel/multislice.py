@@ -16,11 +16,13 @@ Design (the standard distributed-search shape, cf. ES/Solr shards):
   gather top-`limit` from each, merged by score (O(slices · limit));
 - facets merge by summing bucket counts; counts sum.
 
-Semantics note (documented, not hidden): BM25 idf and RRF ranks are
-slice-local, exactly like Elasticsearch's default query-then-fetch.
+Semantics note (documented, not hidden): by default BM25 idf and RRF
+ranks are slice-local, exactly like Elasticsearch's query-then-fetch.
 Slices receive statistically similar corpus shards under hash routing,
 so idf skew vanishes as shards grow; tests pin top-hit agreement with a
-single-engine oracle.
+single-engine oracle. ``sync_global_stats`` upgrades BM25 to GLOBAL idf
+(ES dfs_query_then_fetch / the reference's single-node semantics) by
+exchanging per-term df at commit time; RRF ranks remain slice-local.
 
 Transports: LocalSlice (in-process engine object — tests, and the
 coordinator process when it co-hosts a slice) and HttpSlice (the
@@ -74,6 +76,12 @@ class LocalSlice:
 
     def count(self, cid: str) -> int:
         return self.engine.read_side.count_documents(cid)
+
+    def export_term_stats(self, cid: str, write_key: str):
+        return self.engine.read_side.export_term_stats(cid)
+
+    def apply_global_stats(self, cid: str, stats, write_key: str) -> None:
+        self.engine.read_side.apply_global_stats(cid, stats)
 
 
 class HttpSlice:
@@ -143,6 +151,20 @@ class HttpSlice:
     def count(self, cid: str) -> int:
         raise NotImplementedError("count via search on HTTP slices")
 
+    def _get(self, path: str, bearer: Optional[str]) -> Any:
+        req = urllib.request.Request(
+            self.base_url + path,
+            headers={"Authorization": f"Bearer {bearer}"} if bearer else {},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+            return json.loads(r.read().decode())
+
+    def export_term_stats(self, cid: str, write_key: str):
+        return self._get(f"/v1/collections/{cid}/stats/export", write_key)
+
+    def apply_global_stats(self, cid: str, stats, write_key: str) -> None:
+        self._post(f"/v1/collections/{cid}/stats/import", stats, write_key)
+
 
 class MultiSliceRouter:
     """Scatter-gather coordinator over document-hash-routed slices."""
@@ -204,6 +226,47 @@ class MultiSliceRouter:
         ]
         return sum(f.result() for f in futures)
 
+    # -- global statistics (DFS mode) -----------------------------------------
+
+    def sync_global_stats(self, cid: str, write_key: str) -> None:
+        """Exchange BM25 statistics across slices so idf is GLOBAL, not
+        slice-local (the reference's single-node semantics, vs the default
+        ES-style query-then-fetch): export each slice's committed per-term
+        df + (n_docs, total_len), merge by sum, import everywhere. Commit-
+        static: call after commit(); RRF rank fusion remains slice-local
+        (documented approximation — rank exchange would need per-query
+        candidate traffic)."""
+        all_stats = list(
+            self._pool.map(
+                lambda s: s.export_term_stats(cid, write_key), self.slices
+            )
+        )
+        merged: Dict[str, Dict[str, Any]] = {}
+        for stats in all_stats:
+            for field, s in stats.items():
+                m = merged.setdefault(
+                    field, {"df": {}, "n_docs": 0, "total_len": 0}
+                )
+                for t, d in zip(s["terms"], s["df"]):
+                    m["df"][t] = m["df"].get(t, 0.0) + float(d)
+                m["n_docs"] += int(s["n_docs"])
+                m["total_len"] += int(s["total_len"])
+        payload = {
+            field: {
+                "terms": list(m["df"].keys()),
+                "df": list(m["df"].values()),
+                "n_docs": m["n_docs"],
+                "total_len": m["total_len"],
+            }
+            for field, m in merged.items()
+        }
+        list(
+            self._pool.map(
+                lambda s: s.apply_global_stats(cid, payload, write_key),
+                self.slices,
+            )
+        )
+
     # -- reads (scatter-gather) ----------------------------------------------
 
     def search(self, cid: str, params_json: Dict[str, Any], read_key: str) -> SearchResult:
@@ -213,8 +276,12 @@ class MultiSliceRouter:
             for s in self.slices
         ]
         results = [f.result() for f in futures]
+        # deterministic merge: score desc, user id asc on ties (slices
+        # assign their own dense ids, so the user id is the only stable
+        # cross-slice tiebreak)
         hits = sorted(
-            (h for r in results for h in r.hits), key=lambda h: -h.score
+            (h for r in results for h in r.hits),
+            key=lambda h: (-h.score, h.id),
         )[:limit]
         count = sum(r.count for r in results)
         facets: Optional[Dict[str, FacetResult]] = None

@@ -348,6 +348,21 @@ def _make_handler(orama):
                 )
                 return 200
 
+            # cross-slice global-statistics exchange (multi-slice DFS mode,
+            # parallel/multislice.sync_global_stats) — operator surface,
+            # write-key gated like other internal mutations
+            mo = re.match(r"^/v1/collections/([^/]+)/stats/export$", path)
+            if mo and method == "GET":
+                write_side.check_write_key(mo.group(1), self._bearer())
+                self._send(200, read_side.export_term_stats(mo.group(1)))
+                return 200
+            mo = re.match(r"^/v1/collections/([^/]+)/stats/import$", path)
+            if mo and method == "POST":
+                write_side.check_write_key(mo.group(1), self._bearer())
+                read_side.apply_global_stats(mo.group(1), self._body() or {})
+                self._send(200, {"ok": True})
+                return 200
+
             # sidecar action seam (reference: /v1/{id}/actions/execute)
             mo = re.match(r"^/v1/([^/]+)/actions/execute$", path)
             if mo and method == "POST":

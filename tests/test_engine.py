@@ -456,6 +456,13 @@ def test_hybrid_fused_single_dispatch_parity(tmp_path):
              "where": {"price": {"gte": 2}}},
             {"term": "power", "mode": "hybrid",
              "where": {"price": {"eq": 0}}},
+            # fulltext + filtered-vector ride the same one-dispatch program
+            {"term": "solar", "mode": "fulltext"},
+            {"term": "solar wind", "mode": "fulltext"},         # phrase
+            {"term": "solar", "mode": "fulltext",
+             "where": {"price": {"gte": 2}}},
+            {"term": "solar energy", "mode": "vector",
+             "where": {"price": {"lte": 3}}},
         ):
             p = SearchParams.from_json(dict(body))
             helig = reader._hybrid_fused_eligible(p)
