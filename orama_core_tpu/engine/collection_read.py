@@ -1247,12 +1247,17 @@ class CollectionReader:
                     if phrase:
                         # sort-free doc-major phrase kernel: commit-static
                         # stream + spans, one compiled program per generation
-                        # (ops/bm25.phrase_boost_docmajor)
+                        # (ops/bm25.phrase_boost_docmajor); span count is
+                        # bucketed — each span is a compare pass over the
+                        # full position stream
                         d_dev, p_dev, t_dev, bounds = (
                             self._device.phrase_docmajor_arrays(committed, cap)
                         )
                         max_tok = 32
-                        spans_a = np.zeros((max_tok, 2), np.int32)
+                        n_sp = bucket_pad(
+                            min(len(token_spans), max_tok), (4, 16, 32)
+                        )
+                        spans_a = np.zeros((n_sp, 2), np.int32)
                         for si, (lo, hi) in enumerate(token_spans[:max_tok]):
                             spans_a[si] = (lo, hi)
                         boost_by_doc = bm25_ops.phrase_boost_docmajor(
@@ -2616,7 +2621,11 @@ class CollectionReader:
             ph_docs, ph_poss, ph_terms, ph_bounds = (
                 self._device.phrase_docmajor_arrays(committed, cap)
             )
-            spans_a = np.zeros((32, 2), np.int32)
+            # spans drive a per-span compare pass over the WHOLE position
+            # stream — bucket the count (a 2-token query must not pay a
+            # 32-span unroll: ~0.6 ms/span at 20M positions)
+            n_sp = bucket_pad(min(len(token_spans), 32), (4, 16, 32))
+            spans_a = np.zeros((n_sp, 2), np.int32)
             for si, (lo, hi) in enumerate(token_spans[:32]):
                 spans_a[si] = (lo, hi)
             ph_spans = jnp.asarray(spans_a)

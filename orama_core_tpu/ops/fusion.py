@@ -13,6 +13,8 @@ O(N log N) on device, still tiny next to the scoring matmuls.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -40,3 +42,58 @@ def _rrf_of(scores: jax.Array) -> jax.Array:
 @jax.jit
 def rrf_fuse(ft_scores: jax.Array, vec_scores: jax.Array) -> jax.Array:
     return _rrf_of(ft_scores) + _rrf_of(vec_scores)
+
+
+def rrf_candidate_count(k: int) -> int:
+    """Smallest provably-exact per-modality candidate budget for
+    rrf_fuse_topk, bucket-padded (same bound as the sharded merge,
+    parallel/sharded_engine.rrf_candidate_count): a doc outside both
+    top-``cand`` lists has fused <= 2/(61+cand), and at least k docs with
+    a modality rank < (cand-61)/2 >= k beat that."""
+    need = 2 * k + 64
+    for b in (128, 256, 512, 1024):
+        if need <= b:
+            return b
+    return need
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand"))
+def rrf_fuse_topk(ft_scores: jax.Array, vec_scores: jax.Array, k: int, cand: int):
+    """Exact RRF top-k WITHOUT the two dense argsorts (31.6 ms at 1M on
+    v5e vs ~5 ms for this formulation): propose top-``cand`` docs per
+    modality, compute their EXACT global ranks by compare-and-count
+    (reproducing _rrf_of's argsort tie order: lower index wins ties),
+    fuse, dedup, top-k. Returns (values f32[k], ids int32[k], count =
+    #docs matched by either modality)."""
+    n = ft_scores.shape[0]
+    c = min(cand, n)
+    ids = jnp.arange(n, dtype=jnp.int32)
+
+    _, fi = jax.lax.top_k(ft_scores, c)
+    _, vi = jax.lax.top_k(vec_scores, c)
+    g = jnp.concatenate([fi, vi]).astype(jnp.int32)     # [2c]
+    # each candidate needs BOTH modalities' contributions
+    ft_g = ft_scores[g]
+    vec_g = vec_scores[g]
+
+    def rank_of(scores, s_g, g_ids):
+        # rank = #{s' > s} + #{s' == s and id' < id} (argsort-stable ties)
+        better = (scores[None, :] > s_g[:, None]) | (
+            (scores[None, :] == s_g[:, None]) & (ids[None, :] < g_ids[:, None])
+        )
+        return jnp.sum(better, axis=1).astype(jnp.float32)
+
+    r_ft = rank_of(ft_scores, ft_g, g)
+    r_vec = rank_of(vec_scores, vec_g, g)
+    fused = jnp.where(ft_g > 0, 1.0 / (RRF_K + r_ft + 1.0), 0.0) + jnp.where(
+        vec_g > 0, 1.0 / (RRF_K + r_vec + 1.0), 0.0
+    )
+    # dedup docs proposed by both modalities (identical fused values)
+    order = jnp.argsort(g)
+    g_s = g[order]
+    f_s = fused[order]
+    dup = jnp.concatenate([jnp.zeros(1, bool), g_s[1:] == g_s[:-1]])
+    f_s = jnp.where(dup, -jnp.inf, f_s)
+    v, ix = jax.lax.top_k(f_s, k)
+    count = jnp.sum((ft_scores > 0) | (vec_scores > 0)).astype(jnp.int32)
+    return jnp.maximum(v, 0.0), g_s[ix], count

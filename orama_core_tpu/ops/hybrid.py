@@ -89,17 +89,28 @@ def hybrid_fused_topk(
         if masked:
             ft = ft * mask
     if mode != "fulltext":
-        vec = vector_ops.brute_force_scores(
-            vecs, vec_docs, vec_valid, query, mask, n_docs=n_docs
+        # a [P, D] x [D] matvec lowers to a slow VPU walk on TPU (~27 ms
+        # at 1M x 384); pad the query to 8 MXU lanes and take lane 0 —
+        # same HBM traffic, MXU-tiled (~5x faster)
+        q8 = jnp.zeros((8, query.shape[0]), query.dtype).at[0].set(query)
+        sims8 = jnp.dot(
+            vecs, q8.T.astype(vecs.dtype), preferred_element_type=jnp.float32
+        )                                                   # [P, 8]
+        sims = jnp.maximum(sims8[:, 0], 0.0) * vec_valid
+        vec = (
+            jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs) * mask
         )
     if mode == "fulltext":
         fused = ft
     elif mode == "vector":
         fused = vec
     else:
-        fused = (
-            minmax_fuse(ft, vec) if fusion == "minmax" else rrf_fuse(ft, vec)
-        )
+        if fusion == "rrf":
+            # candidate-exact RRF: no dense argsorts (31.6 -> ~5 ms at 1M)
+            from .fusion import rrf_candidate_count, rrf_fuse_topk
+
+            return rrf_fuse_topk(ft, vec, k, rrf_candidate_count(k))
+        fused = minmax_fuse(ft, vec)
     vals, idx = jax.lax.top_k(fused, k)
     count = jnp.sum(fused > 0).astype(jnp.int32)
     return vals, idx.astype(jnp.int32), count

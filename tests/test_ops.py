@@ -215,3 +215,34 @@ def test_phrase_docmajor_matches_sort_kernel():
         )
     )
     assert np.allclose(got, gold), np.nonzero(got != gold)
+
+
+def test_rrf_fuse_topk_matches_dense_argsort():
+    """Candidate-exact RRF (ops/fusion.rrf_fuse_topk) must reproduce the
+    dense argsort formulation bit-for-bit — values, ids, tie order —
+    including heavy ties and zero-score (unmatched) docs."""
+    import jax
+
+    from orama_core_tpu.ops.fusion import (
+        rrf_candidate_count,
+        rrf_fuse,
+        rrf_fuse_topk,
+    )
+
+    rng = np.random.default_rng(0)
+    n, k = 5000, 10
+    for trial in range(5):
+        ft = rng.uniform(0, 3, n).astype(np.float32)
+        vec = rng.uniform(0, 1, n).astype(np.float32)
+        ft[rng.random(n) < 0.6] = 0.0       # most docs unmatched
+        vec[rng.random(n) < 0.6] = 0.0
+        ft = np.round(ft, 1)                # force score ties
+        dense = rrf_fuse(jnp.asarray(ft), jnp.asarray(vec))
+        dv, di = jax.lax.top_k(dense, k)
+        cv, ci, cnt = rrf_fuse_topk(
+            jnp.asarray(ft), jnp.asarray(vec), k, rrf_candidate_count(k)
+        )
+        dv, di, cv, ci, cnt = jax.device_get((dv, di, cv, ci, cnt))
+        assert list(di) == list(ci), trial
+        assert np.allclose(dv, cv, atol=1e-7), trial
+        assert int(cnt) == int(np.sum((ft > 0) | (vec > 0))), trial
