@@ -2601,19 +2601,43 @@ class CollectionReader:
             ts_host = committed.term_starts
             p_lo = [int(ts_host[lo]) for lo, hi in token_spans]
             p_len = [int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans]
-            from ..ops.bm25 import BLOCK, build_block_plan
+            from ..ops.bm25 import (
+                BLOCK,
+                aligned_blocks_needed,
+                build_block_plan,
+                build_block_plan_aligned,
+            )
 
-            need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
-            nb = bucket_pad(max(need, 1), (16, 256, 4096, 65536))
-            b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
+            # Pallas block-gather scan on real TPUs (interpret mode on CPU
+            # is slower than the XLA blocked path — same gate as the kNN
+            # fast path)
+            bm25_pallas = self.cfg.use_pallas and (
+                jax.default_backend() == "tpu"
+                or getattr(self.cfg, "_test_force_fast_path", False)
+            )
+            if bm25_pallas:
+                need = aligned_blocks_needed(p_len)
+                nb = bucket_pad(max(need, 1), (16, 256, 4096, 65536))
+                sb_a, lo_a, hi_a = build_block_plan_aligned(p_lo, p_len, nb)
+                ba_idx, ba_lo, ba_hi = (
+                    jnp.asarray(sb_a), jnp.asarray(lo_a), jnp.asarray(hi_a)
+                )
+                b_starts = b_valid = np.zeros(1, np.int32)
+            else:
+                need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
+                nb = bucket_pad(max(need, 1), (16, 256, 4096, 65536))
+                b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
+                ba_idx = ba_lo = ba_hi = jnp.zeros(1, jnp.int32)
             (
                 d_docs, d_tf, d_ni, d_plens, _d_pos, _d_posdocs, _ts, _ps,
             ) = self._device.string_arrays(committed)
         else:
             nb = 1
+            bm25_pallas = False
             b_starts = b_valid = np.zeros(1, np.int32)
             z = jnp.zeros(1, jnp.int32)
             zf = jnp.zeros(1, jnp.float32)
+            ba_idx = ba_lo = ba_hi = z
             d_docs = z
             d_tf = d_ni = d_plens = zf
 
@@ -2686,6 +2710,7 @@ class CollectionReader:
             hybrid_ops.hybrid_fused_topk(
                 d_docs, d_tf, d_ni, d_plens,
                 jnp.asarray(b_starts), jnp.asarray(b_valid),
+                ba_idx, ba_lo, ba_hi,
                 jnp.float32(1.0 if phrase else field_boost),
                 jnp.float32(gi_avgdl), jnp.float32(gi_n),
                 ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans,
@@ -2697,6 +2722,8 @@ class CollectionReader:
                     "minmax" if params.fusion == HybridFusion.MINMAX else "rrf"
                 ),
                 phrase=phrase, nf=kind, masked=masked, mode=mode,
+                bm25_pallas=bm25_pallas,
+                interpret=jax.default_backend() != "tpu",
             )
         )
         ranked = [

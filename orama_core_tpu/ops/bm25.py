@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 K1 = 1.2
 B = 0.75
@@ -246,6 +247,132 @@ def build_block_plan(p_lo, p_len, n_blocks_budget: int):
             off += BLOCK
             b += 1
     return starts, valid
+
+
+def build_block_plan_aligned(p_lo, p_len, n_blocks_budget: int):
+    """BLOCK-aligned plan: each emitted block is a whole aligned BLOCK of
+    the posting space (block index, not element offset), with the valid
+    span given as in-block [lo_off, hi_off). Alignment lets a Pallas
+    kernel DMA the block via a scalar-prefetched BlockSpec index (the
+    vmapped unaligned dynamic_slice lowers to an XLA gather running at
+    ~0.4 GB/s on TPU — the dominant cost of large BM25 scans).
+
+    Returns (block_idx int32[nb], lo_off int32[nb], hi_off int32[nb]);
+    pad blocks have hi_off == 0. Costs at most 1 extra block per span vs
+    the unaligned plan."""
+    import numpy as np
+
+    blk_idx = np.zeros(n_blocks_budget, np.int32)
+    lo_off = np.zeros(n_blocks_budget, np.int32)
+    hi_off = np.zeros(n_blocks_budget, np.int32)
+    b = 0
+    for lo, ln in zip(p_lo, p_len):
+        if ln <= 0:
+            continue
+        hi = lo + ln
+        for blk in range(lo // BLOCK, (hi - 1) // BLOCK + 1):
+            if b >= n_blocks_budget:
+                return blk_idx, lo_off, hi_off
+            blk_idx[b] = blk
+            lo_off[b] = max(lo - blk * BLOCK, 0)
+            hi_off[b] = min(hi - blk * BLOCK, BLOCK)
+            b += 1
+    return blk_idx, lo_off, hi_off
+
+
+def aligned_blocks_needed(p_len_list) -> int:
+    """Upper bound on aligned-plan blocks (one extra per span)."""
+    return sum((ln + BLOCK - 1) // BLOCK + 1 for ln in p_len_list if ln > 0)
+
+
+def _bm25_gather_kernel(
+    sb_ref, lo_ref, hi_ref,            # scalar prefetch: plan
+    par_ref,                           # [1, 4] f32: boost, avgdl, nfd
+    docs_ref, tf_ref, ni_ref, plens_ref,   # [1, BLOCK] gathered planes
+    contrib_ref, docs_out_ref,         # [1, BLOCK] outputs
+):
+    import jax
+
+    i = pl.program_id(0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    valid = ((j >= lo_ref[i]) & (j < hi_ref[i])).astype(jnp.float32)
+    boost, avgdl, nfd = par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]
+    tf = tf_ref[:]
+    ni = ni_ref[:]
+    lens = plens_ref[:]
+    idf = jnp.log1p(jnp.maximum((nfd - ni + 0.5) / (ni + 0.5), 0.0))
+    den = tf + K1 * (1.0 - B + B * lens / jnp.maximum(avgdl, 1e-9))
+    contrib_ref[:] = (
+        idf * boost * tf * (K1 + 1.0) / jnp.maximum(den, 1e-9) * valid
+    )
+    docs_out_ref[:] = docs_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_docs", "n_blocks", "interpret")
+)
+def bm25_scores_blocked_pallas(
+    post_docs: jax.Array,      # int32[Ppad], Ppad % BLOCK == 0
+    post_tf: jax.Array,        # float32[Ppad]
+    post_ni: jax.Array,        # float32[Ppad]
+    post_lens: jax.Array,      # float32[Ppad]
+    block_idx: jax.Array,      # int32[nb] aligned plan (block units)
+    lo_off: jax.Array,         # int32[nb]
+    hi_off: jax.Array,         # int32[nb]
+    field_boost: jax.Array,    # float32[]
+    avgdl: jax.Array,          # float32[]
+    n_field_docs: jax.Array,   # float32[]
+    n_docs: int,
+    n_blocks: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """BM25 posting scan with Pallas block gathers: the plan's block
+    indices are scalar-prefetched, so each grid step DMAs its BLOCK at
+    full bandwidth instead of XLA's fine-grained gather (measured ~23 ms
+    for a 1M-posting scan via vmapped dynamic_slice vs ~ bandwidth-bound
+    here). The per-doc reduction stays an XLA segment_sum (cheap: ~4 ms
+    at 1M). Same contract as bm25_scores_blocked."""
+    from jax.experimental import pallas as _pl
+    from jax.experimental.pallas import tpu as _pltpu
+
+    p = post_docs.shape[0]
+    assert p % BLOCK == 0, "pad posting arrays to a BLOCK multiple"
+    rows = p // BLOCK
+    d2 = post_docs.reshape(rows, BLOCK)
+    t2 = post_tf.reshape(rows, BLOCK)
+    n2 = post_ni.reshape(rows, BLOCK)
+    l2 = post_lens.reshape(rows, BLOCK)
+    params = jnp.stack(
+        [field_boost, avgdl, n_field_docs, jnp.float32(0.0)]
+    ).reshape(1, 4)
+
+    def plane_spec():
+        return _pl.BlockSpec((1, BLOCK), lambda i, sb, lo, hi: (sb[i], 0))
+
+    grid_spec = _pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            _pl.BlockSpec((1, 4), lambda i, sb, lo, hi: (0, 0)),
+            plane_spec(), plane_spec(), plane_spec(), plane_spec(),
+        ],
+        out_specs=[
+            _pl.BlockSpec((1, BLOCK), lambda i, sb, lo, hi: (i, 0)),
+            _pl.BlockSpec((1, BLOCK), lambda i, sb, lo, hi: (i, 0)),
+        ],
+    )
+    contrib, docs_o = _pl.pallas_call(
+        _bm25_gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, BLOCK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(block_idx, lo_off, hi_off, params, d2, t2, n2, l2)
+    return jax.ops.segment_sum(
+        contrib.reshape(-1), docs_o.reshape(-1), num_segments=n_docs
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_docs", "n_blocks"))

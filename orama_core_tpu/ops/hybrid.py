@@ -35,13 +35,14 @@ from .fusion import minmax_fuse, rrf_fuse
     jax.jit,
     static_argnames=(
         "n_docs", "n_blocks", "k", "fusion", "phrase", "nf", "masked",
-        "mode",
+        "mode", "bm25_pallas", "interpret",
     ),
 )
 def hybrid_fused_topk(
     # committed postings (device cache: string_arrays)
     post_docs, post_tf, post_ni, post_lens,
-    b_starts, b_valid,          # int32[n_blocks] query block plan
+    b_starts, b_valid,          # int32[n_blocks] unaligned plan (XLA path)
+    ba_idx, ba_lo, ba_hi,       # int32[n_blocks] aligned plan (Pallas path)
     bm25_boost,                 # f32[] (1.0 when phrase: boost rides the kernel)
     avgdl, nfd,                 # f32[] global info
     # phrase stream (device cache: phrase_docmajor_arrays; dummies when
@@ -62,6 +63,8 @@ def hybrid_fused_topk(
     nf: str,           # "none" | "range" | "eq"
     masked: bool,      # multiply ft by the mask (where-filters or deletes)
     mode: str = "hybrid",  # "hybrid" | "fulltext" | "vector"
+    bm25_pallas: bool = False,  # Pallas block-gather scan (TPU)
+    interpret: bool = False,
 ):
     if nf == "range":
         m = filter_ops.number_range_mask(
@@ -77,10 +80,20 @@ def hybrid_fused_topk(
     else:
         mask = alive_mask
     if mode != "vector":
-        ft = bm25_ops.bm25_scores_blocked(
-            post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
-            bm25_boost, avgdl, nfd, n_docs=n_docs, n_blocks=n_blocks,
-        )
+        if bm25_pallas:
+            # DMA-aligned block gathers (the vmapped dynamic_slice path
+            # reads at ~0.4 GB/s on TPU — see bm25_scores_blocked_pallas)
+            ft = bm25_ops.bm25_scores_blocked_pallas(
+                post_docs, post_tf, post_ni, post_lens,
+                ba_idx, ba_lo, ba_hi,
+                bm25_boost, avgdl, nfd,
+                n_docs=n_docs, n_blocks=n_blocks, interpret=interpret,
+            )
+        else:
+            ft = bm25_ops.bm25_scores_blocked(
+                post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
+                bm25_boost, avgdl, nfd, n_docs=n_docs, n_blocks=n_blocks,
+            )
         if phrase:
             ft = ft * bm25_ops.phrase_boost_docmajor(
                 ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans, ph_boost,

@@ -150,3 +150,46 @@ def test_knn_topk_int8_with_count_matches_dense():
         assert (got[r] < n_valid).all()
         overlap = len(set(got[r]) & set(ref_idx[r])) / k
         assert overlap >= 0.8, (r, got[r], ref_idx[r])
+
+
+def test_bm25_pallas_block_gather_matches_xla():
+    """The DMA-aligned Pallas BM25 scan (bm25_scores_blocked_pallas) must
+    reproduce the XLA blocked scan bit-for-bit on unaligned spans."""
+    import jax
+    import jax.numpy as jnp
+
+    from orama_core_tpu.ops.bm25 import (
+        aligned_blocks_needed,
+        bm25_scores_blocked,
+        bm25_scores_blocked_pallas,
+        build_block_plan,
+        build_block_plan_aligned,
+    )
+
+    rng = np.random.default_rng(0)
+    CAP, P = 4096, 8192
+    docs = rng.integers(0, CAP, P).astype(np.int32)
+    tf = rng.uniform(1, 4, P).astype(np.float32)
+    ni = np.full(P, 37.0, np.float32)
+    plens = rng.uniform(5, 60, P).astype(np.float32)
+    spans = [(3, 700), (1000, 1537), (2048, 2560), (5000, 5003)]
+    p_lo = [a for a, b in spans]
+    p_len = [b - a for a, b in spans]
+    nb = 64
+    assert aligned_blocks_needed(p_len) <= nb
+    bs, bv = build_block_plan(p_lo, p_len, nb)
+    ref = bm25_scores_blocked(
+        jnp.asarray(docs), jnp.asarray(tf), jnp.asarray(ni),
+        jnp.asarray(plens), jnp.asarray(bs), jnp.asarray(bv),
+        jnp.float32(1.3), jnp.float32(30.0), jnp.float32(10000.0),
+        n_docs=CAP, n_blocks=nb,
+    )
+    sb, lo, hi = build_block_plan_aligned(p_lo, p_len, nb)
+    out = bm25_scores_blocked_pallas(
+        jnp.asarray(docs), jnp.asarray(tf), jnp.asarray(ni),
+        jnp.asarray(plens), jnp.asarray(sb), jnp.asarray(lo),
+        jnp.asarray(hi), jnp.float32(1.3), jnp.float32(30.0),
+        jnp.float32(10000.0), n_docs=CAP, n_blocks=nb, interpret=True,
+    )
+    r, o = jax.device_get((ref, out))
+    assert np.allclose(r, o, atol=1e-5)
