@@ -123,6 +123,10 @@ class TpuConfig:
     # dot at the cost of materializing sims; pick per-hardware via
     # benchmarks/int8_30m_bench.py --phase1)
     int8_phase1: str = "pallas"
+    # BM25 posting scan in the fused program: the Pallas DMA-aligned
+    # block-gather variant (ops/bm25.bm25_scores_blocked_pallas) — at
+    # parity with the XLA blocked scan on v5e, opt-in for other chips
+    bm25_pallas: bool = False
     ivf_threshold: int = 50_000
     ivf_nprobe: int = 16
     ivf_candidate_expand: int = 8

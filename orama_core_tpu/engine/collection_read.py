@@ -2608,10 +2608,11 @@ class CollectionReader:
                 build_block_plan_aligned,
             )
 
-            # Pallas block-gather scan on real TPUs (interpret mode on CPU
-            # is slower than the XLA blocked path — same gate as the kNN
-            # fast path)
-            bm25_pallas = self.cfg.use_pallas and (
+            # Pallas block-gather scan: measured at parity with the XLA
+            # blocked path on v5e (25.4 vs 22.0 ms per 1M-posting scan —
+            # the scan is not gather-latency-bound there), so it stays an
+            # opt-in for chips where XLA's sliced gather lowers worse
+            bm25_pallas = self.cfg.bm25_pallas and (
                 jax.default_backend() == "tpu"
                 or getattr(self.cfg, "_test_force_fast_path", False)
             )

@@ -285,16 +285,26 @@ def aligned_blocks_needed(p_len_list) -> int:
     return sum((ln + BLOCK - 1) // BLOCK + 1 for ln in p_len_list if ln > 0)
 
 
+# TPU tiling: a (1, BLOCK) block fails the (8, 128) sublane/lane rule, so
+# blocks are shaped (1, 8, BLOCK // 8) — sublane 8, lane BLOCK/8 (128 at
+# BLOCK=1024).
+_SUB8 = 8
+_LANE = BLOCK // _SUB8
+
+
 def _bm25_gather_kernel(
     sb_ref, lo_ref, hi_ref,            # scalar prefetch: plan
     par_ref,                           # [1, 4] f32: boost, avgdl, nfd
-    docs_ref, tf_ref, ni_ref, plens_ref,   # [1, BLOCK] gathered planes
-    contrib_ref, docs_out_ref,         # [1, BLOCK] outputs
+    docs_ref, tf_ref, ni_ref, plens_ref,   # [1, 8, BLOCK//8] planes
+    contrib_ref, docs_out_ref,         # [1, 8, BLOCK//8] outputs
 ):
     import jax
 
     i = pl.program_id(0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    # flat in-block position from (sublane, lane): row-major reshape order
+    j = jax.lax.broadcasted_iota(
+        jnp.int32, (1, _SUB8, _LANE), 1
+    ) * _LANE + jax.lax.broadcasted_iota(jnp.int32, (1, _SUB8, _LANE), 2)
     valid = ((j >= lo_ref[i]) & (j < hi_ref[i])).astype(jnp.float32)
     boost, avgdl, nfd = par_ref[0, 0], par_ref[0, 1], par_ref[0, 2]
     tf = tf_ref[:]
@@ -338,16 +348,18 @@ def bm25_scores_blocked_pallas(
     p = post_docs.shape[0]
     assert p % BLOCK == 0, "pad posting arrays to a BLOCK multiple"
     rows = p // BLOCK
-    d2 = post_docs.reshape(rows, BLOCK)
-    t2 = post_tf.reshape(rows, BLOCK)
-    n2 = post_ni.reshape(rows, BLOCK)
-    l2 = post_lens.reshape(rows, BLOCK)
+    d2 = post_docs.reshape(rows, _SUB8, _LANE)
+    t2 = post_tf.reshape(rows, _SUB8, _LANE)
+    n2 = post_ni.reshape(rows, _SUB8, _LANE)
+    l2 = post_lens.reshape(rows, _SUB8, _LANE)
     params = jnp.stack(
         [field_boost, avgdl, n_field_docs, jnp.float32(0.0)]
     ).reshape(1, 4)
 
     def plane_spec():
-        return _pl.BlockSpec((1, BLOCK), lambda i, sb, lo, hi: (sb[i], 0))
+        return _pl.BlockSpec(
+            (1, _SUB8, _LANE), lambda i, sb, lo, hi: (sb[i], 0, 0)
+        )
 
     grid_spec = _pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -357,16 +369,20 @@ def bm25_scores_blocked_pallas(
             plane_spec(), plane_spec(), plane_spec(), plane_spec(),
         ],
         out_specs=[
-            _pl.BlockSpec((1, BLOCK), lambda i, sb, lo, hi: (i, 0)),
-            _pl.BlockSpec((1, BLOCK), lambda i, sb, lo, hi: (i, 0)),
+            _pl.BlockSpec(
+                (1, _SUB8, _LANE), lambda i, sb, lo, hi: (i, 0, 0)
+            ),
+            _pl.BlockSpec(
+                (1, _SUB8, _LANE), lambda i, sb, lo, hi: (i, 0, 0)
+            ),
         ],
     )
     contrib, docs_o = _pl.pallas_call(
         _bm25_gather_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, BLOCK), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, _SUB8, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, _SUB8, _LANE), jnp.int32),
         ],
         interpret=interpret,
     )(block_idx, lo_off, hi_off, params, d2, t2, n2, l2)
