@@ -65,9 +65,12 @@ def main() -> None:
     log(f"device {jax.devices()[0]}; int8 corpus {N_PAD}x{D} "
         f"({N_PAD*D/1e9:.1f} GB + scales)")
 
-    CHUNK = min(1_000_000, N_PAD)
+    # chunk size: a multiple of the kernel block that divides N_PAD
+    # (halving could land on a non-multiple and trip the kernel's
+    # divisibility assert at some --docs values)
+    CHUNK = BN * max(1, min(1_000_000 // BN, N_PAD // BN))
     while N_PAD % CHUNK:
-        CHUNK //= 2
+        CHUNK -= BN
     N_CHUNKS = N_PAD // CHUNK
 
     # The corpus lives as N_CHUNKS independent [CHUNK, D] int8 arrays, not

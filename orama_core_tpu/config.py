@@ -118,11 +118,12 @@ class TpuConfig:
     # "pq" (ADC + exact rerank), "ivf_pq" (IVF partitions + PQ candidate
     # scan + exact rerank — the scale mode)
     vector_index: str = "exact"
-    # int8 fast-path phase 1: "pallas" (streaming Mosaic kernel — minimum
-    # HBM traffic) or "xla" (XLA's int8 MXU matmul + reduce, ~1.4x faster
-    # dot at the cost of materializing sims; pick per-hardware via
-    # benchmarks/int8_30m_bench.py --phase1)
-    int8_phase1: str = "pallas"
+    # int8 fast-path phase 1: "xla" (XLA's int8 MXU matmul + reduce —
+    # measured faster on v5e: 693.8 vs 668.3 QPS at 10Mx384, and its dot
+    # lowers ~1.4x faster than the Mosaic in-kernel dot) or "pallas"
+    # (streaming kernel, minimum HBM traffic — may win on HBM-poorer
+    # chips). Compare per chip: benchmarks/int8_30m_bench.py --phase1
+    int8_phase1: str = "xla"
     # BM25 posting scan in the fused program: the Pallas DMA-aligned
     # block-gather variant (ops/bm25.bm25_scores_blocked_pallas) — at
     # parity with the XLA blocked scan on v5e, opt-in for other chips
