@@ -349,7 +349,14 @@ def _subblock_max_mv_kernel(
     pos = sims > 0.0                                    # [BN, Q]
     d_col = d_ref[:]                                    # int32 [BN, 1]
     eff = jnp.where(pos, d_col, -1)                     # [BN, Q]
-    run = jax.lax.cummax(eff, axis=0)                   # inclusive
+    # inclusive running max over rows via a log-step doubling scan
+    # (lax.cummax has no Mosaic lowering)
+    run = eff
+    shift = 1
+    while shift < bn:
+        pad = jnp.full((shift, run.shape[1]), -1, run.dtype)
+        run = jnp.maximum(run, jnp.concatenate([pad, run[:-shift]], axis=0))
+        shift *= 2
     prev = jnp.concatenate([carry_ref[:], run[:-1, :]], axis=0)  # exclusive
     newdoc = (pos & (d_col > prev)).astype(jnp.float32)
     cnt_ref[:] = jnp.concatenate(
