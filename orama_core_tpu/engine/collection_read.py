@@ -1698,13 +1698,7 @@ class CollectionReader:
         # (fulltext batches split by per-row posting bucket inside
         # search_fulltext_batch, with a per-group memory chunk — no outer
         # worst-bucket chunking needed)
-        filter_mask = self._filter_mask(p0.where)
-        # pad the batch dimension to a bucket: every distinct B is a separate
-        # compiled program, and serving produces many partial batch sizes.
-        # Padding queries use an empty term (zero scores everywhere).
         b_real = len(params_list)
-        b_pad = bucket_pad(b_real, (4, 16, 64, 256))
-        terms = [p.term for p in params_list] + [""] * (b_pad - b_real)
         if (
             p0.mode == SearchModeKind.VECTOR
             and all(p.vector is None for p in params_list)
@@ -1715,6 +1709,26 @@ class CollectionReader:
                 return self._search_batch_vector_topk_fast(
                     params_list, ai_service, fast_fid
                 )
+        # batched one-dispatch fused program (ops/hybrid.py): when the
+        # whole batch is expressible as static-shape groups, serving is
+        # one dispatch per posting-bucket group + one host sync
+        helig = self._hybrid_fused_eligible(p0)
+        if helig is not None and all(
+            not p.facets
+            and p.limit <= 1024
+            and p.vector is None
+            and (p0.mode == SearchModeKind.VECTOR or p.term.strip())
+            for p in params_list
+        ):
+            return self._search_batch_hybrid_fused(
+                params_list, ai_service, *helig
+            )
+        filter_mask = self._filter_mask(p0.where)
+        # pad the batch dimension to a bucket: every distinct B is a separate
+        # compiled program, and serving produces many partial batch sizes.
+        # Padding queries use an empty term (zero scores everywhere).
+        b_pad = bucket_pad(b_real, (4, 16, 64, 256))
+        terms = [p.term for p in params_list] + [""] * (b_pad - b_real)
         cand = (
             self._filter_candidates(p0.where)
             if p0.mode != SearchModeKind.FULLTEXT else None
@@ -2733,6 +2747,157 @@ class CollectionReader:
             if s > 0.0
         ]
         return ranked, int(count), None
+
+    def _search_batch_hybrid_fused(
+        self,
+        params_list: List[SearchParams],
+        ai_service,
+        mode: str,
+        sfid: Optional[int],
+        vfid: Optional[int],
+        nf,
+    ) -> List[Tuple[List[Tuple[int, float]], int]]:
+        """Batched fused serving (ops/hybrid.hybrid_fused_topk_batch): the
+        micro-batcher's B>1 path as one dispatch per posting-bucket group
+        (plus one embed call and one host sync for the whole batch),
+        instead of per-group BM25 + vector + fusion + top-k dispatches.
+        Rows keep their own posting bucket — padding the whole batch to
+        the worst row's budget measured SLOWER than sequential on
+        Zipf-heavy 1M workloads (see search_fulltext_batch)."""
+        from ..ops import hybrid as hybrid_ops
+
+        cap = self.capacity
+        p0 = params_list[0]
+        b_real = len(params_list)
+        steps = self.cfg.posting_bucket_steps
+        k = min(
+            bucket_pad(max(p.limit for p in params_list), (16, 128, 1024)),
+            cap,
+        )
+
+        if sfid is not None:
+            f = self.fields[sfid]
+            parser = get_parser(f.locale or self.default_locale)
+            committed = self._string[sfid].committed
+            gi = committed.global_info()  # windows empty by eligibility
+            gi_avgdl, gi_n = gi.avgdl, gi.total_documents
+            field_boost = float(p0.boost.get(f.name, 1.0))
+            ts_host = committed.term_starts
+            span_rows: List[List[Tuple[int, int]]] = []
+            g_totals: List[int] = []
+            for p in params_list:
+                tokens = parser.tokenize(p.term)
+                spans = [committed.term_dict.prefix_range(t) for t in tokens]
+                spans = [(lo, hi) for lo, hi in spans if hi > lo][:32]
+                span_rows.append(spans)
+                g_totals.append(
+                    int(sum(ts_host[hi] - ts_host[lo] for lo, hi in spans))
+                )
+            (
+                d_docs, d_tf, d_ni, d_plens, d_pos, _d_posdocs,
+                d_tstarts, d_pstarts,
+            ) = self._device.string_arrays(committed)
+        else:
+            gi_avgdl = gi_n = 1.0
+            field_boost = 1.0
+            z = jnp.zeros(1, jnp.int32)
+            zf = jnp.zeros(1, jnp.float32)
+            d_tstarts = d_pstarts = d_pos = d_docs = z
+            d_tf = d_ni = d_plens = zf
+
+        if vfid is not None:
+            vf = self._vector[vfid]
+            model = self.fields[vfid].model
+            q = ai_service.embed_query(model, [p.term for p in params_list])
+            qn = np.asarray(q, np.float32)
+            qn = qn / np.maximum(
+                np.linalg.norm(qn, axis=1, keepdims=True), 1e-12
+            )
+            vecs, vec_docs, vec_valid = self._device.vector_arrays(
+                vf.committed
+            )
+        else:
+            qn = np.zeros((b_real, 1), np.float32)
+            vecs = jnp.zeros((1, 1), jnp.float32)
+            vec_docs = jnp.zeros(1, jnp.int32)
+            vec_valid = jnp.zeros(1, jnp.float32)
+
+        alive = self._alive_mask_device()
+        masked = bool(p0.where) or bool(self.deleted)
+        if nf is not None:
+            nfid, filt = nf
+            nvals, ndocs, nvalid = self._device.number_arrays(
+                self._number[nfid].committed
+            )
+            if filt.op == "eq":
+                kind = "eq"
+                lo = hi = jnp.float32(filt.value)
+                lx = hx = jnp.array(True)
+            else:
+                kind = "range"
+                lo_, hi_, lx_, hx_ = self._number[
+                    nfid
+                ].committed.filter_bounds(filt)
+                lo, hi = jnp.float32(lo_), jnp.float32(hi_)
+                lx, hx = jnp.array(lx_), jnp.array(hx_)
+        else:
+            kind = "none"
+            nvals = jnp.zeros(1, jnp.float32)
+            nvalid = jnp.zeros(1, bool)
+            ndocs = jnp.zeros(1, jnp.int32)
+            lo = hi = jnp.float32(0.0)
+            lx = hx = jnp.array(True)
+
+        # group rows by their own posting bucket (vector mode: one group)
+        if sfid is not None:
+            groups: Dict[int, List[int]] = {}
+            for row, gt in enumerate(g_totals):
+                groups.setdefault(bucket_pad(max(gt, 1), steps), []).append(
+                    row
+                )
+        else:
+            groups = {1: list(range(b_real))}
+        fusion = (
+            "minmax" if p0.fusion == HybridFusion.MINMAX else "rrf"
+        )
+        pending: List[Tuple[List[int], Any]] = []
+        for g_budget, rows in sorted(groups.items()):
+            chunk = max(1, self._BATCH_SLOT_BUDGET // g_budget)
+            for c0 in range(0, len(rows), chunk):
+                rows_c = rows[c0 : c0 + chunk]
+                b_pad = bucket_pad(len(rows_c), (4, 16, 64, 256))
+                spans_b = np.zeros((b_pad, 32, 2), np.int32)
+                if sfid is not None:
+                    for i, r in enumerate(rows_c):
+                        for si, (s_lo, s_hi) in enumerate(span_rows[r]):
+                            spans_b[i, si] = (s_lo, s_hi)
+                q_b = np.zeros((b_pad, qn.shape[1]), np.float32)
+                q_b[: len(rows_c)] = qn[rows_c]
+                out = hybrid_ops.hybrid_fused_topk_batch(
+                    d_tstarts, d_docs, d_tf, d_ni, d_plens, d_pstarts, d_pos,
+                    jnp.asarray(spans_b), jnp.float32(field_boost),
+                    jnp.float32(gi_avgdl), jnp.float32(gi_n),
+                    vecs, vec_docs, vec_valid, jnp.asarray(q_b),
+                    alive, nvals, ndocs, nvalid, lo, hi, lx, hx,
+                    n_docs=cap, k=k, fusion=fusion, nf=kind, masked=masked,
+                    mode=mode, g_budget=g_budget,
+                )
+                pending.append((rows_c, out))
+        # one host sync for every group's results
+        fetched = jax.device_get([o for _, o in pending])
+        results: List[Optional[Tuple[List[Tuple[int, float]], int]]] = (
+            [None] * b_real
+        )
+        for (rows_c, _), (vals, idx, counts) in zip(pending, fetched):
+            for i, r in enumerate(rows_c):
+                p = params_list[r]
+                ranked = [
+                    (int(d), float(s))
+                    for d, s in zip(idx[i][: p.limit], vals[i][: p.limit])
+                    if s > 0.0
+                ]
+                results[r] = (ranked, int(counts[i]))
+        return results  # every slot filled: groups partition the rows
 
     def search(
         self, params: SearchParams, ai_service

@@ -127,3 +127,88 @@ def hybrid_fused_topk(
     vals, idx = jax.lax.top_k(fused, k)
     count = jnp.sum(fused > 0).astype(jnp.int32)
     return vals, idx.astype(jnp.int32), count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_docs", "k", "fusion", "nf", "masked", "mode", "g_budget",
+    ),
+)
+def hybrid_fused_topk_batch(
+    # committed postings CSR (device cache: string_arrays; dummies when
+    # mode == "vector")
+    term_starts, post_docs, post_tf, post_ni, post_lens, pos_starts, positions,
+    spans_b,                    # int32[B, MAXTOK, 2] per-row token spans
+    field_boost, avgdl, nfd,    # f32[] global info
+    # committed vectors (dummies when mode == "fulltext")
+    vecs, vec_docs, vec_valid, queries,   # queries f32[B, D] normalized
+    # masks/filters (shared by the whole batch — the batcher keys on them)
+    alive_mask,
+    nf_vals, nf_docs, nf_valid,
+    nf_lo, nf_hi, nf_lx, nf_hx,
+    *,
+    n_docs: int,
+    k: int,
+    fusion: str,       # "rrf" | "minmax"
+    nf: str,           # "none" | "range" | "eq"
+    masked: bool,
+    mode: str,         # "hybrid" | "fulltext" | "vector"
+    g_budget: int,     # static posting budget for the whole group
+):
+    """Batched one-dispatch serving program (the micro-batcher's B>1 shape
+    families): per-row span BM25 + one corpus matmul for all B queries +
+    fusion + top-k, a single XLA dispatch per posting-bucket group. Rows
+    are non-phrase by construction (read_side._batchable routes phrase
+    queries to the single-query docmajor kernel). Results are
+    row-for-row identical to the separate batch kernels
+    (bm25_scores_from_spans_batch / brute_force_scores_batch + vmapped
+    fusion + top_k): the constituent kernels are called inside one trace.
+
+    Returns (vals f32[B, k], ids int32[B, k], counts int32[B]).
+    """
+    if nf == "range":
+        m = filter_ops.number_range_mask(
+            nf_vals, nf_docs, nf_valid, nf_lo, nf_hi, nf_lx, nf_hx,
+            n_docs=n_docs,
+        )
+        mask = filter_ops.combine_masks(alive_mask, m)
+    elif nf == "eq":
+        m = filter_ops.number_eq_mask(
+            nf_vals, nf_docs, nf_valid, nf_lo, n_docs=n_docs
+        )
+        mask = filter_ops.combine_masks(alive_mask, m)
+    else:
+        mask = alive_mask
+    if mode != "vector":
+        ft = bm25_ops.bm25_scores_from_spans_batch(
+            term_starts, post_docs, post_tf, post_ni, post_lens,
+            pos_starts, positions,
+            spans_b, field_boost, mask, avgdl, nfd,
+            n_docs=n_docs, g_budget=g_budget, pp_budget=1, phrase=False,
+            masked=masked,
+        )                                                   # [B, n_docs]
+    if mode != "fulltext":
+        vec = vector_ops.brute_force_scores_batch(
+            vecs, vec_docs, vec_valid, queries, mask, n_docs=n_docs
+        )                                                   # [B, n_docs]
+    if mode == "fulltext":
+        fused = ft
+    elif mode == "vector":
+        fused = vec
+    else:
+        if fusion == "rrf":
+            # candidate-exact RRF per row; lax.map (not vmap) keeps the
+            # [2c, n_docs] rank-compare intermediate per-row instead of
+            # materializing a [B, 2c, n_docs] batch of them
+            from .fusion import rrf_candidate_count, rrf_fuse_topk
+
+            cand = rrf_candidate_count(k)
+            vals, idx, counts = jax.lax.map(
+                lambda fv: rrf_fuse_topk(fv[0], fv[1], k, cand), (ft, vec)
+            )
+            return vals, idx.astype(jnp.int32), counts.astype(jnp.int32)
+        fused = jax.vmap(minmax_fuse)(ft, vec)
+    vals, idx = jax.lax.top_k(fused, k)
+    counts = jnp.sum(fused > 0, axis=-1).astype(jnp.int32)
+    return vals, idx.astype(jnp.int32), counts
