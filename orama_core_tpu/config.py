@@ -112,6 +112,13 @@ class TpuConfig:
     # Few, coarse buckets: each (bucket-combination, capacity) pair is one
     # compiled program; padded-slot compute is ~free next to a recompile
     posting_bucket_steps: Tuple[int, ...] = (1024, 16384, 262144, 4194304)
+    # Scan-budget buckets for the batched span path: unlike the array
+    # paddings above, the kernel READS the whole budget, so a x16 ladder
+    # made a ~1M-posting row scan 4.2M slots. x4 steps cap the waste at 4x
+    # while keeping batch coalescing (rows group by budget)
+    budget_bucket_steps: Tuple[int, ...] = (
+        1024, 16384, 65536, 262144, 1048576, 4194304,
+    )
     use_pallas: bool = True
     # Vector scoring path: "exact" (bf16 matmul), "int8" (quantized matmul),
     # "ivf" (clustered candidates above ivf_threshold, exact below),

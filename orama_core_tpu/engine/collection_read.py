@@ -1226,7 +1226,7 @@ class CollectionReader:
                     need_blocks = sum(
                         (ln + BLOCK - 1) // BLOCK for ln in p_len_list
                     )
-                    nb = bucket_pad(max(need_blocks, 1), (16, 256, 4096, 65536))
+                    nb = bucket_pad(max(need_blocks, 1), bm25_ops.PLAN_BUCKETS)
                     b_starts, b_valid = build_block_plan(p_lo_list, p_len_list, nb)
                     (
                         d_docs, d_tf, d_ni, d_plens, d_pos, d_posdocs,
@@ -1590,7 +1590,9 @@ class CollectionReader:
                     if g_totals[row] <= 0:
                         continue
                     phrase = len(tokens) > 1
-                    g_budget = bucket_pad(g_totals[row], steps)
+                    g_budget = bucket_pad(
+                        g_totals[row], self.cfg.budget_bucket_steps
+                    )
                     if phrase:
                         pp_total = int(
                             sum(
@@ -1599,7 +1601,9 @@ class CollectionReader:
                                 for lo, hi in span_rows[row]
                             )
                         )
-                        pp_budget = bucket_pad(max(pp_total, 1), steps)
+                        pp_budget = bucket_pad(
+                            max(pp_total, 1), self.cfg.budget_bucket_steps
+                        )
                     else:
                         pp_budget = 1
                     groups.setdefault((phrase, g_budget, pp_budget), []).append(row)
@@ -1912,7 +1916,7 @@ class CollectionReader:
         if not term.strip():
             return filter_mask.astype(jnp.float32)
         scores = self._device.zeros_sharded(cap_s)
-        plan_steps = (16, 256, 4096, 65536)
+        plan_steps = bm25_ops.PLAN_BUCKETS
         tokens_cache: Dict[str, List[str]] = {}
         for fid in self._string_properties(properties):
             f = self.fields[fid]
@@ -2632,7 +2636,7 @@ class CollectionReader:
             )
             if bm25_pallas:
                 need = aligned_blocks_needed(p_len)
-                nb = bucket_pad(max(need, 1), (16, 256, 4096, 65536))
+                nb = bucket_pad(max(need, 1), bm25_ops.PLAN_BUCKETS)
                 sb_a, lo_a, hi_a = build_block_plan_aligned(p_lo, p_len, nb)
                 ba_idx, ba_lo, ba_hi = (
                     jnp.asarray(sb_a), jnp.asarray(lo_a), jnp.asarray(hi_a)
@@ -2640,7 +2644,7 @@ class CollectionReader:
                 b_starts = b_valid = np.zeros(1, np.int32)
             else:
                 need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
-                nb = bucket_pad(max(need, 1), (16, 256, 4096, 65536))
+                nb = bucket_pad(max(need, 1), bm25_ops.PLAN_BUCKETS)
                 b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
                 ba_idx = ba_lo = ba_hi = jnp.zeros(1, jnp.int32)
             (

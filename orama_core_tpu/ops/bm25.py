@@ -227,6 +227,15 @@ def bm25_scores_from_spans_batch(
 
 BLOCK = 1024  # posting block for the sliced scoring path
 
+# Static block-count buckets for the scan plans. The scan reads (and pays
+# for) the WHOLE bucket, so ladder tightness is scan efficiency: the old
+# x16 ladder (16, 256, 4096, 65536) made a 1M-posting query (~1000 blocks)
+# scan a 4096-block bucket — 4.2x the real work, the dominant share of the
+# measured 22 ms BM25 stage at 1M. x2 steps from 1024 up cap the waste at
+# 2x exactly where scans are big enough to matter; below 1024 blocks the
+# scan is a few ms and fewer program variants win.
+PLAN_BUCKETS = (16, 64, 256, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
 
 def build_block_plan(p_lo, p_len, n_blocks_budget: int):
     """Host: align each token's posting span to BLOCK multiples and emit
