@@ -533,7 +533,12 @@ class _DeviceCache:
             )
             p_l = bucket_pad(max(int(np.diff(offs).max()), 1), steps)
             vecs_st = np.zeros((S, p_l, v.dimension), np.float32)
-            docs_st = np.zeros((S, p_l), np.int32)
+            # pad rows point at the shard's LAST doc slot, not doc 0: the
+            # dense scorer zeroes them via `valid` either way, and the
+            # fast-path kernels (vector_topk_fast) require row_docs to stay
+            # ascending — zero-vector pads at local_cap-1 contribute no
+            # score and no match count
+            docs_st = np.full((S, p_l), local_cap - 1, np.int32)
             valid_st = np.zeros((S, p_l), np.float32)
             vp = v.vecs[perm]
             for si in range(S):
@@ -549,6 +554,26 @@ class _DeviceCache:
             )
 
         return self._get(v, ("vec_sh", local_cap), build)
+
+    def sharded_vector_rowstarts(self, v: CommittedVectorIndex, local_cap: int):
+        """Per-shard doc -> row-range CSR (int32[S, local_cap+1]) over the
+        SAME row partition as sharded_vector_arrays — the multi-vector
+        fast path's exact-rescore input. Pad rows are excluded (the CSR
+        covers real rows only). Valid for doc-ascending row layouts."""
+
+        def build():
+            S = self.n_shards
+            _, offs, local_docs = self._shard_perm(
+                v.vec_docs.astype(np.int64), local_cap, S
+            )
+            starts = np.zeros((S, local_cap + 1), np.int64)
+            for si in range(S):
+                a, b = int(offs[si]), int(offs[si + 1])
+                counts = np.bincount(local_docs[a:b], minlength=local_cap)
+                np.cumsum(counts, out=starts[si, 1:])
+            return self._put_stacked(starts.astype(np.int32))
+
+        return self._get(v, ("vec_rowstarts_sh", local_cap), build)
 
     def sharded_vector_int8_arrays(self, v: CommittedVectorIndex, local_cap: int):
         def build():
@@ -2149,6 +2174,9 @@ class CollectionReader:
             if params.facets:
                 matched_sh = (ft > 0).astype(jnp.float32)
         elif params.mode == SearchModeKind.VECTOR:
+            fast = self._sharded_vector_fast(params, ai_service)
+            if fast is not None:
+                return fast
             vec = self._vector_scores_sharded(
                 params.term, ai_service, filter_mask, raw_vec=params.vector,
                 limit=params.limit,
@@ -2181,6 +2209,94 @@ class CollectionReader:
         vals, gids, count = jax.device_get(out)
         ranked = [(int(d), float(s)) for d, s in zip(gids, vals) if s > 0.0]
         return ranked, int(count), facets
+
+    def _sharded_vector_fast(
+        self, params: SearchParams, ai_service
+    ) -> Optional[Tuple[List[Tuple[int, float]], int, None]]:
+        """Mesh vector-mode fast path: per-shard fused Pallas top-k +
+        O(S*k) merge (parallel/sharded_engine.vector_topk_fast) — the
+        sharded counterpart of _vector_topk_fast, never building the
+        dense sharded [cap] score array. Engages only when nothing
+        downstream needs dense scores (no facets/filters/deletes) and
+        the committed segment is the whole corpus (empty uncommitted
+        window); everything else keeps the dense sharded pipeline.
+        Multi-vector (chunked) corpora use the segment-aware kernel."""
+        if (
+            params.facets
+            or params.where
+            or self.deleted
+            or self.cfg.vector_index != "exact"
+            or not self.cfg.use_pallas
+            or params.limit > 128
+        ):
+            return None
+        if jax.default_backend() != "tpu" and not getattr(
+            self.cfg, "_test_force_fast_path", False
+        ):
+            return None
+        emb = [
+            fid for fid, f in self.fields.items()
+            if f.type == ValueType.EMBEDDING and f.model
+        ]
+        if len(emb) != 1:
+            return None
+        vf = self._vector[emb[0]]
+        c = vf.committed
+        if c.is_empty or not vf.uncommitted.is_empty:
+            return None
+        single = getattr(c, "_single_vec_per_doc", None)
+        if single is None:
+            single = len(np.unique(c.vec_docs)) == c.n_vectors
+            c._single_vec_per_doc = single
+        if not single:
+            asc = getattr(c, "_docs_ascending", None)
+            if asc is None:
+                asc = bool(np.all(np.diff(c.vec_docs) >= 0))
+                c._docs_ascending = asc
+                c._max_chunks = (
+                    int(np.bincount(c.vec_docs).max()) if asc else 0
+                )
+            if not c._docs_ascending or c._max_chunks > 64:
+                return None
+        from ..parallel import sharded_engine as se
+        from ..server import metrics as m
+
+        mesh, S, local_cap, cap_s = self._sharded_ctx()
+        f = self.fields[emb[0]]
+        qn = self._resolve_query_vec(
+            f.model, params.term, ai_service, params.vector
+        )
+        vecs, rowdocs, _valid = self._device.sharded_vector_arrays(
+            c, local_cap
+        )
+        p_l = int(vecs.shape[1])
+        bn = 2048
+        while p_l % bn:
+            bn //= 2
+        k = (
+            params.limit
+            if params.limit <= 16
+            else bucket_pad(params.limit, (16, 128))
+        )
+        k = min(k, local_cap)
+        if single:
+            rowstarts = rowdocs  # unused operand in the single-vec program
+            m_max = 1
+        else:
+            rowstarts = self._device.sharded_vector_rowstarts(c, local_cap)
+            m_max = 1 << max(0, int(np.ceil(np.log2(c._max_chunks))))
+        prog = se.vector_topk_fast(
+            mesh, local_cap, k, bn, m_max, p_l,
+            not single, jax.default_backend() != "tpu",
+        )
+        vals, gids, count = jax.device_get(
+            prog(vecs, rowdocs, rowstarts, jnp.asarray(qn, jnp.float32))
+        )
+        m.VECTOR_PATH.inc(path="fast_sharded")
+        ranked = [
+            (int(d), float(s)) for d, s in zip(gids, vals) if s > 0.0
+        ][: params.limit]
+        return ranked, int(count), None
 
     def compute_facets_sharded(
         self, matched: jax.Array, facet_defs: Dict[str, Any]

@@ -313,14 +313,30 @@ def knn_topk_with_count(
 
 
 def _subblock_max_mv_kernel(
-    q_ref, v_ref, d_ref, out_ref, cnt_ref, carry_ref, *, sub: int, n_valid: int
+    q_ref, v_ref, d_ref, out_ref, cnt_ref, carry_ref, csum_ref, cdoc_ref,
+    *, sub: int, n_valid: int
 ):
     """Multi-vector variant: corpus rows carry an int32 doc-id column
-    (ASCENDING along rows — each doc's chunk rows are contiguous), and the
-    count output is the number of DOCS with a positive row, not rows: a
-    row counts iff it is positive and its doc id exceeds the running max
-    doc id over all earlier positive rows (exact because doc ids ascend).
-    The running max carries across corpus blocks in a VMEM scratch — the
+    (ASCENDING along rows — each doc's chunk rows are contiguous).
+
+    out: per-sub-block max of the segmented INCLUSIVE relu-sum scan over
+    rows (segments = docs). The doc's scoring metric is a SUM of relu
+    sims over its chunk rows, so ranking sub-blocks by per-row max (the
+    single-vector metric) misses docs whose rows are individually
+    mediocre but collectively strong. The inclusive scan value at a
+    doc's LAST row is its full sum (a cross-block f32 carry handles docs
+    spanning block boundaries), so every doc's true score appears in the
+    sub-block holding its last row, and any sub-block's max is bounded
+    by the best doc total inside it — the top-k sub-blocks by this
+    metric are guaranteed to contain the true top-k docs' ending
+    sub-blocks (same argument as the single-vector block-max filter).
+    The endpoint-equality test d[i-shift]==d[i] is a sound same-segment
+    test at every doubling step because doc ids are monotone.
+
+    cnt: the number of DOCS with a positive row, not rows: a row counts
+    iff it is positive and its doc id exceeds the running max doc id
+    over all earlier positive rows (exact because doc ids ascend). The
+    running max carries across corpus blocks in a VMEM scratch — the
     TPU grid is sequential, so the scan order is the row order."""
     step = pl.program_id(0)
     bn = v_ref.shape[0]
@@ -328,6 +344,8 @@ def _subblock_max_mv_kernel(
     @pl.when(step == 0)
     def _init():
         carry_ref[:] = jnp.full(carry_ref.shape, -1, jnp.int32)
+        csum_ref[:] = jnp.zeros(csum_ref.shape, jnp.float32)
+        cdoc_ref[:] = jnp.full(cdoc_ref.shape, -1, jnp.int32)
 
     sims = jax.lax.dot_general(
         v_ref[:], q_ref[:],
@@ -337,17 +355,37 @@ def _subblock_max_mv_kernel(
     base = step * bn
     row_ids = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 0) + base
     sims = jnp.where(row_ids < n_valid, sims, NEG)
+    d_col = d_ref[:]                                    # int32 [BN, 1]
+
+    # segmented inclusive relu-sum scan (Hillis-Steele doubling; monotone
+    # contiguous segments make the endpoint test exact per step)
+    seg = jnp.maximum(sims, 0.0)                        # [BN, Q]
+    shift = 1
+    while shift < bn:
+        d_sh = jnp.concatenate(
+            [jnp.full((shift, 1), -2, jnp.int32), d_col[:-shift]], axis=0
+        )
+        s_sh = jnp.concatenate(
+            [jnp.zeros((shift, seg.shape[1]), seg.dtype), seg[:-shift]],
+            axis=0,
+        )
+        seg = seg + jnp.where(d_sh == d_col, s_sh, 0.0)
+        shift *= 2
+    # a doc split across the block boundary: add the carried prefix sum
+    # to its rows in this block (equal ids form a prefix — monotone)
+    seg = seg + jnp.where(d_col == cdoc_ref[:], csum_ref[:], 0.0)
+    csum_ref[:] = seg[-1:, :]
+    cdoc_ref[:] = jnp.broadcast_to(d_col[-1:, :], cdoc_ref.shape)
 
     out_ref[:] = jnp.concatenate(
         [
-            jnp.max(sims[c * sub : (c + 1) * sub, :], axis=0, keepdims=True)
+            jnp.max(seg[c * sub : (c + 1) * sub, :], axis=0, keepdims=True)
             for c in range(bn // sub)
         ],
         axis=0,
     )
 
     pos = sims > 0.0                                    # [BN, Q]
-    d_col = d_ref[:]                                    # int32 [BN, 1]
     eff = jnp.where(pos, d_col, -1)                     # [BN, Q]
     # inclusive running max over rows via a log-step doubling scan
     # (lax.cummax has no Mosaic lowering)
@@ -375,30 +413,48 @@ def _rescore_topk_segmented(
 ):
     """Phase 2 for multi-vector docs, two stages:
 
-    2a (candidate docs): gather k*over candidate sub-blocks, rescore
-    their rows, relu, aggregate by doc via a sorted-run segment sum —
-    PARTIAL per-doc sums that rank candidate docs.
+    2a (candidate docs): phase 1's metric is the per-sub-block max of the
+    segmented inclusive relu-sum scan, so every doc's TRUE total appears
+    in the sub-block holding its last row, and the top k*over sub-blocks
+    by metric are guaranteed to contain the true top-k docs' ending
+    sub-blocks (block-max-filter argument: a sub-block's metric never
+    exceeds the best doc total inside it). Each selected sub-block is
+    gathered together with the predecessors a doc's chunk rows can span
+    (ceil((m_max-1)/sub) of them, duplicates masked), so a doc ending in
+    a selected sub-block has ALL its rows gathered — its per-doc partial
+    sum from the gather is its exact total, making the candidate-doc
+    ranking sound, not approximate.
 
-    2b (exact rescore): for the top k*over docs by partial sum, gather
-    ALL of each doc's chunk rows through the doc-CSR ``row_starts`` and
-    compute the exact sum of relu cos — the dense scorer's semantics —
-    then take the final doc top-k. A true top-k doc is missed only if its
-    PARTIAL sum fell below k*over candidates' partials, which over-fetch
-    makes rare (the engine test pins agreement vs the dense path).
+    2b (exact rescore): for the top k*over docs by 2a sum, gather ALL of
+    each doc's chunk rows through the doc-CSR ``row_starts`` and compute
+    the exact sum of relu cos — the dense scorer's semantics — then take
+    the final doc top-k.
 
     Returns (values f32[Q, k], DOC ids int32[Q, k])."""
     nsub = bmax_t.shape[1]
     k2 = min(k * over, nsub)
     _, sub_ids = jax.lax.top_k(bmax_t, k2)                 # [Q, k2]
+    span = -(-(m_max - 1) // sub) + 1                      # sub-blocks/doc
+    ext = (
+        sub_ids[:, :, None]
+        - jax.lax.broadcasted_iota(jnp.int32, (qn, k2, span), 2)
+    ).reshape(qn, k2 * span)                               # [Q, k2*span]
+    ext = jnp.clip(ext, 0, nsub - 1)
+    ext = jnp.sort(ext, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((qn, 1), bool), ext[:, 1:] == ext[:, :-1]], axis=1
+    )                                                      # mask repeats
+    ksel = k2 * span
     rows = (
-        sub_ids[:, :, None] * sub
-        + jax.lax.broadcasted_iota(jnp.int32, (qn, k2, sub), 2)
-    ).reshape(qn, k2 * sub)                                # [Q, C]
-    c = k2 * sub
+        ext[:, :, None] * sub
+        + jax.lax.broadcasted_iota(jnp.int32, (qn, ksel, sub), 2)
+    ).reshape(qn, ksel * sub)                              # [Q, C]
+    c = ksel * sub
     sims = jnp.einsum(
         "qd,qcd->qc", queries, vecs[rows], preferred_element_type=jnp.float32
     )
-    sims = jnp.where(rows < n_valid, jnp.maximum(sims, 0.0), 0.0)
+    keep = (rows < n_valid) & ~jnp.repeat(dup, sub, axis=1)
+    sims = jnp.where(keep, jnp.maximum(sims, 0.0), 0.0)
     d = row_docs[rows]                                     # [Q, C]
     order = jnp.argsort(d, axis=1)
     ds = jnp.take_along_axis(d, order, axis=1)
@@ -535,7 +591,11 @@ def knn_topk_multivec_with_count(
             jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
             jax.ShapeDtypeStruct((nsub, qn), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((1, qn), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((1, qn), jnp.int32),
+            pltpu.VMEM((1, qn), jnp.float32),
+            pltpu.VMEM((1, qn), jnp.int32),
+        ],
         interpret=interpret,
     )(queries, vecs, row_docs[:, None].astype(jnp.int32))
     count = jnp.sum(bcnt.astype(jnp.int32), axis=0)

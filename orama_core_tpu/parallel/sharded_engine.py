@@ -144,6 +144,66 @@ def vector_scores_int8(mesh: Mesh, n_local_docs: int):
 
 
 @functools.lru_cache(maxsize=None)
+def vector_topk_fast(
+    mesh: Mesh,
+    n_local_docs: int,
+    k: int,
+    block_rows: int,
+    m_max: int,
+    n_valid: int,
+    multivec: bool,
+    interpret: bool,
+):
+    """Mesh counterpart of the single-device Pallas kNN fast path: each
+    shard runs the fused top-k kernel on its LOCAL rows (never building a
+    dense [cap] score array), ids globalize by shard offset, and the
+    O(S*k) all-gather merge + psum'd exact match count replicate out —
+    the same serving shape as topk_with_count but with kernel-side
+    candidate generation. Multi-vector shards use the segment-aware
+    kernel (per-shard row layouts stay doc-ascending: the stable shard
+    partition preserves the committed order, and pad rows sit at
+    local_cap-1 with zero vectors). Requires: exact index, no filters/
+    facets/deletes, empty uncommitted windows (callers fall back to the
+    dense sharded pipeline otherwise)."""
+    from ..ops import pallas_knn as pk
+
+    kk = min(k, n_valid)
+
+    def local(vecs, rowdocs, rowstarts, query):
+        q = query[None, :].astype(vecs.dtype)
+        if multivec:
+            vals, docs, cnt = pk.knn_topk_multivec_with_count(
+                vecs[0], rowdocs[0], rowstarts[0], q, k=kk,
+                block_rows=block_rows, m_max=m_max, n_valid=n_valid,
+                n_docs=n_local_docs, interpret=interpret,
+            )
+        else:
+            vals, rows, cnt = pk.knn_topk_with_count(
+                vecs[0], q, k=kk, block_rows=block_rows,
+                n_valid=n_valid, interpret=interpret,
+            )
+            docs = rowdocs[0][rows]
+        vals, docs, cnt = vals[0], docs[0], cnt[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+        g = docs.astype(jnp.int32) + shard * n_local_docs
+        v_all = jax.lax.all_gather(vals, DATA_AXIS, tiled=True)  # [S*kk]
+        g_all = jax.lax.all_gather(g, DATA_AXIS, tiled=True)
+        vf, ix = jax.lax.top_k(v_all, kk)
+        count = jax.lax.psum(cnt, DATA_AXIS)
+        return vf, g_all[ix], count
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def ivfpq_scores(
     mesh: Mesh,
     n_local_docs: int,

@@ -334,3 +334,69 @@ def test_sharded_ivfpq_engine_recall(tmp_path):
     recall_sg = hits_sg / (Q * K)
     assert recall_sh >= 0.95, (recall_sh, recall_sg)
     assert recall_sh >= recall_sg - 1e-9, (recall_sh, recall_sg)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("multivec", [False, True])
+def test_sharded_vector_fast_path_matches_dense(tmp_path, multivec):
+    """The mesh vector fast path (per-shard fused Pallas top-k + O(S*k)
+    merge, parallel/sharded_engine.vector_topk_fast) must be
+    result-identical to the dense sharded pipeline — ranking, scores,
+    and match count (count may differ by 1 at sim~0 float boundaries) —
+    for single- and multi-vector corpora."""
+    from orama_core_tpu.config import TpuConfig
+    from orama_core_tpu.engine.collection_read import CollectionReader
+    from orama_core_tpu.oplog import (
+        CreateFieldOp, IndexEmbeddingOp, InsertDocumentOp,
+    )
+    from orama_core_tpu.types import TypedField, ValueType
+
+    D, N = 128, 12000
+
+    def build(force, sub):
+        r = CollectionReader("c", "rk", None, TpuConfig(mesh_shape=(8, 1)))
+        r.cfg._test_force_fast_path = force
+        r.apply(
+            CreateFieldOp(
+                "c", TypedField(0, "emb", ValueType.EMBEDDING,
+                                model="fake-small")
+            )
+        )
+        rng = np.random.default_rng(7)
+        for i in range(N):
+            r.apply(InsertDocumentOp("c", i, {"id": str(i)}))
+            nch = 1 + (i % 3) if multivec else 1
+            vs = rng.standard_normal((nch, D)).astype(np.float32)
+            vs /= np.linalg.norm(vs, axis=1, keepdims=True)
+            r.apply(
+                IndexEmbeddingOp(
+                    "c", i, 0,
+                    tuple(tuple(float(x) for x in v) for v in vs),
+                )
+            )
+        r.commit(str(tmp_path / sub), offset=1)
+        return r
+
+    ai = _StubAI()
+    fast, dense = build(True, "f"), build(False, "d")
+    from orama_core_tpu.server import metrics as m
+
+    before = m.VECTOR_PATH.get(path="fast_sharded")
+    for body in (
+        {"term": "solar", "mode": "vector"},
+        {"term": "wind energy", "mode": "vector", "limit": 25},
+    ):
+        r1, c1, _ = fast.search(SearchParams.from_json(dict(body)), ai)
+        r2, c2, _ = dense.search(SearchParams.from_json(dict(body)), ai)
+        assert [d for d, _ in r1] == [d for d, _ in r2], body
+        for (d1, s1), (d2, s2) in zip(r1, r2):
+            assert abs(s1 - s2) < 1e-3 * max(1.0, abs(s1)), (body, d1)
+        assert abs(c1 - c2) <= 1, (body, c1, c2)
+    assert m.VECTOR_PATH.get(path="fast_sharded") == before + 2
+
+    # ineligible shapes fall back to the dense sharded pipeline
+    p = SearchParams.from_json(
+        {"term": "solar", "mode": "vector",
+         "where": {"price": {"gte": 0}}}
+    )
+    assert fast._sharded_vector_fast(p, ai) is None

@@ -193,3 +193,57 @@ def test_bm25_pallas_block_gather_matches_xla():
     )
     r, o = jax.device_get((ref, out))
     assert np.allclose(r, o, atol=1e-5)
+
+
+def test_knn_topk_multivec_exact_order():
+    """The segmented phase-1 metric (per-sub-block max of the inclusive
+    relu-sum scan) + predecessor gather makes the multi-vector kernel's
+    top-k EXACT, not approximate: a doc whose chunks are individually
+    mediocre but collectively strong (sum scoring) must rank above
+    single-chunk docs with one stronger row — the case the old per-row
+    max metric missed."""
+    from orama_core_tpu.ops.pallas_knn import knn_topk_multivec_with_count
+
+    rng = np.random.default_rng(23)
+    d = 64
+    docs, vecs = [], []
+    for i in range(2500):
+        nch = 1 + (i % 4)
+        v = rng.standard_normal((nch, d)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        vecs.append(v)
+        docs += [i] * nch
+    # adversarial doc: 4 medium chunks summing above every single row
+    q0 = rng.standard_normal(d).astype(np.float32)
+    q0 /= np.linalg.norm(q0)
+    spread = 0.55 * q0 + 0.85 * rng.standard_normal((4, d)).astype(np.float32)
+    spread /= np.linalg.norm(spread, axis=1, keepdims=True)
+    vecs[103] = spread.astype(np.float32)  # doc 103 has 4 chunk rows
+    vecs = np.concatenate(vecs)
+    docs = np.array(docs, np.int32)
+    n = len(docs)
+    p_l = ((n + 511) // 512) * 512
+    vecs = np.concatenate([vecs, np.zeros((p_l - n, d), np.float32)])
+    docs_p = np.concatenate([docs, np.full(p_l - n, 2499, np.int32)])
+    starts = np.zeros(2501, np.int32)
+    starts[1:] = np.cumsum(np.bincount(docs, minlength=2500))
+
+    queries = np.stack([q0] + [
+        x / np.linalg.norm(x)
+        for x in rng.standard_normal((3, d)).astype(np.float32)
+    ]).astype(np.float32)
+    vals, dk, cnt = knn_topk_multivec_with_count(
+        jnp.asarray(vecs), jnp.asarray(docs_p), jnp.asarray(starts),
+        jnp.asarray(queries), k=10, block_rows=512, m_max=4,
+        n_valid=p_l, n_docs=2500, interpret=True,
+    )
+    sims = np.maximum(vecs[:n] @ queries.T, 0.0)            # [n, Q]
+    for r in range(len(queries)):
+        seg = np.zeros(2500)
+        np.add.at(seg, docs, sims[:, r])
+        oracle = np.argsort(-seg)[:10]
+        np.testing.assert_array_equal(np.asarray(dk)[r], oracle)
+        np.testing.assert_allclose(
+            np.asarray(vals)[r], seg[oracle], rtol=1e-4, atol=1e-5
+        )
+        assert abs(int(cnt[r]) - int((seg > 0).sum())) <= 1
