@@ -83,6 +83,40 @@ from ..utils import (
 )
 
 
+def query_expansion(parser, term: str) -> Tuple[List[str], List[str]]:
+    """Query tokens for fulltext resolution: (surface_tokens, stems).
+
+    The reference resolves queries with SURFACE tokens only, by prefix
+    (collection.rs:928) — even though the write side indexes each token's
+    stem alongside it (fields.rs tokenize_and_stem). A query inflection
+    that is not a surface prefix of the indexed form therefore misses
+    entirely (ΕΛΛΗΝΙΚΑ never finds ΕΛΛΗΝΙΚΟΣ; kitabı never finds kitap).
+    Deliberate improvement: also resolve each query token's STEM, as an
+    EXACT term match against the indexed stem entries — exact, not
+    prefix, so a short stem like "run" does not over-match unrelated
+    longer terms ("runway"). Where the stem coincides with a surface
+    prefix the span dedups, so same-inflection matches keep their
+    (reference-shaped) score and cross-inflection matches add recall.
+    Surface tokens drive phrase semantics; stems never do."""
+    pairs = parser.tokenize_and_stem(term)
+    tokens = [t for t, _ in pairs]
+    stems = sorted({s for _, ss in pairs for s in ss}) if pairs else []
+    return tokens, stems
+
+
+def expanded_spans(term_dict, tokens: List[str], stems: List[str]):
+    """Per-token prefix spans + exact stem spans (dedup'd against the
+    prefix spans) over a committed TermDict — the committed-segment
+    counterpart of UncommittedStringIndex.search(exact_tokens=...)."""
+    spans = [term_dict.prefix_range(t) for t in tokens]
+    spans = [(lo, hi) for lo, hi in spans if hi > lo]
+    for s in stems:
+        tid = term_dict.term_id(s)
+        if tid is not None and not any(lo <= tid < hi for lo, hi in spans):
+            spans.append((tid, tid + 1))
+    return spans
+
+
 # --- small jitted helpers ----------------------------------------------------
 
 
@@ -1210,14 +1244,15 @@ class CollectionReader:
             return filter_mask.astype(jnp.float32)
         scores = jnp.zeros((cap,), dtype=jnp.float32)
         steps = self.cfg.posting_bucket_steps
-        tokens_cache: Dict[str, List[str]] = {}
+        tokens_cache: Dict[str, Tuple[List[str], List[str]]] = {}
         for fid in self._string_properties(properties):
             f = self.fields[fid]
             locale = f.locale or self.default_locale
-            tokens = tokens_cache.get(locale)
-            if tokens is None:
-                tokens = get_parser(locale).tokenize(term)
-                tokens_cache[locale] = tokens
+            cached = tokens_cache.get(locale)
+            if cached is None:
+                cached = query_expansion(get_parser(locale), term)
+                tokens_cache[locale] = cached
+            tokens, stems = cached
             if not tokens:
                 continue
             field_boost = float(boost.get(f.name, 1.0))
@@ -1228,10 +1263,7 @@ class CollectionReader:
             # committed segment on device: ship only per-token term-id spans
             # (contiguous by construction); postings/idf resolve on device
             committed = sf.committed
-            token_spans = [
-                committed.term_dict.prefix_range(t) for t in tokens
-            ]
-            token_spans = [(lo, hi) for lo, hi in token_spans if hi > lo]
+            token_spans = expanded_spans(committed.term_dict, tokens, stems)
             if token_spans:
                 ts_host = committed.term_starts
                 g_total = int(
@@ -1299,7 +1331,8 @@ class CollectionReader:
                 host_out: Dict[int, float] = {}
                 fm_host = np.asarray(filter_mask)
                 sf.uncommitted.search(
-                    tokens, field_boost, gi, fm_host, self.deleted, host_out
+                    tokens, field_boost, gi, fm_host, self.deleted, host_out,
+                    exact_tokens=stems,
                 )
                 if host_out:
                     idx, vals = self._padded_scatter(
@@ -1574,21 +1607,16 @@ class CollectionReader:
             f = self.fields[fid]
             locale = f.locale or self.default_locale
             parser = get_parser(locale)
-            token_lists = [parser.tokenize(t) for t in terms]
+            expansions = [query_expansion(parser, t) for t in terms]
+            token_lists = [toks for toks, _ in expansions]
             field_boost = float(boost.get(f.name, 1.0))
             sf = self._string[fid]
             committed = sf.committed
             gi = committed.global_info() + sf.uncommitted.global_info()
 
             span_rows = [
-                [
-                    (lo, hi)
-                    for lo, hi in (
-                        committed.term_dict.prefix_range(t) for t in tokens
-                    )
-                    if hi > lo
-                ]
-                for tokens in token_lists
+                expanded_spans(committed.term_dict, toks, stems)
+                for toks, stems in expansions
             ]
             ts_host = committed.term_starts
             g_totals = [
@@ -1663,10 +1691,11 @@ class CollectionReader:
                             scores = scores.at[ridx].add(sub[: len(rows_c)])
             if not sf.uncommitted.is_empty:
                 fm_host = np.asarray(filter_mask)
-                for row, tokens in enumerate(token_lists):
+                for row, (tokens, stems) in enumerate(expansions):
                     host_out: Dict[int, float] = {}
                     sf.uncommitted.search(
-                        tokens, field_boost, gi, fm_host, self.deleted, host_out
+                        tokens, field_boost, gi, fm_host, self.deleted,
+                        host_out, exact_tokens=stems,
                     )
                     if host_out:
                         idx, vals = self._padded_scatter(
@@ -1942,14 +1971,15 @@ class CollectionReader:
             return filter_mask.astype(jnp.float32)
         scores = self._device.zeros_sharded(cap_s)
         plan_steps = bm25_ops.PLAN_BUCKETS
-        tokens_cache: Dict[str, List[str]] = {}
+        tokens_cache: Dict[str, Tuple[List[str], List[str]]] = {}
         for fid in self._string_properties(properties):
             f = self.fields[fid]
             locale = f.locale or self.default_locale
-            tokens = tokens_cache.get(locale)
-            if tokens is None:
-                tokens = get_parser(locale).tokenize(term)
-                tokens_cache[locale] = tokens
+            cached = tokens_cache.get(locale)
+            if cached is None:
+                cached = query_expansion(get_parser(locale), term)
+                tokens_cache[locale] = cached
+            tokens, stems = cached
             if not tokens:
                 continue
             field_boost = float(boost.get(f.name, 1.0))
@@ -1958,8 +1988,7 @@ class CollectionReader:
             phrase = len(tokens) > 1
 
             committed = sf.committed
-            token_spans = [committed.term_dict.prefix_range(t) for t in tokens]
-            token_spans = [(lo, hi) for lo, hi in token_spans if hi > lo]
+            token_spans = expanded_spans(committed.term_dict, tokens, stems)
             if token_spans:
                 ts_global = committed.term_starts
                 g_total = int(
@@ -2046,7 +2075,8 @@ class CollectionReader:
                     filter_mask, sf.uncommitted.doc_lens.keys(), masked, local_cap
                 )
                 sf.uncommitted.search(
-                    tokens, field_boost, gi, fm, self.deleted, host_out
+                    tokens, field_boost, gi, fm, self.deleted, host_out,
+                    exact_tokens=stems,
                 )
                 if host_out:
                     idx, vals = self._padded_scatter(
@@ -2721,14 +2751,11 @@ class CollectionReader:
         if sfid is not None:
             f = self.fields[sfid]
             locale = f.locale or self.default_locale
-            tokens = get_parser(locale).tokenize(params.term)
+            tokens, stems = query_expansion(get_parser(locale), params.term)
             committed = self._string[sfid].committed
             gi = committed.global_info()  # windows are empty by eligibility
             gi_avgdl, gi_n = gi.avgdl, gi.total_documents
-            token_spans = [
-                committed.term_dict.prefix_range(t) for t in tokens
-            ]
-            token_spans = [(lo, hi) for lo, hi in token_spans if hi > lo]
+            token_spans = expanded_spans(committed.term_dict, tokens, stems)
             phrase = len(tokens) > 1
             field_boost = float(params.boost.get(f.name, 1.0))
 
@@ -2906,9 +2933,8 @@ class CollectionReader:
             span_rows: List[List[Tuple[int, int]]] = []
             g_totals: List[int] = []
             for p in params_list:
-                tokens = parser.tokenize(p.term)
-                spans = [committed.term_dict.prefix_range(t) for t in tokens]
-                spans = [(lo, hi) for lo, hi in spans if hi > lo][:32]
+                tokens, stems = query_expansion(parser, p.term)
+                spans = expanded_spans(committed.term_dict, tokens, stems)[:32]
                 span_rows.append(spans)
                 g_totals.append(
                     int(sum(ts_host[hi] - ts_host[lo] for lo, hi in spans))

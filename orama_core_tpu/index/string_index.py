@@ -122,32 +122,48 @@ class UncommittedStringIndex:
         filter_mask: Optional[np.ndarray],
         deleted: Optional[Set[int]],
         out: Dict[int, float],
+        exact_tokens: Sequence[str] = (),
     ) -> None:
         """BM25 host scoring, accumulated into ``out`` (doc -> score).
 
         Matches uncommitted/string.rs:124-193: prefix-expanded term match,
         ni from this segment only, avgdl/N from the shared global info, no
-        phrase boost in the uncommitted window."""
+        phrase boost in the uncommitted window. ``exact_tokens`` are the
+        query's STEMS, matched exactly (not prefix-expanded) against the
+        stem entries the write side indexed — the query-side stem
+        expansion the engine adds over the reference (see
+        collection_read.query_expansion)."""
         if not self.terms:
             return
         avgdl = max(global_info.avgdl, 1e-9)
         n = float(global_info.total_documents)
+
+        def score_term(term: str) -> None:
+            postings = self.terms[term]
+            ni = len(postings)
+            idf = float(np.log1p((n - ni + 0.5) / (ni + 0.5)))
+            for doc_id, positions in postings.items():
+                if deleted and doc_id in deleted:
+                    continue
+                if filter_mask is not None and filter_mask[doc_id] == 0:
+                    continue
+                dl = self.doc_lens.get(doc_id)
+                if dl is None:
+                    continue
+                tf = float(len(positions))
+                denom = tf + K1 * (1.0 - B + B * dl / avgdl)
+                out[doc_id] = out.get(doc_id, 0.0) + boost * idf * tf * (K1 + 1.0) / denom
+
         for token in tokens:
             for term in self.prefix_terms(token):
-                postings = self.terms[term]
-                ni = len(postings)
-                idf = float(np.log1p((n - ni + 0.5) / (ni + 0.5)))
-                for doc_id, positions in postings.items():
-                    if deleted and doc_id in deleted:
-                        continue
-                    if filter_mask is not None and filter_mask[doc_id] == 0:
-                        continue
-                    dl = self.doc_lens.get(doc_id)
-                    if dl is None:
-                        continue
-                    tf = float(len(positions))
-                    denom = tf + K1 * (1.0 - B + B * dl / avgdl)
-                    out[doc_id] = out.get(doc_id, 0.0) + boost * idf * tf * (K1 + 1.0) / denom
+                score_term(term)
+        for token in exact_tokens:
+            # skip stems a surface prefix already expanded to (a stem is
+            # never longer than its token, so coverage means equality)
+            if token in self.terms and not any(
+                token.startswith(t) for t in tokens
+            ):
+                score_term(token)
 
     def iter_sorted(self) -> Iterable[Tuple[str, Dict[int, List[int]]]]:
         for term in self._sorted():

@@ -22,7 +22,18 @@ DEFAULT_LOCALE = "en"
 
 # Word splitting: unicode-aware "non word" split. CJK locales split on any
 # non-letter and additionally break each CJK codepoint into its own token.
-_DEFAULT_SPLIT = re.compile(r"[^\w]+", re.UNICODE)
+#
+# Combining marks are NOT \w in Python's re, and Indic dependent-vowel
+# signs / viramas are combining marks — a bare [^\w]+ split fragments
+# every Tamil/Devanagari word at its vowel signs (மரத்தில் ->
+# மரத|த|ல). The reference has the same bug in its own per-locale
+# classes (locales.rs:233 TA `[^a-z0-9அ-ஹ]+` excludes U+0BBE..
+# U+0BCD, splitting words identically; HI/NE likewise) — fixed here
+# rather than mirrored, since the Tamil stemmer operates on whole
+# words. The Indic script blocks are added wholesale to the word-char
+# class (their letters are already \w; this admits the marks).
+_INDIC_MARKS = "ऀ-ॿ஀-௿"
+_DEFAULT_SPLIT = re.compile(rf"[^\w{_INDIC_MARKS}]+", re.UNICODE)
 _CJK_LOCALES = frozenset({"zh", "jp", "ko"})
 _CJK_CHAR = re.compile(
     "([一-鿿㐀-䶿぀-ヿ가-힯])"

@@ -25,8 +25,21 @@ from .stop_words import stop_words
 
 
 def fold_diacritics(token: str) -> str:
+    """Strip accent marks (é -> e, ώ -> ω) but PRESERVE marks that are
+    orthography, not accents: Indic dependent vowels and viramas
+    (மரம் without its virama is a different word). The reference's
+    replace_diacritics only maps Latin 0xC0-0x17F (tokenizer.rs:173-187)
+    and so never touches Indic text either — but it also leaves Greek
+    tonos in place; folding it here is deliberate (the Greek stemmer
+    folds internally anyway, and dictionary prefixes then match
+    accentless queries). NFC-recomposed so Indic output stays in the
+    composed form the stemmer tables use."""
     decomposed = unicodedata.normalize("NFKD", token)
-    return "".join(c for c in decomposed if not unicodedata.combining(c))
+    kept = "".join(
+        c for c in decomposed
+        if not unicodedata.combining(c) or "ऀ" <= c <= "௿"
+    )
+    return unicodedata.normalize("NFC", kept)
 
 
 class TextParser:

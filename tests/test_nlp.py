@@ -203,7 +203,7 @@ def test_non_en_bm25_oracle_french(tmp_engine):
 
     parser = TextParser("fr")
 
-    def oracle(q, k1=1.2, b=0.75):
+    def oracle(q, q_stems, k1=1.2, b=0.75):
         postings, doc_lens = {}, {}
         for doc_id, text in docs.items():
             data = parser.tokenize_and_stem(text)
@@ -216,7 +216,9 @@ def test_non_en_bm25_oracle_french(tmp_engine):
         avgdl = sum(doc_lens.values()) / n
         scores = {}
         for term, dd in postings.items():
-            if not term.startswith(q):
+            # engine semantics: surface-token PREFIX match plus the
+            # query stems matched EXACTLY (query_expansion docstring)
+            if not term.startswith(q) and term not in q_stems:
                 continue
             ni = len(dd)
             idf = math.log1p((n - ni + 0.5) / (ni + 0.5))
@@ -228,8 +230,10 @@ def test_non_en_bm25_oracle_french(tmp_engine):
 
     for stage in ("uncommitted", "committed"):
         for q_raw in ("continuation", "chanterions", "nationale"):
-            q = parser.tokenize(q_raw)[0]  # engine stems the query too
-            expected = oracle(q)
+            q = parser.tokenize(q_raw)[0]
+            q_stems = {s for _, ss in parser.tokenize_and_stem(q_raw)
+                       for s in ss}
+            expected = oracle(q, q_stems)
             res = tmp_engine.read_side.search(
                 "c", SearchParams.from_json({"term": q_raw, "limit": 10}), "rk"
             )
@@ -284,9 +288,11 @@ def test_extra_stemmer_greek_tamil():
     assert greek_stem("θάλασσες") == greek_stem("θάλασσα")
     # final sigma normalization
     assert greek_stem("λόγος") == greek_stem("λόγοι")
-    # -μα extended-stem nouns (replacement rules, not plain strips)
+    # -μα extended-stem nouns (rule 21 folds ματα/ματων/ματοσ to μα,
+    # then the final-ending pass strips the α — the full algorithm's
+    # behavior, replacing the light stemmer's stop-at-μα)
     assert greek_stem("σώμα") == greek_stem("σώματα") == \
-        greek_stem("σωμάτων") == greek_stem("σώματος") == "σωμα"
+        greek_stem("σωμάτων") == greek_stem("σώματος") == "σωμ"
     # verb person endings incl. passive aorist
     assert greek_stem("γράφω") == greek_stem("γράφουμε") == \
         greek_stem("γράφετε") == "γραφ"
@@ -294,6 +300,102 @@ def test_extra_stemmer_greek_tamil():
     # Tamil: plural + case endings strip
     assert tamil_stem("புத்தகங்கள்") == tamil_stem("புத்தகங்களில்")
     assert tamil_stem("மரங்களை") == tamil_stem("மரங்கள்")
+
+
+def test_greek_full_ntais_structure():
+    """Full-algorithm behaviors the light stemmer could not produce:
+    rule-0 irregulars, re-append exception sets, oblique/nominative
+    conflation across rules, and the documented -ικ deviation."""
+    from orama_core_tpu.nlp.stemmer_extra import greek_stem
+
+    # rule 0: irregular oblique stems (incl. a 3-letter member)
+    assert greek_stem("φως") == greek_stem("φώτα") == \
+        greek_stem("φώτων") == "φω"
+    assert greek_stem("κρέας") == greek_stem("κρέατα") == "κρε"
+    assert greek_stem("καθεστώς") == greek_stem("καθεστώτα") == "καθεστ"
+    # rule 1 re-append: kinship -αδ- plurals keep αδ
+    assert greek_stem("γιαγιάδες") == "γιαγιαδ"
+    assert greek_stem("ομάδες") == "ομ"  # not in the exception set
+    # rule 5 vowel condition: ι kept after a vowel stem
+    assert greek_stem("σχολείο") == greek_stem("σχολείου") == "σχολει"
+    assert greek_stem("βιβλίο") == greek_stem("βιβλία") == "βιβλ"
+    # -ικ conflation deviation: exceptions keep ικ on BOTH paths
+    assert greek_stem("ελληνικά") == greek_stem("ελληνικός") == "ελλην"
+    assert greek_stem("φυσικά") == greek_stem("φυσικός") == "φυσικ"
+    # genitive plural -ων (final-ending list)
+    assert greek_stem("δρόμων") == greek_stem("δρόμος") == "δρομ"
+    # comparatives (rule 22)
+    assert greek_stem("γρηγορότερος") == "γρηγορ"
+    # passive aorist + imperfect verb families
+    assert greek_stem("μίλησα") == greek_stem("μιλήσαμε") == "μιλ"
+
+
+def test_indic_tokenization_keeps_words_whole():
+    """Combining marks are not \\w, so a bare [^\\w]+ split fragments
+    Tamil/Devanagari words at their vowel signs — the reference's own
+    per-locale classes have the same bug (locales.rs:233 TA excludes
+    U+0BBE..U+0BCD). The split pattern and fold_diacritics must keep
+    Indic orthography intact while still folding Latin/Greek accents."""
+    from orama_core_tpu.nlp.tokenizer import fold_diacritics, get_parser
+
+    ta = get_parser("ta")
+    assert ta.tokenize("மரத்தில் பறவை") == [
+        "மரத்தில்", "பறவை"
+    ]
+    hi = get_parser("hi")
+    assert hi.tokenize("किताबें अच्छी") == [
+        "किताबें", "अच्छी"
+    ]
+    assert fold_diacritics("மரம்") == "மரம்"
+    assert fold_diacritics("café") == "cafe"
+    assert fold_diacritics("ώρα") == "ωρα"
+
+
+def test_query_stem_expansion_cross_inflection(tmp_engine):
+    """The reference's query path resolves only surface-token prefixes
+    (collection.rs:928), so a query inflection that is not a surface
+    prefix of the indexed form misses. The engine adds exact-stem
+    resolution (collection_read.query_expansion): ΕΛΛΗΝΙΚΑ finds
+    ΕΛΛΗΝΙΚΟΣ via the shared stem, both uncommitted and committed."""
+    from orama_core_tpu.types import SearchParams
+
+    tmp_engine.write_side.create_collection(
+        "master", "el", "rk", "wk", language="el"
+    )
+    tmp_engine.write_side.write("el", [
+        {"id": "1", "title": "ελληνικός πολιτισμός"},
+        {"id": "2", "title": "τα ελληνικά νησιά"},
+    ], "wk")
+    tmp_engine.flush()
+    for stage in ("uncommitted", "committed"):
+        r = tmp_engine.read_side.search(
+            "el", SearchParams.from_json({"term": "ελληνικά"}), "rk"
+        )
+        ids = sorted(h.id for h in r.hits)
+        assert ids == ["1", "2"], (stage, ids)
+        # the same-inflection doc ranks first (surface + stem match)
+        assert r.hits[0].id == "2", (stage, [(h.id, h.score) for h in r.hits])
+        tmp_engine.commit()
+
+
+def test_tamil_snowball_structure():
+    """Oblique-stem restoration and outermost-first stripping the flat
+    suffix list could not produce."""
+    from orama_core_tpu.nlp.stemmer_extra import tamil_stem
+
+    # -am nouns: nasal-assimilated plural and த்த- oblique restore ம்
+    assert tamil_stem("மரம்") == tamil_stem("மரங்கள்") == \
+        tamil_stem("மரத்தில்") == tamil_stem("மரங்களை")
+    # geminating -u nouns: வீடு -> வீட்டில்
+    assert tamil_stem("வீடு") == tamil_stem("வீட்டில்") == \
+        tamil_stem("வீடுகள்")
+    assert tamil_stem("ஆறு") == tamil_stem("ஆற்றில்")
+    # case + plural stacked (outermost stripped first)
+    assert tamil_stem("புத்தகம்") == \
+        tamil_stem("புத்தகங்களில்")
+    # verb tense endings conflate person/gender
+    assert tamil_stem("படிக்கிறான்") == \
+        tamil_stem("படிக்கிறாள்")
 
 
 def test_get_stemmer_covers_all_reference_stemmer_locales():
