@@ -169,11 +169,21 @@ class HttpSlice:
 class MultiSliceRouter:
     """Scatter-gather coordinator over document-hash-routed slices."""
 
-    def __init__(self, slices: Sequence[Any], max_workers: Optional[int] = None) -> None:
+    def __init__(
+        self,
+        slices: Sequence[Any],
+        max_workers: Optional[int] = None,
+        global_fusion: bool = True,
+    ) -> None:
         if not slices:
             raise ValueError("need at least one slice")
         self.slices = list(slices)
-        self._pool = ThreadPoolExecutor(max_workers=max_workers or len(self.slices))
+        # hybrid fan-out is 3 sub-searches per slice in global-fusion
+        # mode — size the pool so one query still runs in one round
+        self._pool = ThreadPoolExecutor(
+            max_workers=max_workers or 3 * len(self.slices)
+        )
+        self.global_fusion = global_fusion
 
     # -- admin (broadcast) --------------------------------------------------
 
@@ -270,6 +280,12 @@ class MultiSliceRouter:
     # -- reads (scatter-gather) ----------------------------------------------
 
     def search(self, cid: str, params_json: Dict[str, Any], read_key: str) -> SearchResult:
+        if (
+            self.global_fusion
+            and params_json.get("mode") == "hybrid"
+            and len(self.slices) > 1
+        ):
+            return self._search_hybrid_global(cid, params_json, read_key)
         limit = int(params_json.get("limit", 10))
         futures = [
             self._pool.submit(s.search, cid, params_json, read_key)
@@ -284,24 +300,115 @@ class MultiSliceRouter:
             key=lambda h: (-h.score, h.id),
         )[:limit]
         count = sum(r.count for r in results)
-        facets: Optional[Dict[str, FacetResult]] = None
-        if any(r.facets for r in results):
-            facets = {}
-            for r in results:
-                for name, fr in (r.facets or {}).items():
-                    cur = facets.get(name)
-                    if cur is None:
-                        facets[name] = FacetResult(count=fr.count, values=dict(fr.values))
-                    else:
-                        for k, v in fr.values.items():
-                            cur.values[k] = cur.values.get(k, 0) + v
-            # `count` is the number of DISTINCT buckets, not a per-slice
-            # additive quantity (number facets report the same ranges on
-            # every slice) — recompute it from the merged values
-            for fr in facets.values():
-                fr.count = len(fr.values)
+        facets = self._merge_facets(results)
         elapsed = max((r.elapsed_ms for r in results), default=0.0)
         return SearchResult(hits=hits, count=count, elapsed_ms=elapsed, facets=facets)
+
+    @staticmethod
+    def _merge_facets(results) -> Optional[Dict[str, FacetResult]]:
+        if not any(r.facets for r in results):
+            return None
+        facets: Dict[str, FacetResult] = {}
+        for r in results:
+            for name, fr in (r.facets or {}).items():
+                cur = facets.get(name)
+                if cur is None:
+                    facets[name] = FacetResult(count=fr.count, values=dict(fr.values))
+                else:
+                    for k, v in fr.values.items():
+                        cur.values[k] = cur.values.get(k, 0) + v
+        # `count` is the number of DISTINCT buckets, not a per-slice
+        # additive quantity (number facets report the same ranges on
+        # every slice) — recompute it from the merged values
+        for fr in facets.values():
+            fr.count = len(fr.values)
+        return facets
+
+    def _search_hybrid_global(
+        self, cid: str, p: Dict[str, Any], read_key: str
+    ) -> SearchResult:
+        """Hybrid search with GLOBAL fusion ranks (single-engine
+        semantics) instead of slice-local RRF.
+
+        Slice-local fusion makes ranks incomparable across slices: rank 1
+        on a half-empty slice and rank 1 on a full one fuse identically.
+        This path scatters THREE sub-searches per slice in one concurrent
+        round — the fulltext component (top-L), the vector component
+        (top-L), and the original hybrid with limit=1 (for the exact
+        match count and facets, which are additive per slice) — then
+        computes fusion over the GLOBALLY merged component rankings, the
+        same formula the engine applies on one node (ops/fusion.py:
+        rank 0 = best, fused = sum 1/(61+rank); minmax = (ft+vec)/max).
+
+        Exactness: a doc is fetched iff one of its component ranks is
+        <= L on its slice; with L = max(4*limit, 40) per component the
+        merged ranking agrees with the single-engine oracle unless a
+        true top-limit doc ranks below L in BOTH components (the same
+        approximation class as ES dfs_query_then_fetch). Component
+        scores are merged by value, so BM25 comparability assumes
+        ``sync_global_stats`` ran (global idf); without it the merge is
+        the usual query-then-fetch approximation. Costs ~2x slice work
+        per query — ``global_fusion=False`` restores the single-scatter
+        slice-local path."""
+        limit = int(p.get("limit", 10))
+        L = max(4 * limit, 40)
+        comp = {
+            k: v for k, v in p.items()
+            if k not in ("mode", "limit", "facets", "fusion")
+        }
+        pf = dict(comp, mode="fulltext", limit=L)
+        pv = dict(comp, mode="vector", limit=L)
+        ph = dict(p, limit=1)
+        futs = [
+            (
+                self._pool.submit(s.search, cid, pf, read_key),
+                self._pool.submit(s.search, cid, pv, read_key),
+                self._pool.submit(s.search, cid, ph, read_key),
+            )
+            for s in self.slices
+        ]
+        trips = [(a.result(), b.result(), c.result()) for a, b, c in futs]
+        ft_r = [t[0] for t in trips]
+        vec_r = [t[1] for t in trips]
+        hyb_r = [t[2] for t in trips]
+
+        def merged(results):
+            return sorted(
+                (h for r in results for h in r.hits if h.score > 0),
+                key=lambda h: (-h.score, h.id),
+            )
+
+        ft_rank, vec_rank = merged(ft_r), merged(vec_r)
+        by_id: Dict[str, Any] = {}
+        scores: Dict[str, float] = {}
+        if p.get("fusion", "rrf") == "minmax":
+            m = max(
+                [h.score for h in ft_rank[:1]]
+                + [h.score for h in vec_rank[:1]]
+                + [1e-9]
+            )
+            for h in ft_rank + vec_rank:
+                scores[h.id] = scores.get(h.id, 0.0) + h.score / m
+                by_id.setdefault(h.id, h)
+        else:
+            for ranked in (ft_rank, vec_rank):
+                for r, h in enumerate(ranked):
+                    scores[h.id] = scores.get(h.id, 0.0) + 1.0 / (61.0 + r)
+                    by_id.setdefault(h.id, h)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        hits = [
+            SearchResultHit(id=i, score=s, document=by_id[i].document)
+            for i, s in top
+        ]
+        return SearchResult(
+            hits=hits,
+            count=sum(r.count for r in hyb_r),
+            elapsed_ms=max(
+                (r.elapsed_ms for rs in (ft_r, vec_r, hyb_r) for r in rs),
+                default=0.0,
+            ),
+            facets=self._merge_facets(hyb_r),
+        )
 
     def count(self, cid: str) -> int:
         return sum(s.count(cid) for s in self.slices)

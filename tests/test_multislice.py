@@ -230,3 +230,40 @@ def test_global_stats_survive_device_cache(router, oracle):
     assert [h.id for h in merged.hits] == [h.id for h in single.hits]
     for hm, hs in zip(merged.hits, single.hits):
         assert abs(hm.score - hs.score) < 1e-5
+
+
+def test_global_fusion_hybrid_matches_oracle(router, oracle):
+    """Hybrid with global_fusion computes fusion over GLOBALLY merged
+    component rankings — the single-engine formula — instead of merging
+    slice-local RRF scores (which are incomparable across slices). With
+    DFS stats synced and L covering the corpus, ranking, match count,
+    and facets all agree with the single-engine oracle."""
+    r, engines = router
+    r.commit()
+    oracle.commit()
+    r.sync_global_stats("c1", WRITE)
+    for fusion in ("rrf", "minmax"):
+        body = {
+            "term": "the cat", "mode": "hybrid", "fusion": fusion,
+            "limit": 10,
+            "facets": {"price": {"ranges": [{"from": 0, "to": 5},
+                                            {"from": 5, "to": 100}]}},
+        }
+        merged = r.search("c1", dict(body), READ)
+        single = oracle.read_side.search(
+            "c1", SearchParams.from_json(dict(body)), READ
+        )
+        assert [h.id for h in merged.hits] == [h.id for h in single.hits], (
+            fusion, merged.hits, single.hits,
+        )
+        for hm, hs in zip(merged.hits, single.hits):
+            assert abs(hm.score - hs.score) < 1e-5, (fusion, hm.id)
+        assert merged.count == single.count, fusion
+        assert merged.facets is not None
+        for name, fr in single.facets.items():
+            assert merged.facets[name].values == fr.values, (fusion, name)
+
+    # slice-local mode still works (opt-out)
+    r.global_fusion = False
+    res = r.search("c1", {"term": "the cat", "mode": "hybrid"}, READ)
+    assert res.hits
