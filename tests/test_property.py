@@ -278,3 +278,58 @@ def test_selective_filter_equals_dense(tmp_path_factory, data, n_docs, commit_at
         ]
     assert out[0] == out[10_000]
     e.close()
+
+
+# --- NLP pipeline fuzz (stemmers + tokenizer must be total) ----------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=0, max_size=40))
+def test_stemmers_total_over_arbitrary_unicode(word):
+    """Every locale's stemmer and parser must be TOTAL: no exceptions,
+    str out, and tokenize output free of empty tokens — for arbitrary
+    unicode including mixed scripts, marks, and surrogane-adjacent
+    codepoints hypothesis likes to find."""
+    from orama_core_tpu.nlp.stemmer import get_stemmer
+    from orama_core_tpu.nlp.tokenizer import fold_diacritics, get_parser
+
+    assert isinstance(fold_diacritics(word), str)
+    for loc in ("en", "el", "ta", "tr", "fr", "ru", "ar"):
+        fn = get_stemmer(loc)
+        if fn is not None:
+            out = fn(word)
+            assert isinstance(out, str)
+        toks = get_parser(loc).tokenize(word)
+        assert all(isinstance(t, str) and t for t in toks)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=0x370,
+                                      max_codepoint=0x3FF),
+               min_size=1, max_size=25))
+def test_greek_stemmer_invariants(word):
+    """Greek stemmer structural invariants over random Greek-block text:
+    output is never longer than the (sigma-normalized, tonos-folded)
+    input + the longest re-append suffix, never empty for real words,
+    and deterministic."""
+    from orama_core_tpu.nlp.stemmer_extra import greek_stem
+
+    out = greek_stem(word)
+    assert isinstance(out, str)
+    assert out == greek_stem(word)  # deterministic (lru_cache or not)
+    if len(word) >= 4:
+        assert len(out) >= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=0x0B80,
+                                      max_codepoint=0x0BFF),
+               min_size=1, max_size=25))
+def test_tamil_stemmer_invariants(word):
+    from orama_core_tpu.nlp.stemmer_extra import tamil_stem
+
+    out = tamil_stem(word)
+    assert isinstance(out, str)
+    assert out == tamil_stem(word)
+    # the virama-collapse postcondition: never a doubled virama
+    assert "்்" not in out
