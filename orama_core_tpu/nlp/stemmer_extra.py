@@ -375,7 +375,7 @@ def greek_stem(word: str) -> str:
         w = w[: -len(s)]
         if ends_in(w, _EL_EXC_AD):
             w += "αδ"
-        return w if len(w) >= 2 else w
+        return w
     # rule 2: -εδεσ/-εδων
     s = _el_ends(w, "εδεσ", "εδων")
     if s and len(w) - len(s) >= 1:
@@ -406,10 +406,7 @@ def greek_stem(word: str) -> str:
         stem = w[: -len(s)]
         if stem and stem[-1] in _EL_V:
             return stem + "ι"
-        w = stem
-        # fall through: a consonant stem may still carry verb endings
-        # handled below? No — the paper terminates here.
-        return w
+        return stem
     # rule 6: -ικα/-ικο/-ικου/-ικων (adjectives in -ικος)
     s = _el_ends(w, "ικα", "ικο", "ικου", "ικων")
     if s and len(w) - len(s) >= 2:
