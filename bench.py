@@ -236,4 +236,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The axon dev relay occasionally drops a session mid-run ("Broken
+    # pipe" on remote_compile after long idles were observed in r3).
+    # The driver runs this file ONCE per round — one in-process retry
+    # protects the round's headline from a transient relay fault. A
+    # retry reuses the warmed compilation cache, so it is cheap.
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — any relay fault, one retry
+        import time as _t
+        import traceback
+
+        log(f"bench attempt 1 failed ({e!r}); retrying once in 30 s")
+        traceback.print_exc(file=sys.stderr)
+        _t.sleep(30)
+        main()
