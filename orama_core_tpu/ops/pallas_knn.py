@@ -158,8 +158,16 @@ def _pad_queries(queries: jax.Array) -> tuple[jax.Array, int]:
 
 def _rescore_topk(bmax_t, rescore, k, sub, n_valid, qn):
     """Phase 2: pick the k best sub-blocks per query from bmax_t [Q, nsub],
-    gather their rows, rescore exactly with `rescore(rows)`, final top-k."""
-    _, sub_ids = jax.lax.top_k(bmax_t, k)                  # [Q, k]
+    gather their rows, rescore exactly with `rescore(rows)`, final top-k.
+    Selection goes through the tiered block-max filter when the sub-block
+    table is large (the callers pass bmax.T, so the .T here cancels —
+    XLA folds transpose-of-transpose; a materialized 32 MB transpose was
+    the dominant cost of the plain lax.top_k at 1M x 256)."""
+    nsub = bmax_t.shape[1]
+    if nsub >= 4 * _TIER_GROUP and k <= nsub:
+        sub_ids = _tiered_subblock_topk(bmax_t.T, k)       # [Q, k]
+    else:
+        _, sub_ids = jax.lax.top_k(bmax_t, k)              # [Q, k]
     rows = (
         sub_ids[:, :, None] * sub
         + jax.lax.broadcasted_iota(jnp.int32, (qn, k, sub), 2)
@@ -552,7 +560,10 @@ def _rescore_topk_segmented(
     Returns (values f32[Q, k], DOC ids int32[Q, k])."""
     nsub = bmax_t.shape[1]
     k2 = min(k * over, nsub)
-    _, sub_ids = jax.lax.top_k(bmax_t, k2)                 # [Q, k2]
+    if nsub >= 4 * _TIER_GROUP and k2 <= nsub:
+        sub_ids = _tiered_subblock_topk(bmax_t.T, k2)      # [Q, k2]
+    else:
+        _, sub_ids = jax.lax.top_k(bmax_t, k2)             # [Q, k2]
     span = -(-(m_max - 1) // sub) + 1                      # sub-blocks/doc
     ext = (
         sub_ids[:, :, None]
