@@ -247,3 +247,24 @@ def test_knn_topk_multivec_exact_order():
             np.asarray(vals)[r], seg[oracle], rtol=1e-4, atol=1e-5
         )
         assert abs(int(cnt[r]) - int((seg > 0).sum())) <= 1
+
+
+def test_tiered_subblock_topk_exact():
+    """The recursive block-max selection must return EXACTLY the same
+    id set as a plain top-k over the table — including non-divisible
+    group sizes, the small-table fallback, and duplicate values."""
+    import jax.numpy as jnp
+    from orama_core_tpu.ops.pallas_knn import _tiered_subblock_topk
+
+    rng = np.random.default_rng(31)
+    for n, qn, k in ((1000, 8, 10), (4096, 16, 5), (513, 8, 12),
+                     (129, 8, 3), (40960, 8, 17)):
+        x = rng.standard_normal((n, qn)).astype(np.float32)
+        # inject duplicates to exercise tie handling
+        x[n // 3] = x[n // 2]
+        ids = np.asarray(_tiered_subblock_topk(jnp.asarray(x), k))
+        vals = np.sort(x, axis=0)[::-1][: min(k, n)]
+        for q in range(qn):
+            got = np.sort(x[ids[:, q] if ids.ndim == 1 else ids[q], q])[::-1]
+            np.testing.assert_allclose(got, vals[:, q], rtol=0, atol=0,
+                                       err_msg=f"n={n} q={q}")
