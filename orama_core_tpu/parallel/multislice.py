@@ -25,8 +25,11 @@ single-engine oracle. ``sync_global_stats`` upgrades BM25 to GLOBAL idf
 exchanging per-term df at commit time; RRF ranks remain slice-local.
 
 Transports: LocalSlice (in-process engine object — tests, and the
-coordinator process when it co-hosts a slice) and HttpSlice (the
-engine's own HTTP API over DCN; stdlib urllib, no extra deps).
+coordinator process when it co-hosts a slice), HttpSlice (the engine's
+own HTTP API over DCN; stdlib urllib, no extra deps), and GrpcSlice
+(parallel/slice_grpc — the sidecar's hand-rolled-stub gRPC pattern with
+the engine's JSON wire shapes; connection reuse + HTTP/2 multiplexing
+for far-apart slices).
 """
 
 from __future__ import annotations

@@ -267,3 +267,65 @@ def test_global_fusion_hybrid_matches_oracle(router, oracle):
     r.global_fusion = False
     res = r.search("c1", {"term": "the cat", "mode": "hybrid"}, READ)
     assert res.hits
+
+
+def test_grpc_transport(tmp_path):
+    """The gRPC DCN transport (parallel/slice_grpc) round-trips the full
+    slice interface — writes, searches with facets, stats sync, commit —
+    and a router mixing a GrpcSlice with a LocalSlice produces the same
+    merged results as an all-local router."""
+    grpc = pytest.importorskip("grpc")  # noqa: F841 — image ships grpcio
+    from orama_core_tpu.parallel.slice_grpc import GrpcSlice, serve_slice
+
+    engines = [_mk_engine(tmp_path, f"g{i}") for i in range(2)]
+    server = serve_slice(LocalSlice(engines[0]))
+    try:
+        remote = GrpcSlice(f"127.0.0.1:{server._port}")
+        router = MultiSliceRouter([remote, LocalSlice(engines[1])])
+        router.create_collection(MASTER, "c1", READ, WRITE)
+        router.write("c1", DOCS, WRITE)
+        router.flush()
+
+        oracle_engine = _mk_engine(tmp_path, "goracle")
+        oracle_engine.write_side.create_collection(
+            MASTER, "c1", read_api_key=READ, write_api_key=WRITE
+        )
+        oracle_engine.flush()
+        oracle_engine.write_side.write("c1", DOCS, WRITE)
+        oracle_engine.flush()
+
+        body = {
+            "term": "cat", "limit": 10,
+            "facets": {"price": {"ranges": [{"from": 0, "to": 5},
+                                            {"from": 5, "to": 100}]}},
+        }
+        merged = router.search("c1", dict(body), READ)
+        single = oracle_engine.read_side.search(
+            "c1", SearchParams.from_json(dict(body)), READ
+        )
+        assert {h.id for h in merged.hits} == {h.id for h in single.hits}
+        assert merged.count == single.count
+        assert merged.facets["price"].values == single.facets["price"].values
+
+        # stats sync over the wire + exact score parity after commit
+        router.commit()
+        oracle_engine.commit()
+        router.sync_global_stats("c1", WRITE)
+        m2 = router.search("c1", {"term": "cat", "limit": 10}, READ)
+        s2 = oracle_engine.read_side.search(
+            "c1", SearchParams.from_json({"term": "cat", "limit": 10}), READ
+        )
+        assert [h.id for h in m2.hits] == [h.id for h in s2.hits]
+        for hm, hs in zip(m2.hits, s2.hits):
+            assert abs(hm.score - hs.score) < 1e-5
+
+        # count + delete round-trip
+        assert router.count("c1") == len(DOCS)
+        deleted = router.delete("c1", [DOCS[0]["id"]], WRITE)
+        assert deleted == 1
+        remote.close()
+        oracle_engine.close()
+    finally:
+        server.stop(0)
+        for e in engines:
+            e.close()
