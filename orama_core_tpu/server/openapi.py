@@ -121,6 +121,16 @@ def openapi_spec() -> Dict[str, Any]:
             "/v1/{id}/actions/execute": {
                 "post": _op("Execute engine action (sidecar seam)", "?api-key=read key")
             },
+            # multi-slice DFS statistics exchange (beyond the reference)
+            "/v1/collections/{id}/stats/export": {
+                "get": _op("Export per-term document frequencies for "
+                           "multi-slice global-idf sync", "Bearer write key",
+                           body=False)
+            },
+            "/v1/collections/{id}/stats/import": {
+                "post": _op("Apply merged global statistics (DFS mode)",
+                            "Bearer write key")
+            },
             # hooks: reference path shapes (hooks.rs:36,68,101,137) — the
             # /v1/collections/{id}/hooks/* aliases also resolve
             "/v1/collections/{id}/hooks/create": {
