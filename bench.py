@@ -237,17 +237,23 @@ def main() -> None:
 
 if __name__ == "__main__":
     # The axon dev relay occasionally drops a session mid-run ("Broken
-    # pipe" on remote_compile after long idles were observed in r3).
-    # The driver runs this file ONCE per round — one in-process retry
-    # protects the round's headline from a transient relay fault. A
-    # retry reuses the warmed compilation cache, so it is cheap.
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 — any relay fault, one retry
-        import time as _t
-        import traceback
+    # pipe" on remote_compile) and its TPU worker sometimes goes down
+    # entirely for minutes ("Unable to initialize backend 'axon'") —
+    # both observed in r3. The driver runs this file ONCE per round, so
+    # escalating in-process retries protect the round's headline: worker
+    # restarts need minutes, not seconds. Retries reuse the warmed
+    # compilation cache, so they are cheap once the backend is back.
+    import time as _t
+    import traceback
 
-        log(f"bench attempt 1 failed ({e!r}); retrying once in 30 s")
-        traceback.print_exc(file=sys.stderr)
-        _t.sleep(30)
-        main()
+    for attempt, delay in enumerate((30, 120, 300, 600), start=1):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001 — any relay/worker fault
+            log(f"bench attempt {attempt} failed ({e!r}); "
+                f"retrying in {delay} s")
+            traceback.print_exc(file=sys.stderr)
+            _t.sleep(delay)
+    else:
+        main()  # final attempt propagates its failure
