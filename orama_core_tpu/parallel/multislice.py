@@ -177,6 +177,7 @@ class MultiSliceRouter:
         slices: Sequence[Any],
         max_workers: Optional[int] = None,
         global_fusion: bool = True,
+        partial_tolerance: bool = False,
     ) -> None:
         if not slices:
             raise ValueError("need at least one slice")
@@ -187,6 +188,28 @@ class MultiSliceRouter:
             max_workers=max_workers or 3 * len(self.slices)
         )
         self.global_fusion = global_fusion
+        # ES-style degraded reads: a failed slice drops out of the merge
+        # and the result is flagged `partial` instead of erroring the
+        # whole query (writes stay fail-fast — losing acks is not an
+        # acceptable degradation). Default off: fail-fast.
+        self.partial_tolerance = partial_tolerance
+
+    def _gather_search(self, futures):
+        """Collect per-slice search futures; under partial_tolerance,
+        failed slices are skipped (result flagged partial). All-failed
+        still raises the last error."""
+        results, failed, last = [], 0, None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — transport/slice fault
+                if not self.partial_tolerance:
+                    raise
+                failed += 1
+                last = e
+        if not results and last is not None:
+            raise last
+        return results, failed > 0
 
     # -- admin (broadcast) --------------------------------------------------
 
@@ -294,7 +317,7 @@ class MultiSliceRouter:
             self._pool.submit(s.search, cid, params_json, read_key)
             for s in self.slices
         ]
-        results = [f.result() for f in futures]
+        results, partial = self._gather_search(futures)
         # deterministic merge: score desc, user id asc on ties (slices
         # assign their own dense ids, so the user id is the only stable
         # cross-slice tiebreak)
@@ -305,7 +328,8 @@ class MultiSliceRouter:
         count = sum(r.count for r in results)
         facets = self._merge_facets(results)
         elapsed = max((r.elapsed_ms for r in results), default=0.0)
-        return SearchResult(hits=hits, count=count, elapsed_ms=elapsed, facets=facets)
+        return SearchResult(hits=hits, count=count, elapsed_ms=elapsed,
+                            facets=facets, partial=partial)
 
     @staticmethod
     def _merge_facets(results) -> Optional[Dict[str, FacetResult]]:
@@ -370,7 +394,16 @@ class MultiSliceRouter:
             )
             for s in self.slices
         ]
-        trips = [(a.result(), b.result(), c.result()) for a, b, c in futs]
+        trips, partial = [], False
+        for a, b, c in futs:
+            try:
+                trips.append((a.result(), b.result(), c.result()))
+            except Exception:  # noqa: BLE001 — drop the whole slice
+                if not self.partial_tolerance:
+                    raise
+                partial = True
+        if not trips:
+            raise RuntimeError("all slices failed")
         ft_r = [t[0] for t in trips]
         vec_r = [t[1] for t in trips]
         hyb_r = [t[2] for t in trips]
@@ -411,6 +444,7 @@ class MultiSliceRouter:
                 default=0.0,
             ),
             facets=self._merge_facets(hyb_r),
+            partial=partial,
         )
 
     def count(self, cid: str) -> int:

@@ -292,6 +292,9 @@ class SearchResult:
     count: int
     elapsed_ms: float
     facets: Optional[Dict[str, FacetResult]] = None
+    # True when a degraded multi-slice search served from a subset of
+    # slices (MultiSliceRouter partial_tolerance); additive wire field
+    partial: bool = False
 
     def to_json(self) -> Dict[str, Any]:
         out: Dict[str, Any] = {
@@ -301,6 +304,8 @@ class SearchResult:
         }
         if self.facets is not None:
             out["facets"] = {k: v.to_json() for k, v in self.facets.items()}
+        if self.partial:
+            out["partial"] = True
         return out
 
 

@@ -329,3 +329,43 @@ def test_grpc_transport(tmp_path):
         server.stop(0)
         for e in engines:
             e.close()
+
+
+def test_partial_tolerance_degraded_reads(router):
+    """With partial_tolerance, a failed slice drops out of the merge and
+    the result is flagged partial (ES-style degraded read); default
+    stays fail-fast; all-failed still raises."""
+    r, engines = router
+
+    class _Broken:
+        def search(self, cid, params, key):
+            raise ConnectionError("slice down")
+
+    healthy = list(r.slices)
+    r.slices = healthy + [_Broken()]
+    body = {"term": "cat", "limit": 10}
+
+    with pytest.raises(ConnectionError):
+        r.search("c1", dict(body), READ)   # default: fail-fast
+
+    r.partial_tolerance = True
+    res = r.search("c1", dict(body), READ)
+    assert res.partial is True
+    assert res.count > 0 and res.hits
+    assert res.to_json().get("partial") is True
+
+    # healthy path is not flagged
+    r.slices = healthy
+    res2 = r.search("c1", dict(body), READ)
+    assert res2.partial is False
+    assert "partial" not in res2.to_json()
+
+    # hybrid global-fusion path degrades the same way
+    r.slices = healthy + [_Broken()]
+    res3 = r.search("c1", {"term": "cat", "mode": "hybrid"}, READ)
+    assert res3.partial is True and res3.hits
+
+    # all slices down -> still an error
+    r.slices = [_Broken(), _Broken()]
+    with pytest.raises(ConnectionError):
+        r.search("c1", dict(body), READ)
