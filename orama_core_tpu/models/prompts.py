@@ -31,6 +31,35 @@ _TEMPLATES: Dict[str, str] = {
         "DESCRIBE_INPUT_CODE, IMPROVE_INPUT, CREATE_CODE, ASK_FOLLOWUP, "
         "GIVE_REPLY.\nRequest: {prompt}\nJSON:"
     ),
+    # -- vision roles (reference prompts/main.py:7-39: four template
+    # families; "vision" is the LLMType wire name and resolves to the
+    # generic analyst — the reference's chat path likewise treats vision
+    # as a text chat whose prompt carries the image reference) ----------
+    "vision": (
+        "You are an image analysis assistant. Provide a detailed "
+        "analysis of what the image shows: the key elements and how "
+        "they relate.\n\nImage: {prompt}\n"
+    ),
+    "vision_generic": (
+        "You are an image analysis assistant. Provide a detailed "
+        "analysis of what the image shows: the key elements and how "
+        "they relate.\n\nImage: {prompt}\n"
+    ),
+    "vision_ecommerce": (
+        "You are a product description assistant. Describe the product "
+        "shown in the image, including its mood, colors, and potential "
+        "use cases.\n\nImage: {prompt}\n"
+    ),
+    "vision_tech_documentation": (
+        "You are a technical documentation analyzer. Analyze this "
+        "technical documentation image, focusing on its key components "
+        "and technical details.\n\nImage: {prompt}\n"
+    ),
+    "vision_code": (
+        "You are a code analysis assistant. Analyze the provided code "
+        "block: its functionality, implementation details, and intended "
+        "purpose.\n\nCode: {prompt}\n"
+    ),
     "autoquery": (
         "Convert the natural-language request into a JSON search-params "
         'object {{"term": ..., "mode": ...}}.\nRequest: {prompt}\nJSON:'
