@@ -87,6 +87,10 @@ class AiConfig:
     # The reference serves temperature=0.1 (service/models.py:100)
     llm_temperature: float = 0.0
     hf_model_path: Optional[str] = None  # load real weights if given
+    # Encoder checkpoints: one checkpoint dir, or a dir of per-model subdirs
+    # (see scripts/prepare_checkpoint.py). Absent -> pretrained-family models
+    # (bge/e5) serve the deterministic lexical fallback (models/lexical.py).
+    embedding_checkpoint_path: Optional[str] = None
     max_batch_size: int = 64
     # Remote model backend: when set (host:port), the engine consumes models
     # over gRPC (rpc/client.py) instead of running them in-process —

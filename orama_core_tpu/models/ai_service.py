@@ -34,19 +34,74 @@ class AIService:
 
     # -- embeddings -----------------------------------------------------------
 
+    def _resolve_checkpoint(self, model: str) -> Optional[str]:
+        """Encoder checkpoint dir for ``model``: ``embedding_checkpoint_path``
+        may point at one checkpoint or at a directory of per-model subdirs."""
+        import os
+
+        root = getattr(self.cfg, "embedding_checkpoint_path", None)
+        if not root:
+            return None
+        per_model = os.path.join(root, model)
+        if os.path.exists(os.path.join(per_model, "config.json")):
+            return per_model
+        if os.path.exists(os.path.join(root, "config.json")):
+            return root
+        return None
+
     def _embedder(self, model: str):
         with self._lock:
             e = self._embedders.get(model)
             if e is None:
                 info = model_info(model)
-                if self.cfg.backend == "jax" and not model.startswith("fake"):
-                    from .encoder import JaxEncoderEmbedder
+                if model.startswith("lexical"):
+                    from .lexical import LexicalEmbedder
 
-                    e = JaxEncoderEmbedder(model)
+                    e = LexicalEmbedder(info.dim)
+                elif self.cfg.backend == "jax" and not model.startswith("fake"):
+                    e = self._jax_embedder(model, info)
                 else:
                     e = FakeEmbedder(info.dim)
                 self._embedders[model] = e
             return e
+
+    def _jax_embedder(self, model: str, info):
+        """Transformer forward when a real checkpoint is on disk; otherwise
+        the documented fallback ladder: ``jax-*`` registry entries keep the
+        random-init encoder (compile/perf paths), pretrained-family names
+        (bge/e5) degrade to the deterministic lexical embedder — random
+        transformer weights would rank by noise (models/lexical.py)."""
+        from .encoder import JaxEncoderEmbedder
+
+        ckpt = self._resolve_checkpoint(model)
+        if ckpt is not None:
+            from .hf_loader import load_encoder_checkpoint, load_encoder_tokenizer
+
+            loaded = load_encoder_checkpoint(ckpt)
+            if loaded is not None:
+                cfg, params = loaded
+                tok = load_encoder_tokenizer(ckpt, cfg.max_len)
+                if cfg.out_dim != info.dim:
+                    import logging
+
+                    logging.getLogger("oramax.ai").warning(
+                        "checkpoint %s dim %d != registry dim %d for %s",
+                        ckpt, cfg.out_dim, info.dim, model,
+                    )
+                return JaxEncoderEmbedder(model, cfg=cfg, params=params, tokenizer=tok)
+        if model.startswith("jax"):
+            return JaxEncoderEmbedder(model)
+        import logging
+
+        logging.getLogger("oramax.ai").warning(
+            "no checkpoint for %s (embedding_checkpoint_path=%r) — using the "
+            "lexical fallback embedder; run scripts/prepare_checkpoint.py for "
+            "pretrained weights",
+            model, getattr(self.cfg, "embedding_checkpoint_path", None),
+        )
+        from .lexical import LexicalEmbedder
+
+        return LexicalEmbedder(info.dim)
 
     def embed_query(self, model: str, texts: Sequence[str]) -> np.ndarray:
         """[len(texts), dim] float32 (intent prefix per model registry;

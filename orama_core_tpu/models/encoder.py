@@ -179,14 +179,20 @@ class HashTokenizer:
 class JaxEncoderEmbedder:
     """AIService backend: tokenizer + jitted encoder forward."""
 
-    def __init__(self, model_name: str, cfg: Optional[EncoderConfig] = None, params=None) -> None:
+    def __init__(
+        self,
+        model_name: str,
+        cfg: Optional[EncoderConfig] = None,
+        params=None,
+        tokenizer=None,
+    ) -> None:
         info = model_info(model_name)
         self.cfg = cfg or dataclasses.replace(
             MINILM, hidden=max(info.dim, 128), out_dim=info.dim,
             mlp=4 * max(info.dim, 128),
             heads=max(info.dim, 128) // 32,
         )
-        self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
+        self.tokenizer = tokenizer or HashTokenizer(self.cfg.vocab_size, self.cfg.max_len)
         self.params = params if params is not None else init_params(
             jax.random.PRNGKey(0), self.cfg
         )

@@ -113,6 +113,39 @@ def load_encoder_checkpoint(path: str):
     return cfg, params
 
 
+def load_encoder_tokenizer(path: str, max_len: int):
+    """HF tokenizer (local files only) wrapped to the engine's
+    ``texts -> (ids, mask)`` contract with pow2 length buckets (bounds
+    recompiles the same way HashTokenizer does). Returns None when the
+    checkpoint directory carries no tokenizer files."""
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+    except Exception:
+        return None
+
+    class _HFEncoderTok:
+        def __call__(self, texts):
+            enc = tok(
+                list(texts),
+                truncation=True,
+                max_length=max_len,
+                add_special_tokens=True,
+            )["input_ids"]
+            l = max(8, max((len(r) for r in enc), default=1))
+            l = min(1 << (l - 1).bit_length(), max_len)
+            ids = np.zeros((len(enc), l), np.int32)
+            mask = np.zeros((len(enc), l), np.float32)
+            for i, r in enumerate(enc):
+                n = min(len(r), l)
+                ids[i, :n] = r[:n]
+                mask[i, :n] = 1.0
+            return ids, mask
+
+    return _HFEncoderTok()
+
+
 def load_llm_checkpoint(path: str):
     """Qwen2/LLaMA-family -> (LlmConfig, params, tokenizer) or None."""
     import jax.numpy as jnp

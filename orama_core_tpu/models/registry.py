@@ -49,6 +49,10 @@ EMBEDDING_MODELS: Dict[str, EmbeddingModelInfo] = {
         # JAX-native encoder (models/encoder.py) with randomly initialized or
         # HF-converted weights
         EmbeddingModelInfo("jax-minilm", 384, _E5_Q, _E5_P),
+        # Deterministic lexical random-indexing embedder (models/lexical.py):
+        # the zero-checkpoint out-of-box tier — no prefixes (symmetric model)
+        EmbeddingModelInfo("lexical-small", 384),
+        EmbeddingModelInfo("lexical-base", 768),
     ]
 }
 

@@ -13,8 +13,13 @@ then point the engine at the directory:
     ai:
       backend: jax
       embedding_model: bge-small
-      hf_model_path: /ckpts/bge-small      # encoder weights
-      # llm checkpoints go through the same key for the answer model
+      embedding_checkpoint_path: /ckpts    # dir of per-model subdirs
+                                           # (or one checkpoint dir)
+      # hf_model_path: /ckpts/qwen2.5-3b   # answer-model (LLM) checkpoint
+
+Without a checkpoint, bge/e5 models serve the deterministic *lexical*
+embedder (models/lexical.py) — a real ranking signal out of the box, not
+random transformer weights.
 
 This script verifies the directory loads through models/hf_loader.py
 (exact tensor schema: reference embeddings/models.py:18-76 for the encoder
@@ -95,7 +100,7 @@ def main(path: str) -> int:
         print(f"smoke forward ok: embedding {out.shape}, L2 norm {n:.4f}")
         print("\nconfig.yaml stanza:\n  ai:\n    backend: jax\n"
               f"    embedding_model: {os.path.basename(path)}\n"
-              f"    hf_model_path: {os.path.abspath(path)}")
+              f"    embedding_checkpoint_path: {os.path.abspath(path)}")
     return 0
 
 
