@@ -69,30 +69,13 @@ def main() -> None:
     t0 = time.time()
 
     # Synthetic corpus via a counter-based integer-hash RNG, NOT
-    # jax.random/threefry: the threefry program's first-use load through
-    # the axon relay measured 90-290 s (vs 0.9 s for a plain elementwise
-    # program of the same output size) and dominated the r02 "cold start"
-    # regression. Irwin-Hall (sum of 4 uniforms) is plenty normal for
-    # benchmark direction vectors; rows are L2-normalized anyway.
+    # jax.random/threefry (90-290 s first-use load through the relay —
+    # see utils/benchgen.py, shared with benchmarks/*).
+    from orama_core_tpu.utils.benchgen import hashed_unit_corpus
+
     @jax.jit
     def make_corpus(salt):
-        idx = jax.lax.broadcasted_iota(
-            jnp.uint32, (N_PAD, D), 0
-        ) * jnp.uint32(D) + jax.lax.broadcasted_iota(
-            jnp.uint32, (N_PAD, D), 1
-        )
-        v = jnp.zeros((N_PAD, D), jnp.float32)
-        for s in (1, 2, 3, 4):  # Irwin-Hall(4) ~ N(0, 1/3): normal enough
-            x = idx * jnp.uint32(2654435761) + salt * jnp.uint32(s)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(2246822519)
-            x = x ^ (x >> 13)
-            x = x * jnp.uint32(3266489917)
-            x = x ^ (x >> 16)
-            v = v + x.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
-        v = v - 2.0
-        n = jnp.sqrt(jnp.sum(v * v, -1, keepdims=True))
-        return (v / jnp.maximum(n, 1e-9)).astype(jnp.bfloat16)
+        return hashed_unit_corpus(N_PAD, D, salt)
 
     vecs = make_corpus(jnp.uint32(1))  # rows >= N are padding, masked
     _ = np.asarray(vecs[0, 0])  # sync: splits corpus-gen from search timing

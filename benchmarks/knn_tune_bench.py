@@ -71,23 +71,11 @@ def main():
     _ = np.asarray(jnp.ones(8) + 1.0)
     log(f"relay session: {time.time()-t0:.1f}s")
 
+    from orama_core_tpu.utils.benchgen import hashed_unit_corpus
+
     @jax.jit
     def make_corpus(salt):
-        idx = jax.lax.broadcasted_iota(
-            jnp.uint32, (n_pad, D), 0
-        ) * jnp.uint32(D) + jax.lax.broadcasted_iota(jnp.uint32, (n_pad, D), 1)
-        v = jnp.zeros((n_pad, D), jnp.float32)
-        for s in (1, 2, 3, 4):
-            x = idx * jnp.uint32(2654435761) + salt * jnp.uint32(s)
-            x = x ^ (x >> 15)
-            x = x * jnp.uint32(2246822519)
-            x = x ^ (x >> 13)
-            x = x * jnp.uint32(3266489917)
-            x = x ^ (x >> 16)
-            v = v + x.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
-        v = v - 2.0
-        nn = jnp.sqrt(jnp.sum(v * v, -1, keepdims=True))
-        return (v / jnp.maximum(nn, 1e-9)).astype(jnp.bfloat16)
+        return hashed_unit_corpus(n_pad, D, salt)
 
     t0 = time.time()
     vecs = make_corpus(jnp.uint32(1))

@@ -107,14 +107,37 @@ def query_expansion(parser, term: str) -> Tuple[List[str], List[str]]:
 def expanded_spans(term_dict, tokens: List[str], stems: List[str]):
     """Per-token prefix spans + exact stem spans (dedup'd against the
     prefix spans) over a committed TermDict — the committed-segment
-    counterpart of UncommittedStringIndex.search(exact_tokens=...)."""
+    counterpart of UncommittedStringIndex.search(exact_tokens=...).
+
+    Returns (spans, n_surface): the first ``n_surface`` spans come from
+    surface tokens, the rest from stems. Callers MUST limit phrase
+    position streams to ``spans[:n_surface]`` — per query_expansion's
+    contract, stems add BM25 recall but never drive phrase adjacency."""
     spans = [term_dict.prefix_range(t) for t in tokens]
     spans = [(lo, hi) for lo, hi in spans if hi > lo]
+    n_surface = len(spans)
     for s in stems:
         tid = term_dict.term_id(s)
         if tid is not None and not any(lo <= tid < hi for lo, hi in spans):
             spans.append((tid, tid + 1))
-    return spans
+    return spans, n_surface
+
+
+_MULTIVEC_FAST_MAX_CHUNKS = 64
+
+
+def _multivec_fast_eligible(c) -> bool:
+    """Shared fast-path gate for multi-vector committed layouts (single-
+    device and mesh): chunk rows must be doc-ascending (contiguous per doc)
+    and per-doc fan-out bounded — the exact rescore gathers
+    [k*over, m_max] rows per query. Probes once per committed generation
+    and caches on the (immutable) index object."""
+    asc = getattr(c, "_docs_ascending", None)
+    if asc is None:
+        asc = bool(np.all(np.diff(c.vec_docs) >= 0))
+        c._docs_ascending = asc
+        c._max_chunks = int(np.bincount(c.vec_docs).max()) if asc else 0
+    return asc and c._max_chunks <= _MULTIVEC_FAST_MAX_CHUNKS
 
 
 # --- small jitted helpers ----------------------------------------------------
@@ -1263,7 +1286,9 @@ class CollectionReader:
             # committed segment on device: ship only per-token term-id spans
             # (contiguous by construction); postings/idf resolve on device
             committed = sf.committed
-            token_spans = expanded_spans(committed.term_dict, tokens, stems)
+            token_spans, n_surf = expanded_spans(
+                committed.term_dict, tokens, stems
+            )
             if token_spans:
                 ts_host = committed.term_starts
                 g_total = int(
@@ -1311,11 +1336,14 @@ class CollectionReader:
                             self._device.phrase_docmajor_arrays(committed, cap)
                         )
                         max_tok = 32
+                        # surface spans only: stems never drive phrase
+                        # adjacency (query_expansion contract)
+                        ph_only = token_spans[:n_surf]
                         n_sp = bucket_pad(
-                            min(len(token_spans), max_tok), (4, 16, 32)
+                            max(min(len(ph_only), max_tok), 1), (4, 16, 32)
                         )
                         spans_a = np.zeros((n_sp, 2), np.int32)
-                        for si, (lo, hi) in enumerate(token_spans[:max_tok]):
+                        for si, (lo, hi) in enumerate(ph_only[:max_tok]):
                             spans_a[si] = (lo, hi)
                         boost_by_doc = bm25_ops.phrase_boost_docmajor(
                             d_dev, p_dev, t_dev, bounds, jnp.asarray(spans_a),
@@ -1614,10 +1642,12 @@ class CollectionReader:
             committed = sf.committed
             gi = committed.global_info() + sf.uncommitted.global_info()
 
-            span_rows = [
+            span_pairs = [
                 expanded_spans(committed.term_dict, toks, stems)
                 for toks, stems in expansions
             ]
+            span_rows = [spans for spans, _ in span_pairs]
+            surf_rows = [spans[:ns] for spans, ns in span_pairs]
             ts_host = committed.term_starts
             g_totals = [
                 int(sum(ts_host[hi] - ts_host[lo] for lo, hi in row))
@@ -1647,11 +1677,13 @@ class CollectionReader:
                         g_totals[row], self.cfg.budget_bucket_steps
                     )
                     if phrase:
+                        # positions budget over SURFACE spans only — the
+                        # phrase stream never reads stem spans
                         pp_total = int(
                             sum(
                                 committed.pos_starts[ts_host[hi]]
                                 - committed.pos_starts[ts_host[lo]]
-                                for lo, hi in span_rows[row]
+                                for lo, hi in surf_rows[row]
                             )
                         )
                         pp_budget = bucket_pad(
@@ -1667,10 +1699,14 @@ class CollectionReader:
                         rows_c = rows[c0 : c0 + chunk]
                         b_pad = bucket_pad(len(rows_c), (4, 16, 64, 256))
                         spans_b = np.zeros((b_pad, max_tok, 2), np.int32)
+                        ph_spans_b = np.zeros((b_pad, max_tok, 2), np.int32)
                         for i, r in enumerate(rows_c):
                             spans = span_rows[r][:max_tok]
                             if spans:
                                 spans_b[i, : len(spans)] = spans
+                            surf = surf_rows[r][:max_tok]
+                            if surf:
+                                ph_spans_b[i, : len(surf)] = surf
                         sub = bm25_ops.bm25_scores_from_spans_batch(
                             d_tstarts, d_docs, d_tf, d_ni, d_plens,
                             d_pstarts, d_pos,
@@ -1683,6 +1719,7 @@ class CollectionReader:
                             jnp.float32(gi.total_documents),
                             n_docs=cap, g_budget=g_budget,
                             pp_budget=pp_budget, phrase=phrase,
+                            phrase_spans_b=jnp.asarray(ph_spans_b),
                         )
                         if len(rows_c) == b and b == b_pad:
                             scores = scores + sub
@@ -1988,7 +2025,9 @@ class CollectionReader:
             phrase = len(tokens) > 1
 
             committed = sf.committed
-            token_spans = expanded_spans(committed.term_dict, tokens, stems)
+            token_spans, n_surf = expanded_spans(
+                committed.term_dict, tokens, stems
+            )
             if token_spans:
                 ts_global = committed.term_starts
                 g_total = int(
@@ -2031,10 +2070,13 @@ class CollectionReader:
                         filter_mask,
                     )
                     if phrase:
+                        # surface spans only — stems never drive phrase
+                        # adjacency (query_expansion contract)
+                        ph_only = token_spans[:n_surf]
                         pp_lo = [
                             [
                                 int(pos_starts_sh[si][ts_sh[si, lo]])
-                                for lo, hi in token_spans
+                                for lo, hi in ph_only
                             ]
                             for si in range(S)
                         ]
@@ -2044,7 +2086,7 @@ class CollectionReader:
                                     pos_starts_sh[si][ts_sh[si, hi]]
                                     - pos_starts_sh[si][ts_sh[si, lo]]
                                 )
-                                for lo, hi in token_spans
+                                for lo, hi in ph_only
                             ]
                             for si in range(S)
                         ]
@@ -2278,16 +2320,8 @@ class CollectionReader:
         if single is None:
             single = len(np.unique(c.vec_docs)) == c.n_vectors
             c._single_vec_per_doc = single
-        if not single:
-            asc = getattr(c, "_docs_ascending", None)
-            if asc is None:
-                asc = bool(np.all(np.diff(c.vec_docs) >= 0))
-                c._docs_ascending = asc
-                c._max_chunks = (
-                    int(np.bincount(c.vec_docs).max()) if asc else 0
-                )
-            if not c._docs_ascending or c._max_chunks > 64:
-                return None
+        if not single and not _multivec_fast_eligible(c):
+            return None
         from ..parallel import sharded_engine as se
         from ..server import metrics as m
 
@@ -2296,6 +2330,14 @@ class CollectionReader:
         qn = self._resolve_query_vec(
             f.model, params.term, ai_service, params.vector
         )
+        if params.vector is not None and len(qn) != c.dimension:
+            # same clean error every other vector path raises — a wrong-size
+            # raw query vector must not reach the shard_map kernel as an
+            # opaque Mosaic shape failure
+            raise ValueError(
+                f"query vector has dimension {len(qn)}; collection "
+                f"embedding fields have [{c.dimension}]"
+            )
         vecs, rowdocs, _valid = self._device.sharded_vector_arrays(
             c, local_cap
         )
@@ -2495,16 +2537,7 @@ class CollectionReader:
         # committed layout) and the index is exact bf16 (no int8 variant)
         if self.cfg.vector_index != "exact":
             return None
-        asc = getattr(c, "_docs_ascending", None)
-        if asc is None:
-            asc = bool(np.all(np.diff(c.vec_docs) >= 0))
-            c._docs_ascending = asc
-            c._max_chunks = (
-                int(np.bincount(c.vec_docs).max()) if asc else 0
-            )
-        # the exact rescore gathers [k·over, m_max] rows per query — an
-        # extreme chunk fan-out would blow that block up; dense handles it
-        return emb[0] if asc and c._max_chunks <= 64 else None
+        return emb[0] if _multivec_fast_eligible(c) else None
 
     def _vector_topk_fast_core(
         self, params_list: List[SearchParams], fid: int, qn: np.ndarray
@@ -2755,7 +2788,9 @@ class CollectionReader:
             committed = self._string[sfid].committed
             gi = committed.global_info()  # windows are empty by eligibility
             gi_avgdl, gi_n = gi.avgdl, gi.total_documents
-            token_spans = expanded_spans(committed.term_dict, tokens, stems)
+            token_spans, n_surf = expanded_spans(
+                committed.term_dict, tokens, stems
+            )
             phrase = len(tokens) > 1
             field_boost = float(params.boost.get(f.name, 1.0))
 
@@ -2809,10 +2844,12 @@ class CollectionReader:
             )
             # spans drive a per-span compare pass over the WHOLE position
             # stream — bucket the count (a 2-token query must not pay a
-            # 32-span unroll: ~0.6 ms/span at 20M positions)
-            n_sp = bucket_pad(min(len(token_spans), 32), (4, 16, 32))
+            # 32-span unroll: ~0.6 ms/span at 20M positions). Surface spans
+            # only: stems never drive phrase adjacency.
+            ph_only = token_spans[:n_surf]
+            n_sp = bucket_pad(max(min(len(ph_only), 32), 1), (4, 16, 32))
             spans_a = np.zeros((n_sp, 2), np.int32)
-            for si, (lo, hi) in enumerate(token_spans[:32]):
+            for si, (lo, hi) in enumerate(ph_only[:32]):
                 spans_a[si] = (lo, hi)
             ph_spans = jnp.asarray(spans_a)
         else:
@@ -2934,7 +2971,9 @@ class CollectionReader:
             g_totals: List[int] = []
             for p in params_list:
                 tokens, stems = query_expansion(parser, p.term)
-                spans = expanded_spans(committed.term_dict, tokens, stems)[:32]
+                # batched-fused serving is non-phrase by construction
+                # (hybrid_fused_topk_batch), so surface/stem split is moot
+                spans = expanded_spans(committed.term_dict, tokens, stems)[0][:32]
                 span_rows.append(spans)
                 g_totals.append(
                     int(sum(ts_host[hi] - ts_host[lo] for lo, hi in spans))

@@ -1053,9 +1053,17 @@ def run_hook(code: str, fn_name: str, document: Dict[str, Any]) -> Any:
     program = parser.parse_program()
     interp = _Interp()
     env = _Env()
-    interp.run_block(program, env)
-    fn = env.get(fn_name)
-    if not (isinstance(fn, tuple) and fn and fn[0] == "closure"):
-        raise MiniJsError(f"{fn_name} is not a function")
-    result = interp.call_closure(fn, [document])
+    try:
+        interp.run_block(program, env)
+        fn = env.get(fn_name)
+        if not (isinstance(fn, tuple) and fn and fn[0] == "closure"):
+            raise MiniJsError(f"{fn_name} is not a function")
+        result = interp.call_closure(fn, [document])
+    except _Throw as th:
+        # an uncaught user-level `throw` is a hook error, not an engine
+        # crash — surface it as MiniJsError so callers (engine/hooks.py)
+        # take their documented fallback path
+        raise MiniJsError(f"uncaught throw: {_js_str(th.value)!r}") from None
+    except (_Break, _Continue):
+        raise MiniJsError("break/continue outside a loop") from None
     return _strip_undefined(result)

@@ -24,6 +24,7 @@ from ..oplog import (
 )
 from ..types import ApiKeyError, CollectionNotFound, new_cuid
 from ..utils import atomic_write_json, ensure_dir, read_json
+from ..utils import tracing
 from .collection_write import CollectionWriter, EmbeddingRequest
 
 
@@ -152,9 +153,21 @@ class WriteSide:
             if self.hooks is not None:
                 from .hooks import SELECT_EMBEDDING_PROPERTIES
 
-                override = self.hooks.eval(
-                    collection_id, SELECT_EMBEDDING_PROPERTIES, doc
-                )
+                try:
+                    override = self.hooks.eval(
+                        collection_id, SELECT_EMBEDDING_PROPERTIES, doc
+                    )
+                except Exception as e:
+                    # hook failure (uncaught throw, unsupported subset with
+                    # subprocess disabled, bad return type) skips the doc's
+                    # embedding but never aborts the write batch — the
+                    # reference's `_ => return Ok(())` (fields.rs:431-434)
+                    tracing.log(
+                        "error",
+                        f"hook eval failed for doc {uid!r} in "
+                        f"{collection_id!r}: {e}; skipping embedding",
+                    )
+                    override = []
             ops, emb_reqs = c.process_document(doc_id, doc, override)
             # field-creation ops must precede the index ops that use them
             for op in c.drain_field_ops():

@@ -46,6 +46,12 @@ _NGRAM_SIZES = (3, 4, 5)
 class LexicalEmbedder:
     """Deterministic lexical embedding model (see module docstring)."""
 
+    # feature-vector cache bound: vectors re-derive cheaply from their
+    # blake2b seed, so the cache is a pure speedup for the Zipf head —
+    # unbounded it would grow ~dim*4 bytes per DISTINCT corpus feature
+    # (tens of GB over a few million indexed docs)
+    MAX_CACHE = 1 << 17
+
     def __init__(self, dim: int, max_features_per_text: int = 4096) -> None:
         self.dim = dim
         self.max_features = max_features_per_text
@@ -84,7 +90,8 @@ class LexicalEmbedder:
             rng = np.random.default_rng(seed)
             v = rng.standard_normal(self.dim).astype(np.float32)
             v /= max(float(np.linalg.norm(v)), 1e-12)
-            self._vecs[feature] = v
+            if len(self._vecs) < self.MAX_CACHE:
+                self._vecs[feature] = v
         return v
 
     # -- embedding --------------------------------------------------------------

@@ -32,7 +32,11 @@ DEFAULT_LOCALE = "en"
 # rather than mirrored, since the Tamil stemmer operates on whole
 # words. The Indic script blocks are added wholesale to the word-char
 # class (their letters are already \w; this admits the marks).
-_INDIC_MARKS = "ऀ-ॿ஀-௿"
+# Khmer (km — an addition over the reference's 33 locales) is an abugida
+# with the same shape: dependent vowels U+17B6-U+17C5 and the coeng
+# subscript marker U+17D2 are combining marks, so the block is admitted
+# wholesale too or every Khmer word fragments at its vowel signs.
+_INDIC_MARKS = "ऀ-ॿ஀-௿ក-៿"
 _DEFAULT_SPLIT = re.compile(rf"[^\w{_INDIC_MARKS}]+", re.UNICODE)
 _CJK_LOCALES = frozenset({"zh", "jp", "ko"})
 _CJK_CHAR = re.compile(

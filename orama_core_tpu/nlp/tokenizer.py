@@ -37,7 +37,9 @@ def fold_diacritics(token: str) -> str:
     decomposed = unicodedata.normalize("NFKD", token)
     kept = "".join(
         c for c in decomposed
-        if not unicodedata.combining(c) or "ऀ" <= c <= "௿"
+        if not unicodedata.combining(c)
+        or "ऀ" <= c <= "௿"
+        or "ក" <= c <= "៿"  # Khmer: coeng (ccc=9) is orthography too
     )
     return unicodedata.normalize("NFC", kept)
 

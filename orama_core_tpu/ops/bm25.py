@@ -135,6 +135,9 @@ def bm25_scores_from_spans(
     pp_budget: int,            # static positions budget (phrase only)
     phrase: bool,
     masked: bool = True,       # False => skip the filter gather entirely
+    phrase_spans: "jax.Array" = None,  # int32[MAXTOK, 2]: spans whose
+    # positions feed the phrase boost (surface spans only — stems score
+    # BM25 but never drive adjacency); defaults to ``spans``
 ) -> jax.Array:
     """Span-resolved BM25: the host ships only per-token term-id ranges
     (prefix search on the sorted dictionary gives *contiguous* spans).
@@ -165,8 +168,13 @@ def bm25_scores_from_spans(
     if phrase:
         # positions of a token's postings are contiguous too: use the same
         # span trick in position space for the phrase-boost inputs
-        pp_lo = pos_starts[p_lo]
-        pp_hi = pos_starts[p_hi]
+        if phrase_spans is None:
+            ph_p_lo, ph_p_hi = p_lo, p_hi
+        else:
+            ph_p_lo = term_starts[phrase_spans[:, 0]]
+            ph_p_hi = term_starts[phrase_spans[:, 1]]
+        pp_lo = pos_starts[ph_p_lo]
+        pp_hi = pos_starts[ph_p_hi]
         plens = (pp_hi - pp_lo).astype(jnp.int32)
         poffs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(plens)[:-1]])
         ptotal = jnp.sum(plens)
@@ -211,18 +219,29 @@ def bm25_scores_from_spans_batch(
     field_boost, filter_mask, avgdl, n_field_docs,
     n_docs: int, g_budget: int, pp_budget: int, phrase: bool,
     masked: bool = True,
+    phrase_spans_b=None,  # int32[B, MAXTOK, 2] surface-only spans (phrase)
 ):
     """[B, n_docs] — vmapped span scoring for coalesced query batches
     (server/batcher.py): index arrays broadcast, spans vary per query."""
+    if phrase_spans_b is None:
+        return jax.vmap(
+            lambda spans: bm25_scores_from_spans(
+                term_starts, post_docs, post_tf, post_ni, post_lens,
+                pos_starts, positions,
+                spans, field_boost, filter_mask, avgdl, n_field_docs,
+                n_docs=n_docs, g_budget=g_budget, pp_budget=pp_budget,
+                phrase=phrase, masked=masked,
+            )
+        )(spans_b)
     return jax.vmap(
-        lambda spans: bm25_scores_from_spans(
+        lambda spans, ph_spans: bm25_scores_from_spans(
             term_starts, post_docs, post_tf, post_ni, post_lens,
             pos_starts, positions,
             spans, field_boost, filter_mask, avgdl, n_field_docs,
             n_docs=n_docs, g_budget=g_budget, pp_budget=pp_budget,
-            phrase=phrase, masked=masked,
+            phrase=phrase, masked=masked, phrase_spans=ph_spans,
         )
-    )(spans_b)
+    )(spans_b, phrase_spans_b)
 
 
 BLOCK = 1024  # posting block for the sliced scoring path

@@ -810,7 +810,7 @@ def knn_topk_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "sub_rows", "n_valid")
+    jax.jit, static_argnames=("k", "sub_rows", "n_valid", "chunk_rows")
 )
 def knn_topk_int8_xla_with_count(
     codes: jax.Array,     # int8[N, D]
@@ -819,13 +819,18 @@ def knn_topk_int8_xla_with_count(
     k: int = 10,
     sub_rows: int = 32,
     n_valid: int = -1,
+    chunk_rows: int = 1 << 19,
 ):
     """int8 phase 1 on the XLA int8 matmul instead of the Mosaic in-kernel
     dot (ROADMAP r2: XLA's int8 MXU lowering measured ~1.4x faster than
-    the in-kernel dot; the trade is the [N/sub, Q] max tree running as an
-    XLA reduce over the materialized sims). Phase 2 (sub-block gather +
-    exact rescore) is shared with the Pallas variant. Same contract as
-    knn_topk_int8_with_count — count is of positive QUANTIZED sims."""
+    the in-kernel dot). Phase 1 streams the corpus in ``chunk_rows`` slices
+    so only [Q, chunk] similarities are ever live — the whole point of the
+    int8 mode is corpora near HBM capacity, where a materialized [Q, N]
+    product is itself an OOM (30M x 64 queries = 7.7 GB). Each chunk
+    reduces to its sub-block maxes + positive counts and is discarded.
+    Phase 2 (sub-block gather + exact rescore) is shared with the Pallas
+    variant. Same contract as knn_topk_int8_with_count — count is of
+    positive QUANTIZED sims."""
     queries, qn_real = _pad_queries(queries)
     n, d = codes.shape
     qn = queries.shape[0]
@@ -838,21 +843,40 @@ def knn_topk_int8_xla_with_count(
     q_scale = q_absmax / 127.0
     q8 = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
 
-    acc = jax.lax.dot_general(
-        q8, codes,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )                                                     # [Q, N] int32
-    sims = acc.astype(jnp.float32) * scales[None, :] * q_scale
-    cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-    sims = jnp.where(cols < n_valid, sims, NEG)
-    cnt = jnp.sum(sims > 0.0, axis=1).astype(jnp.int32)
+    def chunk_sims(lo: int, hi: int) -> jax.Array:
+        acc = jax.lax.dot_general(
+            q8, jax.lax.slice_in_dim(codes, lo, hi, axis=0),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                 # [Q, hi-lo] int32
+        sims = (
+            acc.astype(jnp.float32)
+            * jax.lax.slice_in_dim(scales, lo, hi)[None, :]
+            * q_scale
+        )
+        cols = lo + jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        return jnp.where(cols < n_valid, sims, NEG)
 
     if nsub == 0 or k * sub * 4 >= n_valid or k > nsub:
+        # small corpus (or k covers most of it): one dense pass
+        sims = chunk_sims(0, n)
+        cnt = jnp.sum(sims > 0.0, axis=1).astype(jnp.int32)
         v, i = _dense_topk(sims, k)
         return v[:qn_real], i[:qn_real], cnt[:qn_real]
 
-    bmax_t = jnp.max(sims.reshape(qn, nsub, sub), axis=2)  # [Q, nsub]
+    # stream phase 1: per-chunk [Q, c] sims -> sub-block maxes + counts
+    chunk = max(sub, (min(chunk_rows, n) // sub) * sub)
+    bmax_parts = []
+    cnt = jnp.zeros((qn,), jnp.int32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)  # n % sub == 0 => hi - lo is a sub multiple
+        sims = chunk_sims(lo, hi)
+        cnt = cnt + jnp.sum(sims > 0.0, axis=1).astype(jnp.int32)
+        bmax_parts.append(jnp.max(sims.reshape(qn, (hi - lo) // sub, sub), axis=2))
+    bmax_t = (
+        bmax_parts[0] if len(bmax_parts) == 1
+        else jnp.concatenate(bmax_parts, axis=1)
+    )                                                     # [Q, nsub]
 
     def int8_sims(rows):
         a = jnp.einsum(

@@ -130,27 +130,28 @@ def _make_handler(orama):
             # thread and keep any in-flight LLM generation alive)
             stopped = threading.Event()
 
+            def put_or_abandon(ev) -> bool:
+                """Blocking put that gives up once the consumer is gone.
+                The terminal sentinels go through this too: dropping _DONE
+                on a momentarily-full queue would leave a live-but-slow
+                client looping on keepalives forever."""
+                while not stopped.is_set():
+                    try:
+                        q.put(ev, timeout=1.0)
+                        return True
+                    except _queue.Full:
+                        continue
+                return False
+
             def pump():
                 try:
                     for ev in events:
-                        while not stopped.is_set():
-                            try:
-                                q.put(ev, timeout=1.0)
-                                break
-                            except _queue.Full:
-                                continue
-                        if stopped.is_set():
+                        if not put_or_abandon(ev):
                             return
-                    q.put_nowait(_DONE)
-                except _queue.Full:
-                    pass  # consumer gone; nothing to signal
+                    put_or_abandon(_DONE)
                 except Exception as e:  # surface generator errors as an event
                     tracing.log("error", f"sse generator error: {e!r}")
-                    if not stopped.is_set():
-                        try:
-                            q.put_nowait(_ERR)
-                        except _queue.Full:
-                            pass
+                    put_or_abandon(_ERR)
                 finally:
                     close = getattr(events, "close", None)
                     if close is not None:

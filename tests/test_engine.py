@@ -493,3 +493,38 @@ def test_hybrid_fused_single_dispatch_parity(tmp_path):
         assert r.count >= 1
     finally:
         e.close()
+
+
+def test_stem_matches_never_drive_phrase_boost(tmp_engine):
+    """query_expansion contract: stems add BM25 recall but never phrase
+    adjacency. A multi-token query whose surface tokens match nothing
+    (pure stem recall) must score as plain additive BM25 — equal to the
+    sum of its single-token queries — with NO positional boost from the
+    stem-matched positions (which are adjacent in the document)."""
+    cid = _create(tmp_engine)
+    tmp_engine.write_side.write(
+        cid,
+        [
+            {"id": "1", "body": "jumping running"},
+            {"id": "2", "body": "unrelated filler text"},
+        ],
+        WRITE,
+    )
+    tmp_engine.flush()
+    # commit so the committed (device) phrase path serves the query
+    tmp_engine.commit()
+
+    def score(term):
+        res = tmp_engine.read_side.search(
+            cid, SearchParams.from_json({"term": term, "mode": "fulltext"}),
+            READ,
+        )
+        return {h.id: h.score for h in res.hits}
+
+    # surface tokens "jumps"/"runs" are NOT prefixes of "jumping"/"running";
+    # only the stem expansion (jump/run) matches — recall works...
+    multi = score("jumps runs")
+    assert "1" in multi and "2" not in multi
+    # ...but the phrase boost must be neutral: exactly additive BM25
+    a, b = score("jumps"), score("runs")
+    assert multi["1"] == pytest.approx(a["1"] + b["1"], rel=1e-5)

@@ -400,3 +400,37 @@ def test_sharded_vector_fast_path_matches_dense(tmp_path, multivec):
          "where": {"price": {"gte": 0}}}
     )
     assert fast._sharded_vector_fast(p, ai) is None
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fast_path_rejects_wrong_dim_vector(tmp_path):
+    """A wrong-dimension raw query vector must raise the same clean
+    ValueError as every other vector path — not an opaque shard_map/Mosaic
+    shape error (engine mesh deployments receive client vectors)."""
+    from orama_core_tpu.config import TpuConfig
+    from orama_core_tpu.engine.collection_read import CollectionReader
+    from orama_core_tpu.oplog import (
+        CreateFieldOp, IndexEmbeddingOp, InsertDocumentOp,
+    )
+    from orama_core_tpu.types import TypedField, ValueType
+
+    D, N = 128, 4096
+    r = CollectionReader("c", "rk", None, TpuConfig(mesh_shape=(8, 1)))
+    r.cfg._test_force_fast_path = True
+    r.apply(
+        CreateFieldOp(
+            "c", TypedField(0, "emb", ValueType.EMBEDDING, model="fake-small")
+        )
+    )
+    rng = np.random.default_rng(11)
+    for i in range(N):
+        r.apply(InsertDocumentOp("c", i, {"id": str(i)}))
+        v = rng.standard_normal(D).astype(np.float32)
+        r.apply(IndexEmbeddingOp("c", i, 0, (tuple(float(x) for x in v),)))
+    r.commit(str(tmp_path / "c"), offset=1)
+
+    bad = SearchParams.from_json(
+        {"mode": "vector", "vector": [0.5] * 64, "limit": 5}
+    )
+    with pytest.raises(ValueError, match="dimension 64"):
+        r.search(bad, ai_service=None)

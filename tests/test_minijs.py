@@ -323,3 +323,62 @@ def test_hypothesis_nested_templates(left, right, flag):
     """
     mid = "}" if flag else "<42>"
     assert run_hook(code, "f", {"flag": flag, "x": 42}) == f"{left}{mid}{right}"
+
+
+def test_uncaught_throw_is_minijs_error():
+    """An uncaught user-level `throw` must surface as MiniJsError (so
+    engine/hooks.py takes its fallback tier), never as a raw internal
+    control-flow exception that crashes the write path."""
+    code = """
+    function selectEmbeddingProperties(doc) {
+      if (!doc.title) throw {message: "no title"};
+      return ["title"];
+    }
+    """
+    assert run_hook(code, "selectEmbeddingProperties", {"title": "x"}) == ["title"]
+    with pytest.raises(MiniJsError, match="uncaught throw"):
+        run_hook(code, "selectEmbeddingProperties", {"body": "y"})
+
+
+def test_stray_break_continue_is_minijs_error():
+    with pytest.raises(MiniJsError, match="outside a loop"):
+        run_hook("break; function f(d) { return 1; }", "f", {})
+    with pytest.raises(MiniJsError, match="outside a loop"):
+        run_hook("function f(d) { continue; }", "f", {})
+
+
+def test_throwing_hook_skips_embedding_not_write(tmp_path):
+    """write() with a hook that throws on some docs: the batch must land
+    (reference skips the embedding on hook failure, fields.rs:431-434)."""
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+    from orama_core_tpu.types import SearchParams
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    cfg.writer_side.commit_interval_sec = 3600
+    cfg.reader_side.commit_interval_sec = 3600
+    e = build_orama(cfg, start_background=False)
+    try:
+        e.write_side.create_collection("master", "c", "rk", "wk")
+        e.hooks.insert_hook(
+            "c",
+            "selectEmbeddingProperties",
+            'function selectEmbeddingProperties(doc) {'
+            ' if (!doc.title) throw "missing"; return ["title"]; }',
+        )
+        e.write_side.write(
+            "c",
+            [{"id": "1", "title": "good doc"}, {"id": "2", "body": "no title"}],
+            "wk",
+        )
+        e.flush()
+        r = e.read_side.search(
+            "c", SearchParams.from_json({"term": "doc", "mode": "fulltext"}), "rk"
+        )
+        assert {h.id for h in r.hits} == {"1"}
+        # both docs were written (doc 2 just has no embedding)
+        assert e.read_side.count_documents("c") == 2
+    finally:
+        e.close()

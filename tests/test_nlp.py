@@ -409,3 +409,15 @@ def test_get_stemmer_covers_all_reference_stemmer_locales():
         fn = get_stemmer(loc)
         assert fn is not None, loc
         assert isinstance(fn("test"), str), loc
+
+
+def test_khmer_words_stay_whole():
+    """Khmer (an abugida whose dependent vowels and coeng subscripts are
+    combining marks) must tokenize whole words — the same fragmentation
+    bug fixed for Tamil/Devanagari applies to the U+1780 block."""
+    from orama_core_tpu.nlp.tokenizer import TextParser, fold_diacritics
+
+    p = TextParser("km")
+    assert p.tokenize("សៀវភៅ សម្រាប់ កុមារ") == ["សៀវភៅ", "សម្រាប់", "កុមារ"]
+    # coeng (ccc=9 combining) is orthography and survives the fold
+    assert fold_diacritics("សម្រាប់") == "សម្រាប់"

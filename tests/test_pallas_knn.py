@@ -268,3 +268,46 @@ def test_tiered_subblock_topk_exact():
             got = np.sort(x[ids[:, q] if ids.ndim == 1 else ids[q], q])[::-1]
             np.testing.assert_allclose(got, vals[:, q], rtol=0, atol=0,
                                        err_msg=f"n={n} q={q}")
+
+
+def test_knn_topk_int8_xla_streams_chunks():
+    """knn_topk_int8_xla_with_count must stream phase 1 in chunk_rows
+    slices (the engine serves int8 corpora near HBM capacity — a
+    materialized [Q, N] product is an OOM at 30M rows) and stay exact vs
+    the quantized oracle regardless of the chunking."""
+    from orama_core_tpu.ops.pallas_knn import knn_topk_int8_xla_with_count
+    from orama_core_tpu.ops.quant import quantize_int8
+
+    rng = np.random.default_rng(23)
+    n_valid, n, d, q, k = 7900, 8192, 64, 8, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    codes, scales = quantize_int8(jnp.asarray(vecs))
+    queries = rng.standard_normal((q, d)).astype(np.float32)
+
+    # oracle: same quantized arithmetic
+    q_absmax = np.maximum(np.abs(queries).max(axis=1, keepdims=True), 1e-9)
+    q_scale = q_absmax / 127.0
+    q8 = np.clip(np.round(queries / q_scale), -127, 127)
+    sims = (q8 @ np.asarray(codes[:n_valid]).T.astype(np.float64)) * \
+        np.asarray(scales[:n_valid])[None, :] * q_scale
+    ref_cnt = (sims > 0).sum(axis=1).astype(np.int32)
+    ref_idx = np.argsort(-sims, axis=1)[:, :k]
+
+    outs = {}
+    for chunk_rows in (1024, 4096, 1 << 19):  # 8, 2, and 1 chunk(s)
+        vals, idx, cnt = knn_topk_int8_xla_with_count(
+            codes, scales, jnp.asarray(queries), k=k, n_valid=n_valid,
+            chunk_rows=chunk_rows,
+        )
+        np.testing.assert_array_equal(np.asarray(cnt), ref_cnt)
+        got = np.asarray(idx)
+        for r in range(q):
+            assert (got[r] < n_valid).all()
+            overlap = len(set(got[r]) & set(ref_idx[r])) / k
+            assert overlap >= 0.8, (chunk_rows, r)
+        outs[chunk_rows] = (np.asarray(vals), got)
+    # chunking must not change results at all
+    for c in (1024, 4096):
+        np.testing.assert_array_equal(outs[c][1], outs[1 << 19][1])
+        np.testing.assert_allclose(outs[c][0], outs[1 << 19][0], rtol=1e-6)
