@@ -77,6 +77,9 @@ class Orama:
             replayed = self.wal.replay(self.read_side._applied_offset)
             for stamped in replayed:
                 self.read_side.apply(stamped)
+                # keep the WRITE side's doc-id map / field registry in step
+                # (its own dump may be staler than the acked WAL window)
+                self.write_side.absorb_replayed(stamped)
             # The sender counter must clear EVERY offset the read side has
             # ever applied, not just what survives in the WAL — the read side
             # truncates the WAL at each commit, so after a crash with a stale

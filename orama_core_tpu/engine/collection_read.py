@@ -3315,6 +3315,14 @@ class CollectionReader:
                             vf.committed.tune_nprobe(
                                 target_recall=self.cfg.ivf_autotune_target
                             )
+            # Deletions are now FOLDED into every committed generation:
+            # reset the tombstone set, or every future commit re-merges and
+            # rewrites every field forever and 65+ lifetime deletes would
+            # permanently disable the vector fast path / force the masked
+            # scoring path. REBIND rather than clear() — in-flight searches
+            # hold references to the old set (np.fromiter over a mutating
+            # set would crash); they keep their pre-commit view.
+            self.deleted = set()
             self.committed_offset = offset
             self.uncommitted_ops = 0
 

@@ -155,6 +155,12 @@ class HooksRuntime:
             return None
         if callable(hook):
             return hook(document)
+        # JS hooks get a DEEP COPY: minijs supports member assignment /
+        # push, and the reference's V8 boundary serializes the document —
+        # a hook must never mutate what gets stored and indexed
+        import copy
+
+        document = copy.deepcopy(document)
         # tier 1: the bundled sandboxed interpreter (engine/minijs.py) — the
         # replacement for the reference's embedded V8 thread (js/deno.rs):
         # dynamic hooks run in-process with no host access and a step budget
@@ -162,6 +168,15 @@ class HooksRuntime:
 
         try:
             value = minijs.run_hook(hook, SELECT_EMBEDDING_PROPERTIES, document)
+        except minijs.MiniJsThrow as th:
+            # the hook RAN and vetoed this document — a per-doc failure
+            # (caller skips the embedding), never a reason to re-run the
+            # hook on another tier, which could take a different branch
+            raise RuntimeError(f"hook threw: {th.value!r}") from None
+        except minijs.MiniJsFatal as e:
+            # budget kill: re-running a runaway hook elsewhere just burns
+            # the node tier's 5 s timeout per document
+            raise RuntimeError(f"hook exceeded budgets: {e}") from None
         except minijs.MiniJsError:
             value = _UNSUPPORTED
         if value is not _UNSUPPORTED:
@@ -174,10 +189,21 @@ class HooksRuntime:
             raise RuntimeError(
                 f"hook returned unsupported value {type(value).__name__}"
             )
-        # tier 2: constant-return extraction (no engine needed at all)
-        static = _static_eval(hook)
-        if static is not None:
-            return static
+        # Distinguish parse failures from runtime failures: a hook that
+        # PARSES but hits an unsupported runtime feature (e.g. a missing
+        # string method) must skip tier 2 — constant-return extraction
+        # cannot follow branches, so it would silently return the first
+        # `return` literal regardless of which branch this doc takes.
+        parses = True
+        try:
+            minijs._Parser(minijs._tokenize(hook)).parse_program()
+        except minijs.MiniJsError:
+            parses = False
+        if not parses:
+            # tier 2: constant-return extraction (no engine needed at all)
+            static = _static_eval(hook)
+            if static is not None:
+                return static
         if self._node is None:
             raise RuntimeError(
                 "hook requires JS outside the supported subset: subprocess "

@@ -45,6 +45,18 @@ class MiniJsFatal(MiniJsError):
     user-level try/catch, so a runaway hook cannot swallow its own kill."""
 
 
+class MiniJsThrow(MiniJsError):
+    """An uncaught user-level `throw` escaping the hook: the hook RAN and
+    vetoed this document. Callers must treat it as a per-document hook
+    failure (skip the embedding, reference fields.rs:431-434) — NEVER as
+    'unsupported JS' to retry on another execution tier, whose re-run
+    could take a different branch."""
+
+    def __init__(self, value: Any) -> None:
+        super().__init__(f"uncaught throw: {value!r}")
+        self.value = value
+
+
 _UNDEFINED = object()  # JS undefined (distinct from null=None)
 
 
@@ -957,7 +969,9 @@ class _Interp:
         self.depth += 1
         if self.depth > self.MAX_DEPTH:
             self.depth -= 1
-            raise MiniJsError("call depth exhausted (runaway recursion)")
+            # budget violations are MiniJsFatal: a user-level try/catch
+            # must not swallow the recursion kill and restart the recursion
+            raise MiniJsFatal("call depth exhausted (runaway recursion)")
         _, params, body, defenv = closure
         env = _Env(defenv)
         for i, p in enumerate(params):
@@ -1060,10 +1074,10 @@ def run_hook(code: str, fn_name: str, document: Dict[str, Any]) -> Any:
             raise MiniJsError(f"{fn_name} is not a function")
         result = interp.call_closure(fn, [document])
     except _Throw as th:
-        # an uncaught user-level `throw` is a hook error, not an engine
-        # crash — surface it as MiniJsError so callers (engine/hooks.py)
-        # take their documented fallback path
-        raise MiniJsError(f"uncaught throw: {_js_str(th.value)!r}") from None
+        # an uncaught user-level `throw` is a per-document hook veto, not
+        # an engine crash and not unsupported JS (engine/hooks.py skips
+        # the doc's embedding instead of retrying on another tier)
+        raise MiniJsThrow(_js_str(th.value)) from None
     except (_Break, _Continue):
         raise MiniJsError("break/continue outside a loop") from None
     return _strip_undefined(result)

@@ -135,8 +135,25 @@ class ReadSide:
                 else:
                     break
             for stamped in batch:
-                self.apply(stamped)
-                n += 1
+                # per-op isolation: one poisoned op must not discard the
+                # rest of an already-drained batch (up to 100k dequeued
+                # ops). The reference PANICS here (lib.rs:96 "OUCH!"); we
+                # log loudly and keep the offset moving so commit/WAL
+                # truncation never wedge on a permanently-failing op.
+                try:
+                    self.apply(stamped)
+                    n += 1
+                except Exception as e:
+                    from ..utils import tracing
+
+                    tracing.log(
+                        "error",
+                        f"op {stamped.offset.value} "
+                        f"({type(stamped.op).__name__}) dropped: {e!r}",
+                    )
+                    self._applied_offset = max(
+                        self._applied_offset, stamped.offset.value
+                    )
             timeout = 0.0
         if n:
             m.COLLECTION_OPS.inc(n)

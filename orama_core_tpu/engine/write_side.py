@@ -93,7 +93,10 @@ class WriteSide:
             )
             self.collections[collection_id] = w
         self.op_sender.send(
-            CreateCollectionOp(collection_id, description, read_api_key, language)
+            CreateCollectionOp(
+                collection_id, description, read_api_key, language,
+                write_api_key=write_api_key,
+            )
         )
         for op in w.drain_field_ops():
             self.op_sender.send(op)
@@ -146,9 +149,6 @@ class WriteSide:
             doc["id"] = uid
             user_ids.append(uid)
 
-            doc_id, replaced = c.assign_doc_id(uid)
-            if replaced is not None:
-                self.op_sender.send(DeleteDocumentsOp(collection_id, (replaced,)))
             override = None
             if self.hooks is not None:
                 from .hooks import SELECT_EMBEDDING_PROPERTIES
@@ -168,13 +168,26 @@ class WriteSide:
                         f"{collection_id!r}: {e}; skipping embedding",
                     )
                     override = []
-            ops, emb_reqs = c.process_document(doc_id, doc, override)
-            # field-creation ops must precede the index ops that use them
-            for op in c.drain_field_ops():
-                self.op_sender.send(op)
-            self.op_sender.send(InsertDocumentOp(collection_id, doc_id, doc))
-            for op in ops:
-                self.op_sender.send(op)
+            # Per-collection serialization from id assignment through op
+            # emission: schema inference mutates the field registry
+            # (_register_field) and CreateFieldOp MUST reach the channel
+            # before any concurrent writer's IndexOp that uses the field —
+            # unlocked, two HTTP threads could mint duplicate field_ids or
+            # interleave an IndexStringOp ahead of its CreateFieldOp.
+            # (Hook eval stays outside: it sees a private doc copy.)
+            with c._lock:
+                doc_id, replaced = c.assign_doc_id(uid)
+                if replaced is not None:
+                    self.op_sender.send(
+                        DeleteDocumentsOp(collection_id, (replaced,))
+                    )
+                ops, emb_reqs = c.process_document(doc_id, doc, override)
+                # field-creation ops must precede the index ops using them
+                for op in c.drain_field_ops():
+                    self.op_sender.send(op)
+                self.op_sender.send(InsertDocumentOp(collection_id, doc_id, doc))
+                for op in ops:
+                    self.op_sender.send(op)
             for req in emb_reqs:
                 self._embedding_queue.put(req)
             self._ops_since_commit += len(ops) + 1
@@ -202,6 +215,78 @@ class WriteSide:
             self._ops_since_commit += 1
             self.op_sender.sync_wal()
         return len(doc_ids)
+
+    # -- WAL crash recovery ----------------------------------------------------
+
+    def absorb_replayed(self, stamped) -> None:
+        """Fold a WAL-replayed op into WRITE-side state. Boot-time replay
+        restores the read side, but the write side's dump (doc-id map,
+        next_doc_id, field registry) only persists on ITS commit interval —
+        a crash between an fsync-acked write and that commit would
+        otherwise regress next_doc_id/_next_field_id and silently reuse
+        dense ids, merging a new document's postings into a survivor's."""
+        from ..oplog import (
+            CreateCollectionOp,
+            CreateFieldOp,
+            DeleteDocumentsOp,
+            InsertDocumentOp,
+        )
+
+        op = stamped.op
+        cid = getattr(op, "collection_id", None)
+        if cid is None:
+            return
+        with self._lock:
+            w = self.collections.get(cid)
+            if w is None:
+                if isinstance(op, CreateCollectionOp):
+                    if op.write_api_key is None:
+                        # pre-extension WAL entry: collection exists on the
+                        # read side but its write key is unrecoverable
+                        tracing.log(
+                            "error",
+                            f"replayed collection {cid!r} carries no write "
+                            "key (old WAL format) — re-create it to write",
+                        )
+                        return
+                    w = CollectionWriter(
+                        cid,
+                        op.description,
+                        op.read_api_key,
+                        op.write_api_key,
+                        default_locale=op.default_locale,
+                        embedding_model=None,  # fields come from CreateFieldOp
+                    )
+                    self.collections[cid] = w
+                return
+        if isinstance(op, CreateFieldOp):
+            f = op.field
+            with w._lock:
+                if f.name not in w.fields:
+                    w.fields[f.name] = f
+                w._next_field_id = max(w._next_field_id, f.field_id + 1)
+                # never re-emit: the read side already has this op
+                w._pending_field_ops = [
+                    p for p in w._pending_field_ops if p.field.name != f.name
+                ]
+        elif isinstance(op, InsertDocumentOp):
+            uid = op.document.get("id")
+            with w._lock:
+                if isinstance(uid, str) and uid:
+                    old = w.doc_id_by_user_id.get(uid)
+                    w.doc_id_by_user_id[uid] = op.doc_id
+                    if old is None:
+                        w.document_count += 1
+                w.next_doc_id = max(w.next_doc_id, op.doc_id + 1)
+        elif isinstance(op, DeleteDocumentsOp):
+            gone = set(op.doc_ids)
+            with w._lock:
+                drop = [
+                    u for u, d in w.doc_id_by_user_id.items() if d in gone
+                ]
+                for u in drop:
+                    del w.doc_id_by_user_id[u]
+                    w.document_count -= 1
 
     # -- embedding pipeline (reference: write/embedding.rs:88-125) ------------
 

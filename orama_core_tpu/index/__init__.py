@@ -2,7 +2,6 @@ from .term_dict import TermDict
 from .string_index import (
     CommittedStringIndex,
     GlobalInfo,
-    ResolvedQuery,
     UncommittedStringIndex,
 )
 from .number_index import CommittedNumberIndex, UncommittedNumberIndex
@@ -14,7 +13,6 @@ __all__ = [
     "TermDict",
     "CommittedStringIndex",
     "GlobalInfo",
-    "ResolvedQuery",
     "UncommittedStringIndex",
     "CommittedNumberIndex",
     "UncommittedNumberIndex",

@@ -24,10 +24,6 @@ class UncommittedBoolIndex:
     def insert(self, doc_id: int, value: bool) -> None:
         (self.true_docs if value else self.false_docs).add(doc_id)
 
-    def remove_docs(self, doc_ids: Set[int]) -> None:
-        self.true_docs -= doc_ids
-        self.false_docs -= doc_ids
-
     def filter_docs(self, value: bool) -> Set[int]:
         return set(self.true_docs if value else self.false_docs)
 

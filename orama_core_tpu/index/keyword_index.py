@@ -45,9 +45,6 @@ class UncommittedKeywordIndex:
             seen.add(v)
             self.pairs.append((v, doc_id))
 
-    def remove_docs(self, doc_ids: Set[int]) -> None:
-        self.pairs = [(v, d) for v, d in self.pairs if d not in doc_ids]
-
     def filter_docs(self, f: StringFilter) -> Set[int]:
         wanted = {f.value} if f.op == "eq" else set(f.value)
         return {d for v, d in self.pairs if v in wanted}

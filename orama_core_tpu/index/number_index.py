@@ -27,9 +27,6 @@ class UncommittedNumberIndex:
     def insert(self, doc_id: int, value: float) -> None:
         self.pairs.append((float(value), doc_id))
 
-    def remove_docs(self, doc_ids: Set[int]) -> None:
-        self.pairs = [(v, d) for v, d in self.pairs if d not in doc_ids]
-
     def filter_docs(self, f: NumberFilter) -> Set[int]:
         out: Set[int] = set()
         for v, d in self.pairs:

@@ -89,18 +89,6 @@ class UncommittedStringIndex:
         if new_term:
             self._sorted_terms = None
 
-    def remove_docs(self, doc_ids: Set[int]) -> None:
-        for doc_id in doc_ids:
-            if doc_id in self.doc_lens:
-                self.total_len -= self.doc_lens.pop(doc_id)
-        for term in list(self.terms):
-            bucket = self.terms[term]
-            for d in doc_ids:
-                bucket.pop(d, None)
-            if not bucket:
-                del self.terms[term]
-                self._sorted_terms = None
-
     def _sorted(self) -> List[str]:
         if self._sorted_terms is None:
             self._sorted_terms = sorted(self.terms)
@@ -247,52 +235,6 @@ class CommittedStringIndex:
                 df[i] = g
         self.df_override = df
         self.n_override = (int(n_docs), int(total_len))
-
-    # -- query resolution (host, O(tokens * log T)) ---------------------------
-
-    def resolve_tokens(self, tokens: Sequence[str]) -> "ResolvedQuery":
-        """Map query tokens to posting spans + per-posting idf weights."""
-        spans: List[Tuple[int, int]] = []  # contiguous [lo, hi) posting spans
-        term_ranges: List[Tuple[int, int]] = []
-        for token in tokens:
-            t_lo, t_hi = self.term_dict.prefix_range(token)
-            if t_hi <= t_lo:
-                continue
-            term_ranges.append((t_lo, t_hi))
-            spans.append(
-                (int(self.term_starts[t_lo]), int(self.term_starts[t_hi]))
-            )
-        if not spans:
-            return ResolvedQuery.empty()
-
-        n = float(self.n_docs_with_field)
-        gather_parts: List[np.ndarray] = []
-        idf_parts: List[np.ndarray] = []
-        for (t_lo, t_hi), (p_lo, p_hi) in zip(term_ranges, spans):
-            starts = self.term_starts[t_lo : t_hi + 1]
-            lens = np.diff(starts)
-            ni = lens.astype(np.float64)
-            with np.errstate(divide="ignore"):
-                idf_t = np.log1p(
-                    np.maximum((n - ni + 0.5) / (ni + 0.5), 0.0)
-                ).astype(np.float32)
-            idf_t = np.where(ni > 0, idf_t, 0.0).astype(np.float32)
-            gather_parts.append(np.arange(p_lo, p_hi, dtype=np.int64))
-            idf_parts.append(np.repeat(idf_t, lens))
-        gather_idx = np.concatenate(gather_parts)
-        idf = np.concatenate(idf_parts)
-        return ResolvedQuery(gather_idx=gather_idx, idf=idf)
-
-    def resolve_positions(self, gather_idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """(pos_gather_idx, pos_doc) for the phrase kernel: indices into the
-        flat positions array + owning doc per position."""
-        if len(gather_idx) == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.int32)
-        starts = self.pos_starts[gather_idx]
-        lens = self.pos_starts[gather_idx + 1] - starts
-        flat = flatten_ranges(starts, lens)
-        docs = np.repeat(self.post_docs[gather_idx], lens)
-        return flat, docs
 
     # -- merge (commit path) --------------------------------------------------
 
@@ -547,25 +489,3 @@ def _native_pack(
     )
 
 
-@dataclasses.dataclass
-class ResolvedQuery:
-    gather_idx: np.ndarray  # int64[G]
-    idf: np.ndarray         # float32[G]
-
-    @staticmethod
-    def empty() -> "ResolvedQuery":
-        return ResolvedQuery(np.zeros(0, np.int64), np.zeros(0, np.float32))
-
-    @property
-    def is_empty(self) -> bool:
-        return len(self.gather_idx) == 0
-
-    def padded(self, steps) -> Tuple[np.ndarray, np.ndarray]:
-        """Bucket-pad (gather_idx, idf); pad slots carry idf 0 => no-op."""
-        g = len(self.gather_idx)
-        gp = bucket_pad(max(g, 1), steps)
-        gather = np.zeros(gp, dtype=np.int32)
-        gather[:g] = self.gather_idx
-        idf = np.zeros(gp, dtype=np.float32)
-        idf[:g] = self.idf
-        return gather, idf

@@ -40,9 +40,6 @@ class UncommittedVectorIndex:
             )
         self.entries.append((doc_id, _normalize(m)))
 
-    def remove_docs(self, doc_ids: Set[int]) -> None:
-        self.entries = [(d, m) for d, m in self.entries if d not in doc_ids]
-
     def search(
         self,
         query: np.ndarray,

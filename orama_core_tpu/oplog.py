@@ -40,6 +40,11 @@ class CreateCollectionOp:
     description: Optional[str]
     read_api_key: str
     default_locale: str = "en"
+    # carried for WAL crash recovery ONLY (WriteSide.absorb_replayed must
+    # be able to reconstruct a collection whose write-side dump never ran);
+    # the read side ignores it. Same trust domain as the write-side dump,
+    # which persists the key too.
+    write_api_key: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,21 +141,28 @@ class OperationSender:
             self._offset = offset
 
     def send(self, op: WriteOperation, timeout: float = 30.0) -> Offset:
+        # Stamp, enqueue, and WAL-append under ONE lock: stamping inside
+        # but publishing outside the lock let concurrent senders reorder
+        # ops (queue AND WAL), and a read-side commit between two
+        # out-of-order applies would truncate the WAL past an unapplied,
+        # already-acknowledged op. Queue-put precedes WAL-append so a Full
+        # failure leaves no phantom entry to replay on the next boot (an
+        # applied-but-unappended op is covered by the commit itself).
         with self._lock:
             self._offset += 1
             stamped = StampedOp(Offset(self._offset), op)
-        if self.wal is not None:
-            self.wal.append(stamped)
-        try:
-            self._q.put(stamped, timeout=timeout)
-        except queue.Full:
-            # Backpressure with no consumer = deadlock; fail loudly instead
-            # (sync-mode callers must pump within channel capacity).
-            raise RuntimeError(
-                "op channel full after "
-                f"{timeout}s — is the read-side pump running? "
-                "(flush() more often in synchronous mode)"
-            ) from None
+            try:
+                self._q.put(stamped, timeout=timeout)
+            except queue.Full:
+                # Backpressure with no consumer = deadlock; fail loudly
+                # (sync-mode callers must pump within channel capacity).
+                raise RuntimeError(
+                    "op channel full after "
+                    f"{timeout}s — is the read-side pump running? "
+                    "(flush() more often in synchronous mode)"
+                ) from None
+            if self.wal is not None:
+                self.wal.append(stamped)
         return stamped.offset
 
     def send_batch(self, ops: List[WriteOperation]) -> Offset:

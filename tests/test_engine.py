@@ -528,3 +528,39 @@ def test_stem_matches_never_drive_phrase_boost(tmp_engine):
     # ...but the phrase boost must be neutral: exactly additive BM25
     a, b = score("jumps"), score("runs")
     assert multi["1"] == pytest.approx(a["1"] + b["1"], rel=1e-5)
+
+
+def test_deleted_tombstones_age_out_at_commit(tmp_engine):
+    """Deletions fold into the committed generation at commit; keeping the
+    tombstone set cumulative made EVERY later commit re-merge and rewrite
+    every field forever, and 65+ lifetime deletes permanently disabled the
+    vector fast path (eligibility checks len(deleted))."""
+    cid = _create(tmp_engine)
+    tmp_engine.write_side.write(
+        cid,
+        [{"id": str(i), "body": f"word{i} common"} for i in range(8)],
+        WRITE,
+    )
+    tmp_engine.flush()
+    tmp_engine.write_side.delete_documents(cid, ["3"], WRITE)
+    tmp_engine.flush()
+    reader = tmp_engine.read_side.collections[cid]
+    assert reader.deleted, "tombstone present before commit"
+    tmp_engine.commit()
+    assert reader.deleted == set(), "tombstones must fold at commit"
+    # deleted doc stays gone (fold is in the committed arrays)
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "word3"}), READ
+    )
+    assert res.count == 0
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "common"}), READ
+    )
+    assert res.count == 7
+    # a no-op commit must not rebuild the committed generations
+    fid = next(iter(reader._string))
+    before = reader._string[fid].committed
+    tmp_engine.commit()
+    assert reader._string[fid].committed is before, (
+        "empty commit rewrote a committed generation"
+    )

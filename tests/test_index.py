@@ -64,6 +64,13 @@ def test_uncommitted_string_prefix_search():
     assert set(out) == {0, 1}
 
 
+def _term_span(committed, token):
+    """Posting [lo, hi) for a token's prefix span (the serving-path shape:
+    collection_read.expanded_spans -> term_starts slices)."""
+    t_lo, t_hi = committed.term_dict.prefix_range(token)
+    return int(committed.term_starts[t_lo]), int(committed.term_starts[t_hi])
+
+
 def test_committed_merge_and_resolve():
     unc = _build_unc()
     committed = CommittedStringIndex.empty().merge(unc, capacity=8)
@@ -71,13 +78,12 @@ def test_committed_merge_and_resolve():
     assert committed.n_docs_with_field == 2
     assert committed.total_len == 5
     # apple postings: docs [0, 1], tf [1, 2]
-    assert committed.post_docs[:2].tolist() == [0, 1]
-    assert committed.post_tf[:2].tolist() == [1.0, 2.0]
-    rq = committed.resolve_tokens(["apple"])
-    assert rq.gather_idx.tolist() == [0, 1]
-    ni = 2
-    expect_idf = np.log1p((2 - ni + 0.5) / (ni + 0.5))
-    np.testing.assert_allclose(rq.idf, [expect_idf, expect_idf], rtol=1e-6)
+    p_lo, p_hi = _term_span(committed, "apple")
+    assert (p_lo, p_hi) == (0, 2)
+    assert committed.post_docs[p_lo:p_hi].tolist() == [0, 1]
+    assert committed.post_tf[p_lo:p_hi].tolist() == [1.0, 2.0]
+    # per-term doc frequency drives the serving idf (apple df = 2)
+    assert committed.term_df()[0] == 2.0
 
 
 def test_committed_merge_incremental_and_delete():
@@ -87,9 +93,8 @@ def test_committed_merge_incremental_and_delete():
     unc2.insert(2, 1, {"apple": [0]})
     c2 = c1.merge(unc2, capacity=8, deleted={1})
     # apple now in docs {0, 2}; cherry disappeared with doc 1
-    rq = c2.resolve_tokens(["apple"])
-    docs = c2.post_docs[rq.gather_idx]
-    assert sorted(docs.tolist()) == [0, 2]
+    p_lo, p_hi = _term_span(c2, "apple")
+    assert sorted(c2.post_docs[p_lo:p_hi].tolist()) == [0, 2]
     assert "cherry" not in c2.term_dict.terms
     assert c2.n_docs_with_field == 2
     assert c2.total_len == 3  # doc0 len 2 + doc2 len 1
@@ -98,12 +103,15 @@ def test_committed_merge_incremental_and_delete():
 def test_positions_roundtrip():
     unc = _build_unc()
     committed = CommittedStringIndex.empty().merge(unc, capacity=8)
-    rq = committed.resolve_tokens(["apple"])
-    flat, docs = committed.resolve_positions(rq.gather_idx)
-    pos = committed.positions[flat]
+    p_lo, p_hi = _term_span(committed, "apple")
+    got = []
+    for p in range(p_lo, p_hi):
+        for pos in committed.positions[
+            committed.pos_starts[p] : committed.pos_starts[p + 1]
+        ].tolist():
+            got.append((int(committed.post_docs[p]), pos))
     # doc 0 apple at [0]; doc 1 apple at [0, 1]
-    got = sorted(zip(docs.tolist(), pos.tolist()))
-    assert got == [(0, 0), (1, 0), (1, 1)]
+    assert sorted(got) == [(0, 0), (1, 0), (1, 1)]
 
 
 def test_number_index_merge_and_filter():
@@ -205,8 +213,8 @@ def test_incremental_merge_equals_one_shot():
     # fix doc lens for the combined window
     all_w.doc_lens.update(w2b.doc_lens)
     all_w.total_len = sum(all_w.doc_lens.values())
-    all_w.remove_docs(deleted)
-    one = CommittedStringIndex.empty(cap).merge(all_w, cap)
+    # deletes applied by the merge itself (the only production delete path)
+    one = CommittedStringIndex.empty(cap).merge(all_w, cap, deleted=deleted)
 
     assert inc.term_dict.terms == one.term_dict.terms
     assert np.array_equal(inc.term_starts, one.term_starts)

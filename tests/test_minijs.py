@@ -382,3 +382,67 @@ def test_throwing_hook_skips_embedding_not_write(tmp_path):
         assert e.read_side.count_documents("c") == 2
     finally:
         e.close()
+
+
+def test_recursion_budget_not_user_catchable():
+    """Depth exhaustion is MiniJsFatal: a user try/catch must not swallow
+    the kill and restart the recursion (only the step budget would
+    eventually stop it, ~200k wasted steps per document)."""
+    from orama_core_tpu.engine.minijs import MiniJsFatal
+
+    code = """
+    function f() { try { return f(); } catch (e) { return f(); } }
+    function hook(doc) { return f(); }
+    """
+    with pytest.raises(MiniJsFatal, match="depth"):
+        run_hook(code, "hook", {})
+
+
+def test_hook_throw_never_falls_to_static_tier(tmp_path):
+    """A hook that RAN and threw must surface as a per-doc failure — the
+    static tier would otherwise return the first `return` literal
+    regardless of the branch this document takes."""
+    from orama_core_tpu.engine.hooks import HooksRuntime
+
+    rt = HooksRuntime(str(tmp_path))
+    rt.insert_hook(
+        "c", "selectEmbeddingProperties",
+        'function selectEmbeddingProperties(doc) {'
+        ' if (!doc.title) throw "veto"; return ["title"]; }',
+    )
+    assert rt.eval("c", "selectEmbeddingProperties", {"title": "x"}) == ["title"]
+    with pytest.raises(RuntimeError, match="hook threw"):
+        rt.eval("c", "selectEmbeddingProperties", {"body": "y"})
+
+
+def test_runtime_unsupported_skips_static_tier(tmp_path, monkeypatch):
+    """A hook that parses but hits an unsupported runtime feature must NOT
+    get the static tier's branch-blind constant."""
+    monkeypatch.delenv("ORAMAX_HOOKS_SUBPROCESS", raising=False)
+    from orama_core_tpu.engine.hooks import HooksRuntime
+
+    rt = HooksRuntime(str(tmp_path))
+    rt._node = None  # subprocess tier off
+    rt.insert_hook(
+        "c", "selectEmbeddingProperties",
+        'function selectEmbeddingProperties(doc) {'
+        ' if (doc.x.padStart(2) === " y") { return ["a"]; } return ["b"]; }',
+    )
+    with pytest.raises(RuntimeError):
+        rt.eval("c", "selectEmbeddingProperties", {"x": "y"})
+
+
+def test_hook_cannot_mutate_stored_document(tmp_path):
+    """minijs supports member assignment/push; the V8 boundary in the
+    reference serializes the doc — hooks must see a copy."""
+    from orama_core_tpu.engine.hooks import HooksRuntime
+
+    rt = HooksRuntime(str(tmp_path))
+    rt.insert_hook(
+        "c", "selectEmbeddingProperties",
+        'function selectEmbeddingProperties(doc) {'
+        ' doc.title = "HACKED"; doc.tags.push("x"); return ["title"]; }',
+    )
+    doc = {"title": "original", "tags": ["a"]}
+    assert rt.eval("c", "selectEmbeddingProperties", doc) == ["title"]
+    assert doc == {"title": "original", "tags": ["a"]}

@@ -152,3 +152,91 @@ def test_wal_fsynced_before_ack(tmp_path):
         raw = f.read()
     assert b"acked" in raw  # durable at acknowledge time, before any flush()
     e.close()
+
+
+def test_replay_restores_write_side_counters(tmp_path):
+    """Crash after an fsync-acked write but before the write side's
+    interval commit: replay must also restore next_doc_id and the doc-id
+    map, or the next insert REUSES a dense id and silently merges its
+    postings into a surviving document's."""
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "one"}], WRITE)
+    e.flush()
+    e.commit()  # write-side dump: next_doc_id=1
+    e.write_side.write("c", [{"id": "2", "t": "two"}], WRITE)
+    e.flush()   # acked in the WAL; write-side dump now stale
+    del e
+
+    e2 = build_orama(cfg, start_background=False)
+    w = e2.write_side.collections["c"]
+    assert w.next_doc_id == 2
+    assert w.doc_id_by_user_id == {"1": 0, "2": 1}
+    e2.write_side.write("c", [{"id": "3", "t": "three"}], WRITE)
+    e2.flush()
+    for term, want in [("one", {"1"}), ("two", {"2"}), ("three", {"3"})]:
+        res = e2.read_side.search(
+            "c", SearchParams.from_json({"term": term}), READ
+        )
+        assert {h.id for h in res.hits} == want, (term, res.hits)
+    e2.close()
+
+
+def test_replay_reconstructs_uncommitted_collection(tmp_path):
+    """A collection created after the last write-side commit must be
+    writable after a crash: the CreateCollectionOp in the WAL carries the
+    write key, and field registry/doc map rebuild from the replayed ops."""
+    from orama_core_tpu.types import ApiKeyError
+
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c2", "rk2", "wk2")
+    e.write_side.write("c2", [{"id": "x", "t": "fresh"}], "wk2")
+    e.flush()
+    del e  # crash: NO commit ever ran
+
+    e2 = build_orama(cfg, start_background=False)
+    w = e2.write_side.collections["c2"]
+    assert set(w.fields) == {"___orama_auto_embedding", "t"}
+    e2.write_side.write("c2", [{"id": "y", "t": "glacier"}], "wk2")
+    e2.flush()
+    res = e2.read_side.search(
+        "c2", SearchParams.from_json({"term": "fresh glacier"}), "rk2"
+    )
+    assert {h.id for h in res.hits} == {"x", "y"}
+    import pytest
+
+    with pytest.raises(ApiKeyError):
+        e2.write_side.write("c2", [{"id": "z"}], "WRONG")
+    e2.close()
+
+
+def test_concurrent_senders_keep_wal_in_offset_order(tmp_path):
+    """OperationSender.send publishes (queue + WAL) under the offset lock:
+    concurrent senders must never interleave out of offset order, or a
+    commit between two out-of-order applies truncates an unapplied op."""
+    import threading
+
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+
+    def writer(tag):
+        for i in range(30):
+            e.write_side.write("c", [{"id": f"{tag}-{i}", "t": f"w {tag}"}], WRITE)
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b", "c")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    offsets = []
+    with open(e.wal.path, "rb") as f:
+        for raw in f:
+            offsets.append(json.loads(raw)["o"])
+    assert offsets == sorted(offsets)
+    assert len(offsets) == len(set(offsets))
+    e.flush()
+    assert e.read_side.count_documents("c") == 90
+    e.close()
