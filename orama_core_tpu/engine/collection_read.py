@@ -702,8 +702,8 @@ class _DeviceCache:
                 docs_st[si, : b - a] = local_docs[a:b]
 
             # per-(shard, cluster) member lists in local row ids. A row's
-            # effective cluster is the list it sits in (incl. overflow
-            # spills, ops/ivf.build_ivf_lists) — matching the scan the
+            # cluster is its argmax assignment (build_ivf_lists never
+            # spills — the residual-ADC invariant) — matching the scan the
             # single-device path actually performs.
             cl = v.ivf_lists.shape[0]
             lens_g = v.ivf_lens.astype(np.int64)

@@ -155,7 +155,15 @@ class CommittedVectorIndex:
         v = jnp.asarray(self.vecs)
         cents = ivf_ops.kmeans(v, jax.random.PRNGKey(seed), n_clusters, iters=10)
         assign = ivf_ops.assign_clusters_chunked(v, cents)
-        lists, lens, _ = ivf_ops.build_ivf_lists(assign, n_clusters)
+        # Skew control (ops/ivf.split_skewed): the list table pads to the
+        # LARGEST cluster, so oversized clusters get extra centroids +
+        # global refine until bounded by ~4x the mean
+        cents, assign = ivf_ops.split_skewed(
+            v, cents, assign,
+            target=max(256, 4 * p // n_clusters),
+            rng=np.random.default_rng(seed + 1),
+        )
+        lists, lens, _ = ivf_ops.build_ivf_lists(assign, int(cents.shape[0]))
         self.ivf_cents = np.asarray(cents, dtype=np.float32)
         self.ivf_lists = lists
         self.ivf_lens = lens

@@ -80,14 +80,23 @@ class Chunker:
                 continue
             t = approx_token_count(piece)
             if t > self.max_tokens:
-                # hard-split oversize piece by words
+                # hard-split an oversize piece by the TOKEN budget, not a
+                # word count — long words charge (len+3)//4 tokens each, so
+                # max_tokens WORDS could overflow the model context ~2x
                 if cur:
                     chunks.append(sep.join(cur))
                     cur, cur_tokens = [], 0
-                words = piece.split()
-                step = max(1, self.max_tokens)
-                for i in range(0, len(words), step):
-                    chunks.append(" ".join(words[i : i + step]))
+                part: List[str] = []
+                part_tokens = 0
+                for w in piece.split():
+                    wt = max(1, (len(w) + 3) // 4)
+                    if part and part_tokens + wt > self.max_tokens:
+                        chunks.append(" ".join(part))
+                        part, part_tokens = [], 0
+                    part.append(w)
+                    part_tokens += wt
+                if part:
+                    chunks.append(" ".join(part))
                 continue
             if cur_tokens + t > self.max_tokens and cur:
                 chunks.append(sep.join(cur))

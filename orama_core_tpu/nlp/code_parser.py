@@ -143,7 +143,10 @@ class _Cursor:
     def skip_balanced(self, open_v: str, close_v: str) -> Tuple[int, int]:
         """Cursor at the opener; consume through the matching closer.
         Returns (inner_lo, inner_hi) token indices."""
-        assert self.expect_punct(open_v)
+        # NOT an assert: under python -O the side effect (consuming the
+        # opener) would be stripped and every span would mis-compute
+        if not self.expect_punct(open_v):
+            raise AssertionError(f"cursor not at {open_v!r}")
         lo = self.i
         depth = 1
         while not self.eof():

@@ -55,6 +55,105 @@ def kmeans(
     return cents
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "spherical"))
+def kmeans_refine(
+    vecs: jax.Array,   # [P, D]
+    cents: jax.Array,  # [C, D] initial centroids (e.g. after a skew split)
+    iters: int = 3,
+    spherical: bool = True,
+) -> jax.Array:
+    """Lloyd iterations from GIVEN centroids (kmeans inits internally)."""
+    n_clusters = cents.shape[0]
+    cents = cents.astype(jnp.float32)
+
+    def step(cents, _):
+        sims = jnp.dot(vecs, cents.T, preferred_element_type=jnp.float32)
+        if not spherical:
+            sims = sims - 0.5 * jnp.sum(cents**2, axis=-1)[None, :]
+        assign = jnp.argmax(sims, axis=1)
+        onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
+        sums = jnp.dot(onehot.T, vecs.astype(jnp.float32))
+        counts = jnp.sum(onehot, axis=0)[:, None]
+        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cents)
+        if spherical:
+            norm = jnp.linalg.norm(new, axis=-1, keepdims=True)
+            new = new / jnp.maximum(norm, 1e-9)
+        return new, None
+
+    cents, _ = jax.lax.scan(step, cents, None, length=iters)
+    return cents
+
+
+def split_skewed(
+    vecs: jax.Array,
+    cents: jax.Array,
+    assign: np.ndarray,
+    target: int,
+    rng: np.random.Generator,
+    rounds: int = 3,
+    refine_iters: int = 0,
+) -> Tuple[jax.Array, np.ndarray]:
+    """Bound the largest cluster: the list table pads to the max cluster
+    size (no spilling — the residual-ADC invariant), so one giant cluster
+    inflates the [Q, nprobe*cap, D] candidate block for EVERY query.
+    Each oversized cluster's centroid is replaced by two symmetric children
+    straddling it along the direction of a far member, then membership is
+    reassigned GLOBALLY (it must stay the global argmax). refine_iters
+    defaults to 0: Lloyd actively RE-COLLAPSES a split isotropic cap (the
+    normalized half-cap means drift back to the center — measured 1624/1572
+    decaying to 873/2246 in 3 iterations), while the raw bisector split is
+    balanced by construction. Exact duplicates cannot be split — rounds
+    that make no progress stop."""
+    v_host = np.asarray(vecs, np.float32)
+    for _ in range(rounds):
+        counts = np.bincount(assign, minlength=int(cents.shape[0]))
+        big = np.where(counts > target)[0]
+        if big.size == 0:
+            break
+        # Reflect-split each oversized cluster: REPLACE its centroid by two
+        # children straddling the center (c ± (m - c), m = a far member of a
+        # sample). Seeding a member alongside the center cannot split a
+        # spherical cap — the center has the higher dot to almost every cap
+        # point, so the seed captures nothing.
+        c_host = np.array(cents, np.float32)  # writable copy
+        appended = []
+        for ci in big:
+            members = np.where(assign == ci)[0]
+            sample = members if len(members) <= 4096 else rng.choice(
+                members, 4096, replace=False
+            )
+            sims = v_host[sample] @ c_host[ci]
+            m = v_host[sample[int(np.argmin(sims))]]
+            delta = m - c_host[ci]
+            # SYMMETRIC children: project the split direction perpendicular
+            # to c, else normalization tilts one child back toward the
+            # center and it recaptures the whole cap (measured: the
+            # asymmetric child took 3112/3000 blob rows, the other 147)
+            delta = delta - float(delta @ c_host[ci]) * c_host[ci]
+            if float(np.linalg.norm(delta)) < 1e-7:
+                continue  # exact duplicates: nothing to split
+            a = c_host[ci] + 0.5 * delta
+            b = c_host[ci] - 0.5 * delta
+            a /= max(float(np.linalg.norm(a)), 1e-9)
+            b /= max(float(np.linalg.norm(b)), 1e-9)
+            c_host[ci] = a
+            appended.append(b)
+        if not appended:
+            break
+        cents = jnp.asarray(
+            np.concatenate([c_host, np.stack(appended)]), jnp.float32
+        )
+        if refine_iters > 0:
+            cents = kmeans_refine(vecs, cents, iters=refine_iters)
+        new_assign = assign_clusters_chunked(vecs, cents)
+        new_counts = np.bincount(new_assign, minlength=int(cents.shape[0]))
+        no_progress = new_counts.max() >= counts.max()
+        assign = new_assign
+        if no_progress:
+            break
+    return cents, assign
+
+
 @jax.jit
 def assign_clusters(vecs: jax.Array, cents: jax.Array) -> jax.Array:
     sims = jnp.dot(vecs, cents.T.astype(vecs.dtype), preferred_element_type=jnp.float32)
@@ -77,17 +176,20 @@ def assign_clusters_chunked(
 
 
 def build_ivf_lists(
-    assign: np.ndarray, n_clusters: int, cap_quantile: float = 0.98
+    assign: np.ndarray, n_clusters: int
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Host: pack member row-ids per cluster into a padded [C, cap] table.
 
-    cap is the quantile of cluster sizes rounded up to 128 (static shape);
-    overflow rows spill into their next-best cluster is NOT done — they are
-    appended round-robin to clusters with space, keeping exactness of
-    membership (every row appears once). Returns (lists, list_lens, cap)."""
+    cap = LARGEST cluster size rounded up to 128 (static shape). Every row
+    sits in exactly its argmax cluster — an invariant residual IVF-PQ
+    depends on: the ADC score adds the probed cluster's centroid dot, so a
+    row "spilled" into another cluster's list would be scored against the
+    wrong centroid. Skew (one giant cluster inflating cap, and with it the
+    [Q, nprobe*cap, D] candidate block) is handled UPSTREAM by
+    vector_index.build_ivf's split-and-refine rounds, not by spilling."""
     counts = np.bincount(assign, minlength=n_clusters)
-    cap = int(np.quantile(counts, cap_quantile)) if len(counts) else 1
-    cap = max(int(np.ceil(max(cap, counts.max() if counts.size else 1) / 128)) * 128, 128)
+    cap = int(counts.max()) if counts.size else 1
+    cap = max(int(np.ceil(cap / 128)) * 128, 128)
     lists = np.zeros((n_clusters, cap), dtype=np.int32)
     lens = np.zeros(n_clusters, dtype=np.int32)
     order = np.argsort(assign, kind="stable")
@@ -96,16 +198,8 @@ def build_ivf_lists(
     ends = np.searchsorted(sorted_assign, np.arange(n_clusters), side="right")
     for c in range(n_clusters):
         members = order[starts[c] : ends[c]]
-        n = min(len(members), cap)
-        lists[c, :n] = members[:n]
-        lens[c] = n
-        # overflow beyond cap spills to the globally least-full clusters
-        for m in members[cap:]:
-            t = int(np.argmin(lens))
-            if lens[t] >= cap:
-                raise ValueError("IVF capacity exhausted; raise cap_quantile")
-            lists[t, lens[t]] = m
-            lens[t] += 1
+        lists[c, : len(members)] = members
+        lens[c] = len(members)
     return lists, lens, cap
 
 

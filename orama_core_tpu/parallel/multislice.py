@@ -111,6 +111,8 @@ class HttpSlice:
         body = {"id": cid, "read_api_key": read_key, "write_api_key": write_key}
         if kw.get("language"):
             body["language"] = kw["language"]
+        if kw.get("description"):
+            body["description"] = kw["description"]
         if kw.get("embedding_model"):
             body["embeddings"] = {
                 "model": kw["embedding_model"],

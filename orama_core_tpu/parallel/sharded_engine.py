@@ -35,10 +35,8 @@ from .mesh import DATA_AXIS
 RRF_K = 60.0
 
 
-def data_sharding(mesh: Mesh, rank: int = 1) -> NamedSharding:
-    spec = [None] * rank
-    spec[0] = DATA_AXIS
-    return NamedSharding(mesh, P(*spec))
+# one definition of the row-sharded layout for the whole package
+from .mesh import data_sharding  # noqa: E402,F401
 
 
 def shard_count(mesh: Mesh) -> int:
@@ -292,6 +290,7 @@ def number_eq_mask(mesh: Mesh, n_local_docs: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
 def keyword_set_mask(mesh: Mesh, n_local_docs: int):
     """Sharded keyword eq/in filter over per-shard (value-id, doc) columns
     (filters.value_set_mask per shard; masks stay shard-local)."""
@@ -586,11 +585,6 @@ def gather_values(mesh: Mesh, n_local_docs: int):
     )
 
 
-def rrf_candidate_count(k: int) -> int:
-    """Smallest provably-exact candidate budget, bucket-padded so the
-    compiled program count stays small across limits."""
-    need = 2 * k + 64
-    for b in (128, 256, 512, 1024):
-        if need <= b:
-            return b
-    return need
+# Exactness-critical bound shared with the fused single-chip path — ONE
+# definition so the proof constant (2k+64, bucket ladder) can never drift.
+from ..ops.fusion import rrf_candidate_count  # noqa: E402,F401

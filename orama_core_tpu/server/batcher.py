@@ -25,6 +25,12 @@ class _Pending:
     event: threading.Event = dataclasses.field(default_factory=threading.Event)
     result: Any = None
     error: Optional[BaseException] = None
+    # set by a timed-out submitter: the collector drops the entry instead of
+    # burning a device batch on a result nobody will read (overload would
+    # otherwise AMPLIFY — dead work keeps the backlog that caused the
+    # timeouts). Best-effort: an entry already inside a running batch
+    # completes anyway.
+    abandoned: bool = False
 
 
 class MicroBatcher:
@@ -55,6 +61,7 @@ class MicroBatcher:
         p = _Pending(key=key, payload=payload)
         self._q.put(p)
         if not p.event.wait(self.submit_timeout if timeout is None else timeout):
+            p.abandoned = True
             raise TimeoutError("batched query timed out")
         if p.error is not None:
             raise p.error
@@ -78,6 +85,8 @@ class MicroBatcher:
                     break
             groups: Dict[Tuple, List[_Pending]] = {}
             for p in batch:
+                if p.abandoned:
+                    continue  # shed dead work (submitter already timed out)
                 groups.setdefault(p.key, []).append(p)
             for key, group in groups.items():
                 try:

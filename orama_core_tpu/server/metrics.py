@@ -109,7 +109,13 @@ class Histogram(_Metric):
     def expose(self) -> List[str]:
         out = [f"# HELP {self.name} {self.help}", f"# TYPE {self.name} histogram"]
         with self._lock:
-            items = list(self._data.items())
+            # deep-copy counts under the lock: observe() mutates the lists
+            # in place, and a torn scrape (low bucket > +Inf) is a broken
+            # histogram to Prometheus
+            items = [
+                (labels, (list(counts), total, n))
+                for labels, (counts, total, n) in self._data.items()
+            ]
         for labels, (counts, total, n) in items:
             for b, c in zip(self.buckets, counts):
                 lb = labels + (("le", repr(b) if b != int(b) else str(b)),)

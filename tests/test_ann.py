@@ -129,3 +129,86 @@ def test_pq_roundtrip_and_topk():
 
 def test_pq_compression_ratio():
     assert pq.pq_compression_ratio(768, 96) == 32.0
+
+
+def test_build_ivf_lists_keeps_argmax_membership():
+    """No spilling: residual IVF-PQ scores a candidate with its probed
+    cluster's centroid dot, so every row must sit in exactly its argmax
+    cluster. cap pads to the largest cluster."""
+    assign = np.asarray([0] * 300 + [1, 2] * 3, dtype=np.int32)
+    lists, lens, cap = ivf.build_ivf_lists(assign, n_clusters=3)
+    assert cap == 384  # 300 rounded up to 128 multiple
+    assert lens.tolist() == [300, 3, 3]
+    for c in range(3):
+        assert all(assign[r] == c for r in lists[c, : lens[c]].tolist())
+
+
+def test_split_skewed_bounds_giant_cluster():
+    """split_skewed must break up an oversized cluster (one centroid owning
+    75% of the corpus) and keep the global-argmax membership invariant the
+    residual-ADC scoring depends on. Deterministic setup: hand-placed
+    centroids, one at a giant blob's center."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    d, p_blob, p_rest = 32, 3000, 1000
+    blob_c = rng.standard_normal(d).astype(np.float32)
+    blob = blob_c[None, :] + 0.05 * rng.standard_normal((p_blob, d)).astype(np.float32)
+    rest = rng.standard_normal((p_rest, d)).astype(np.float32)
+    v = np.concatenate([blob, rest])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # 8 centroids: #0 on the blob, 7 scattered far away
+    cents = np.concatenate(
+        [
+            (blob_c / np.linalg.norm(blob_c))[None, :],
+            rest[:7] / np.linalg.norm(rest[:7], axis=1, keepdims=True),
+        ]
+    ).astype(np.float32)
+    vj = jnp.asarray(v)
+    assign = ivf.assign_clusters_chunked(vj, jnp.asarray(cents))
+    assert np.bincount(assign, minlength=8).max() >= p_blob  # skewed start
+
+    target = 4 * len(v) // 8  # 2000
+    cents2, assign2 = ivf.split_skewed(
+        vj, jnp.asarray(cents), assign, target=target,
+        rng=np.random.default_rng(1),
+    )
+    counts2 = np.bincount(assign2, minlength=int(cents2.shape[0]))
+    assert int(cents2.shape[0]) > 8, "a centroid must have been added"
+    assert counts2.max() <= target, counts2.max()
+    # global argmax invariant after the split
+    am = (v @ np.asarray(cents2).T).argmax(axis=1)
+    assert np.array_equal(am, np.asarray(assign2))
+    # ...and the packed lists inherit it
+    lists, lens, cap = ivf.build_ivf_lists(
+        np.asarray(assign2), int(cents2.shape[0])
+    )
+    for cl in range(int(cents2.shape[0])):
+        rows = lists[cl, : lens[cl]]
+        assert np.all(am[rows] == cl)
+
+
+def test_split_skewed_gives_up_on_duplicates():
+    """Exact duplicate rows cannot be partitioned — split_skewed must stop
+    after a no-progress round instead of growing centroids forever."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    d = 16
+    dup = rng.standard_normal(d).astype(np.float32)
+    v = np.concatenate(
+        [np.tile(dup, (500, 1)), rng.standard_normal((100, d)).astype(np.float32)]
+    )
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    vj = jnp.asarray(v)
+    cents = jnp.asarray(
+        np.concatenate([v[:1], v[500:503]])
+    )
+    assign = ivf.assign_clusters_chunked(vj, cents)
+    cents2, assign2 = ivf.split_skewed(
+        vj, cents, assign, target=100, rng=np.random.default_rng(0), rounds=5
+    )
+    # bounded growth (one seed round per oversized cluster, then stop)
+    assert int(cents2.shape[0]) <= int(cents.shape[0]) + 10
+    am = (v @ np.asarray(cents2).T).argmax(axis=1)
+    assert np.array_equal(am, np.asarray(assign2))

@@ -28,7 +28,13 @@ def test_long_doc_gets_multiple_vectors(tmp_engine):
     counts = sorted(per_doc.values())
     assert counts[0] == 1          # short doc: one vector
     assert counts[-1] > 1          # long doc: chunked into several
-    assert counts[-1] <= 8         # bounded
+    # bounded by the token budget: ~ceil(doc_tokens / model budget) chunks
+    # (chunks never overflow the budget — they used to pack up to ~2x)
+    from orama_core_tpu.models.registry import model_info
+    from orama_core_tpu.nlp import approx_token_count
+
+    budget = model_info("fake-small").max_input_tokens
+    assert counts[-1] <= -(-approx_token_count(long_body) // budget) + 1
 
     # multi-vector doc still searchable (scores sum across chunks)
     res = tmp_engine.read_side.search(
