@@ -38,25 +38,6 @@ class Orama:
         else:
             self.ai = AIService(cfg.ai)
         self._grpc_server = None
-        if cfg.ai.grpc_port is not None and not cfg.ai.remote_url:
-            from .rpc import serve_ai
-
-            def _planner(text, collection_id, messages):
-                # serve PlannedAnswer like the reference sidecar does
-                # (ai_server planned_answer); engine-side steps run here
-                import json as _json
-
-                from .engine.answer import PartyPlanner
-
-                for ev in PartyPlanner(self.read_side).run(
-                    collection_id, text, conversation=messages, skip_auth=True
-                ):
-                    yield _json.dumps(ev), False
-                yield "", True
-
-            self._grpc_server, self.grpc_port = serve_ai(
-                self.ai, port=cfg.ai.grpc_port, planner=_planner
-            )
         tx, rx = channel(cfg.writer_side.channel_capacity)
         from .engine.hooks import HooksRuntime
         import os as _os
@@ -88,6 +69,29 @@ class Orama:
             # breaking subsequent replay/truncation).
             tx.set_offset(
                 max(tx.offset, self.wal.last_offset, self.read_side._applied_offset)
+            )
+        # model sidecar server LAST: it serves PlannedAnswer against
+        # read_side — starting it earlier exposed a window where an eager
+        # client RPC hit an AttributeError mid-construction
+        if cfg.ai.grpc_port is not None and not cfg.ai.remote_url:
+            from .rpc import serve_ai
+
+            def _planner(text, collection_id, messages):
+                # serve PlannedAnswer like the reference sidecar does
+                # (ai_server planned_answer); engine-side steps run here
+                import json as _json
+
+                from .engine.answer import PartyPlanner
+
+                for ev in PartyPlanner(self.read_side).run(
+                    collection_id, text, conversation=messages, skip_auth=True
+                ):
+                    yield _json.dumps(ev), False
+                yield "", True
+
+            self._grpc_server, self.grpc_port = serve_ai(
+                self.ai, port=cfg.ai.grpc_port, planner=_planner,
+                host=cfg.ai.grpc_host,
             )
         self._stop = threading.Event()
         self._threads = []

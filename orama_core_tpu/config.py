@@ -99,6 +99,9 @@ class AiConfig:
     # When set, also EXPOSE this process's in-process models over gRPC so
     # remote engines can use this box as a model sidecar (rpc/server.py).
     grpc_port: Optional[int] = None
+    # Bind address for that sidecar listener: default loopback; set
+    # "0.0.0.0" for the documented remote-sidecar deployment
+    grpc_host: str = "127.0.0.1"
 
 
 @dataclasses.dataclass
@@ -212,6 +215,14 @@ class OramaxConfig:
                     v = section_data[f.name]
                     if isinstance(getattr(section, f.name), tuple) and isinstance(v, list):
                         v = tuple(v)
+                    # numeric-LOOKING values targeting str fields stay str:
+                    # ORAMAX_writer_side__master_api_key=123456 (or a bare
+                    # YAML `master_api_key: 123456`) must compare equal to
+                    # the "123456" Bearer header, not fail auth as int
+                    if isinstance(v, (int, float)) and not isinstance(v, bool):
+                        ft = str(f.type)
+                        if "str" in ft and "int" not in ft and "float" not in ft:
+                            v = str(v)
                     setattr(section, f.name, v)
         return cfg
 

@@ -166,7 +166,16 @@ class PartyPlanner:
         raw = self.ai.chat("party_planner", query)
         data = _extract_json(raw)
         actions = data.get("actions", []) if isinstance(data, dict) else []
-        valid = [a for a in actions if a.get("step") in ACTIONS]
+        if not isinstance(actions, list):
+            actions = []
+        # LLM output is untrusted: tolerate bare step strings and drop
+        # anything else rather than crashing the SSE stream mid-response
+        valid = []
+        for a in actions:
+            if isinstance(a, str) and a in ACTIONS:
+                valid.append({"step": a, "description": a.lower()})
+            elif isinstance(a, dict) and a.get("step") in ACTIONS:
+                valid.append(a)
         if not valid:
             valid = [
                 {"step": "OPTIMIZE_QUERY", "description": "optimize the query"},
@@ -222,6 +231,13 @@ class PartyPlanner:
         yield {"action": "ACTION_PLAN", "result": json.dumps({"actions": steps})}
         executed: Dict[str, str] = {}
         context = ""
+        # fold chat history into the LLM steps (the route passes
+        # body["messages"]; dropping it loses follow-up referents) — same
+        # framing as answer_events above
+        history = ""
+        for m in conversation or []:
+            history += f"{m.get('role', 'user')}: {m.get('content', '')}\n"
+        llm_query = (history + "user: " + query).strip() if history else query
         for step in steps:
             name = step["step"]
             spec = ACTIONS[name]
@@ -248,7 +264,7 @@ class PartyPlanner:
             ctx = context if name in ("GIVE_REPLY", "ASK_FOLLOWUP") else description
             if spec.streams:
                 acc: List[str] = []
-                for chunk in self.ai.chat_stream(role, query, ctx):
+                for chunk in self.ai.chat_stream(role, llm_query, ctx):
                     acc.append(chunk)
                     yield {"action": name, "result": chunk}
                 out = decode_action_result(name, "".join(acc))
@@ -256,6 +272,6 @@ class PartyPlanner:
                 # message after the chunk stream, party_planner.py:131-139)
                 yield {"action": name, "result": out, "done": True}
             else:
-                out = decode_action_result(name, self.ai.chat(role, query, ctx))
+                out = decode_action_result(name, self.ai.chat(role, llm_query, ctx))
                 yield {"action": name, "result": out}
             executed[name] = out

@@ -50,20 +50,23 @@ class AIService:
         return None
 
     def _embedder(self, model: str):
-        with self._lock:
-            e = self._embedders.get(model)
-            if e is None:
-                info = model_info(model)
-                if model.startswith("lexical"):
-                    from .lexical import LexicalEmbedder
-
-                    e = LexicalEmbedder(info.dim)
-                elif self.cfg.backend == "jax" and not model.startswith("fake"):
-                    e = self._jax_embedder(model, info)
-                else:
-                    e = FakeEmbedder(info.dim)
-                self._embedders[model] = e
+        # double-checked: construction (checkpoint load + jit setup) can
+        # take tens of seconds and must not serialize traffic to models
+        # that are already built
+        e = self._embedders.get(model)
+        if e is not None:
             return e
+        info = model_info(model)
+        if model.startswith("lexical"):
+            from .lexical import LexicalEmbedder
+
+            e = LexicalEmbedder(info.dim)
+        elif self.cfg.backend == "jax" and not model.startswith("fake"):
+            e = self._jax_embedder(model, info)
+        else:
+            e = FakeEmbedder(info.dim)
+        with self._lock:
+            return self._embedders.setdefault(model, e)
 
     def _jax_embedder(self, model: str, info):
         """Transformer forward when a real checkpoint is on disk; otherwise
@@ -81,14 +84,29 @@ class AIService:
             if loaded is not None:
                 cfg, params = loaded
                 tok = load_encoder_tokenizer(ckpt, cfg.max_len)
-                if cfg.out_dim != info.dim:
+                if tok is None:
+                    # real weights + the hash tokenizer = confident noise
+                    # (blake2b buckets bear no relation to the trained
+                    # vocab). Refuse the pairing; fall through to lexical.
                     import logging
 
                     logging.getLogger("oramax.ai").warning(
-                        "checkpoint %s dim %d != registry dim %d for %s",
-                        ckpt, cfg.out_dim, info.dim, model,
+                        "checkpoint %s has weights but no loadable "
+                        "tokenizer files — refusing to pair pretrained "
+                        "weights with the hash tokenizer; using the "
+                        "lexical fallback", ckpt,
                     )
-                return JaxEncoderEmbedder(model, cfg=cfg, params=params, tokenizer=tok)
+                else:
+                    if cfg.out_dim != info.dim:
+                        import logging
+
+                        logging.getLogger("oramax.ai").warning(
+                            "checkpoint %s dim %d != registry dim %d for %s",
+                            ckpt, cfg.out_dim, info.dim, model,
+                        )
+                    return JaxEncoderEmbedder(
+                        model, cfg=cfg, params=params, tokenizer=tok
+                    )
         if model.startswith("jax"):
             return JaxEncoderEmbedder(model)
         import logging
@@ -138,18 +156,22 @@ class AIService:
     # -- chat -----------------------------------------------------------------
 
     def _get_llm(self):
+        llm = self._llm
+        if llm is not None:
+            return llm
+        if self.cfg.backend == "jax" and self.cfg.llm_model != "fake-llm":
+            from .llm import JaxChatLLM
+
+            llm = JaxChatLLM(
+                self.cfg.llm_model,
+                self.cfg.hf_model_path,
+                temperature=getattr(self.cfg, "llm_temperature", 0.0),
+            )
+        else:
+            llm = FakeLLM()
         with self._lock:
             if self._llm is None:
-                if self.cfg.backend == "jax" and self.cfg.llm_model != "fake-llm":
-                    from .llm import JaxChatLLM
-
-                    self._llm = JaxChatLLM(
-                        self.cfg.llm_model,
-                        self.cfg.hf_model_path,
-                        temperature=getattr(self.cfg, "llm_temperature", 0.0),
-                    )
-                else:
-                    self._llm = FakeLLM()
+                self._llm = llm
             return self._llm
 
     def chat(self, role: str, prompt: str, context: str = "") -> str:

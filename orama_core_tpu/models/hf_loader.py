@@ -43,7 +43,22 @@ def _load_state_dict(path: str) -> Optional[Dict[str, np.ndarray]]:
 
 
 def load_encoder_checkpoint(path: str):
-    """BERT-family -> (EncoderConfig, params) or None."""
+    """BERT-family -> (EncoderConfig, params) or None (per the module
+    contract, a partial/foreign checkpoint — e.g. RoBERTa tensor names or a
+    truncated config — returns None rather than raising mid-serve)."""
+    try:
+        return _load_encoder_checkpoint(path)
+    except (KeyError, ValueError, TypeError) as e:
+        import logging
+
+        logging.getLogger("oramax.ai").warning(
+            "encoder checkpoint at %s does not match the BERT-family "
+            "schema (%s) — ignoring it", path, e,
+        )
+        return None
+
+
+def _load_encoder_checkpoint(path: str):
     import jax.numpy as jnp
 
     from .encoder import EncoderConfig
@@ -147,7 +162,21 @@ def load_encoder_tokenizer(path: str, max_len: int):
 
 
 def load_llm_checkpoint(path: str):
-    """Qwen2/LLaMA-family -> (LlmConfig, params, tokenizer) or None."""
+    """Qwen2/LLaMA-family -> (LlmConfig, params, tokenizer) or None (same
+    graceful-degradation contract as the encoder loader)."""
+    try:
+        return _load_llm_checkpoint(path)
+    except (KeyError, ValueError, TypeError) as e:
+        import logging
+
+        logging.getLogger("oramax.ai").warning(
+            "LLM checkpoint at %s does not match the Qwen2/LLaMA-family "
+            "schema (%s) — ignoring it", path, e,
+        )
+        return None
+
+
+def _load_llm_checkpoint(path: str):
     import jax.numpy as jnp
 
     from .llm import LlmConfig

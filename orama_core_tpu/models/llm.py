@@ -133,8 +133,23 @@ def forward(
     b, t = ids.shape
     hd = cfg.head_dim
     x = params["tok_emb"][ids].astype(dt)
-    new_cache: List[Tuple[jax.Array, jax.Array]] = []
+    new_kv: List[Tuple[jax.Array, jax.Array]] = []
     rep = cfg.heads // cfg.kv_heads
+
+    # Cache layout: (per-layer kv list, positions int32[B, max_len]). The
+    # positions array records each written slot's TOKEN position per row —
+    # slot index alone is wrong the moment a batch has unequal prompt
+    # lengths (a short row's kv lands at the batch-wide slot while its
+    # query position is row-local; a slot-causal mask then hides the
+    # token's own history and exposes pad kv). Unwritten slots hold
+    # _POS_UNWRITTEN and can never pass the causal test.
+    if kv_cache is not None:
+        kv_list, pos_cache = kv_cache
+        pos_cache = jax.lax.dynamic_update_slice(
+            pos_cache, positions, (0, cache_len)
+        )
+    else:
+        kv_list, pos_cache = None, None
 
     for li, layer in enumerate(params["layers"]):
         h = _rms(x, layer["ln1"], cfg.rms_eps)
@@ -152,28 +167,27 @@ def forward(
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
-        if kv_cache is not None:
-            ck, cv = kv_cache[li]  # [B, max_len, KVH, hd]
+        if kv_list is not None:
+            ck, cv = kv_list[li]  # [B, max_len, KVH, hd]
             ck = jax.lax.dynamic_update_slice(ck, k, (0, cache_len, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v, (0, cache_len, 0, 0))
-            new_cache.append((ck, cv))
+            new_kv.append((ck, cv))
             k_all, v_all = ck, cv
-            kv_positions = jnp.arange(ck.shape[1], dtype=jnp.int32)[None, :]
+            kv_positions = pos_cache  # [B, max_len] per-row position values
         else:
             k_all, v_all = k, v
             kv_positions = positions
-            new_cache.append((k, v))
+            new_kv.append((k, v))
 
         k_rep = jnp.repeat(k_all, rep, axis=2)
         v_rep = jnp.repeat(v_all, rep, axis=2)
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k_rep, preferred_element_type=jnp.float32
         ) / np.sqrt(hd)
-        # causal + cache-validity mask: a query at position p attends to kv
-        # positions <= p that are already written
+        # causal mask over per-row kv POSITION VALUES: unwritten slots (and
+        # prompt pads, which callers tag _POS_UNWRITTEN) can never pass
         causal = kv_positions[:, None, :] <= positions[:, :, None]  # [B, T, K]
-        written = kv_positions[:, None, :] < (cache_len + t)
-        mask = (causal & written)[:, None, :, :]
+        mask = causal[:, None, :, :]
         logits = jnp.where(mask, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(dt)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v_rep).reshape(b, t, -1)
@@ -186,15 +200,23 @@ def forward(
 
     x = _rms(x, params["out_norm"], cfg.rms_eps)
     logits = (x.astype(jnp.float32)) @ params["lm_head"]
-    return logits, new_cache
+    if kv_list is not None:
+        return logits, (new_kv, pos_cache)
+    return logits, new_kv
 
 
-def make_cache(cfg: LlmConfig, batch: int) -> List[Tuple[jax.Array, jax.Array]]:
+_POS_UNWRITTEN = jnp.int32(2**30)
+
+
+def make_cache(cfg: LlmConfig, batch: int):
+    """(per-layer kv list, per-row slot-position array) — see forward()."""
     shape = (batch, cfg.max_len, cfg.kv_heads, cfg.head_dim)
-    return [
+    kv = [
         (jnp.zeros(shape, cfg.dtype), jnp.zeros(shape, cfg.dtype))
         for _ in range(cfg.layers)
     ]
+    pos = jnp.full((batch, cfg.max_len), _POS_UNWRITTEN, jnp.int32)
+    return kv, pos
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new", "temperature"))
@@ -213,7 +235,12 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     cache = make_cache(cfg, b)
-    positions = jnp.arange(pt, dtype=jnp.int32)[None, :].repeat(b, 0)
+    # right-pad slots get _POS_UNWRITTEN so no later query can attend a pad
+    # token's kv (rows with shorter prompts than the padded width)
+    arange_pt = jnp.arange(pt, dtype=jnp.int32)[None, :]
+    positions = jnp.where(
+        arange_pt < prompt_len[:, None], arange_pt, _POS_UNWRITTEN
+    )
     logits, cache = forward(params, cfg, prompt_ids, positions, cache, jnp.int32(0))
     # logits at the last real prompt token
     last = logits[jnp.arange(b), prompt_len - 1]
@@ -228,7 +255,9 @@ def generate(
     rng, k0 = jax.random.split(rng)
     first_tok = pick(k0, last)
 
-    out = jnp.zeros((b, max_new), jnp.int32)
+    # init with EOS, not zeros: when decode finishes early the tail slots
+    # must decode to nothing (zeros decoded as NUL bytes / '!' tokens)
+    out = jnp.full((b, max_new), eos_id, jnp.int32)
     out = out.at[:, 0].set(first_tok)
 
     def cond(state):
@@ -238,10 +267,10 @@ def generate(
     def body(state):
         i, out, cache, done, rng = state
         tok = out[:, i][:, None]
+        # per-row rotary position; the kv SLOT is the batch-uniform pt+i —
+        # the pos-tracked cache (forward) reconciles the two
         pos = (prompt_len + i)[:, None].astype(jnp.int32)
-        logits, cache = forward(
-            params, cfg, tok, pos, cache, jnp.max(prompt_len) + i
-        )
+        logits, cache = forward(params, cfg, tok, pos, cache, pt + i)
         rng, k = jax.random.split(rng)
         nxt = pick(k, logits[:, 0])
         nxt = jnp.where(done, eos_id, nxt)

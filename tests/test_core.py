@@ -105,3 +105,92 @@ tpu:
     assert cfg.http.port == 1234
     assert cfg.reader_side.commit_interval_sec == 5.0
     assert cfg.tpu.mesh_shape == (4, 2)
+
+
+def test_env_numeric_api_key_stays_string():
+    """ORAMAX_writer_side__master_api_key=123456 must compare equal to the
+    '123456' Bearer header — int-coercion made every admin request 401."""
+    from orama_core_tpu.config import OramaxConfig
+
+    cfg = OramaxConfig.load(
+        path=None,
+        env={
+            "ORAMAX_writer_side__master_api_key": "123456",
+            "ORAMAX_writer_side__insert_batch_commit_size": "77",
+            "ORAMAX_ai__backend": "fake",
+        },
+    )
+    assert cfg.writer_side.master_api_key == "123456"  # str, not int
+    assert cfg.writer_side.insert_batch_commit_size == 77  # ints still coerce
+    assert cfg.ai.backend == "fake"
+
+
+def test_party_planner_tolerates_malformed_plans():
+    """LLM plans are untrusted: bare step strings are accepted, anything
+    else is dropped (never an AttributeError that kills the SSE stream)."""
+    from orama_core_tpu.engine.answer import PartyPlanner
+
+    class _Stub:
+        pass
+
+    p = PartyPlanner.__new__(PartyPlanner)
+
+    class _AI:
+        def chat(self, role, prompt, context=""):
+            return ('{"actions": ["OPTIMIZE_QUERY", 42, {"step": "GIVE_REPLY",'
+                    ' "description": "d"}, {"nostep": 1}, "NOT_AN_ACTION"]}')
+
+    p.ai = _AI()
+    steps = p.plan("q")
+    assert [s["step"] for s in steps] == ["OPTIMIZE_QUERY", "GIVE_REPLY"]
+
+    class _AI2:
+        def chat(self, role, prompt, context=""):
+            return '{"actions": "GIVE_REPLY"}'  # not a list
+
+    p.ai = _AI2()
+    steps = p.plan("q")  # falls back to the default plan
+    assert steps[-1]["step"] == "GIVE_REPLY" and len(steps) == 3
+
+
+def test_party_planner_threads_conversation(tmp_path):
+    """run() must fold body['messages'] history into the LLM steps (it was
+    accepted and silently dropped)."""
+    import jax
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+    from orama_core_tpu.engine.answer import PartyPlanner
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    cfg.writer_side.commit_interval_sec = 3600
+    cfg.reader_side.commit_interval_sec = 3600
+    e = build_orama(cfg, start_background=False)
+    try:
+        e.write_side.create_collection("master", "c", "rk", "wk")
+        e.write_side.write("c", [{"id": "1", "body": "context doc"}], "wk")
+        e.flush()
+        planner = PartyPlanner(e.read_side)
+        seen = []
+        real_chat = planner.ai.chat
+
+        def spy(role, prompt, context=""):
+            seen.append((role, prompt))
+            return real_chat(role, prompt, context)
+
+        planner.ai = type("AI", (), {
+            "chat": staticmethod(spy),
+            "chat_stream": staticmethod(
+                lambda role, prompt, context="": iter(
+                    [seen.append((role, prompt)) or "ok"]
+                )
+            ),
+        })()
+        conv = [{"role": "user", "content": "earlier turn about llamas"}]
+        list(planner.run("c", "and the second one?", conversation=conv,
+                         skip_auth=True))
+        llm_prompts = [pr for role, pr in seen if role.startswith("pp:")]
+        assert llm_prompts and all("llamas" in pr for pr in llm_prompts)
+    finally:
+        e.close()

@@ -70,31 +70,42 @@ class TestAIServiceFallbackLadder:
         assert isinstance(svc._embedder("jax-minilm"), JaxEncoderEmbedder)
 
 
+def _bert_checkpoint(tmp_path, name, vocab_size=30, with_tokenizer=True):
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    torch.manual_seed(0)
+    cfg_hf = BertConfig(
+        vocab_size=vocab_size, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    ckpt = tmp_path / name
+    BertModel(cfg_hf).eval().save_pretrained(ckpt, safe_serialization=True)
+    if with_tokenizer:
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "world"]
+        vocab += [f"tok{i}" for i in range(vocab_size - len(vocab))]
+        vf = tmp_path / f"{name}-vocab.txt"
+        vf.write_text("\n".join(vocab))
+        BertTokenizerFast(vocab_file=str(vf)).save_pretrained(ckpt)
+    return ckpt
+
+
 def test_checkpoint_path_loads_into_ai_service(tmp_path):
     """embedding_checkpoint_path with a per-model subdir: AIService must run
     the real transformer forward on the loaded weights (bit-equal to calling
     encode() on the hf_loader output directly)."""
-    torch = pytest.importorskip("torch")
-    transformers = pytest.importorskip("transformers")
     import dataclasses
 
     import jax.numpy as jnp
-    from transformers import BertConfig, BertModel
 
     from orama_core_tpu.models import encoder as enc
     from orama_core_tpu.models.encoder import JaxEncoderEmbedder
     from orama_core_tpu.models.hf_loader import load_encoder_checkpoint
 
-    torch.manual_seed(0)
-    cfg_hf = BertConfig(
-        vocab_size=997, hidden_size=32, num_hidden_layers=2,
-        num_attention_heads=2, intermediate_size=64,
-        max_position_embeddings=64, hidden_dropout_prob=0.0,
-        attention_probs_dropout_prob=0.0,
-    )
-    ckpt = tmp_path / "bge-small"
-    BertModel(cfg_hf).eval().save_pretrained(ckpt, safe_serialization=True)
-
+    ckpt = _bert_checkpoint(tmp_path, "bge-small")
     svc = AIService(
         AiConfig(
             backend="jax",
@@ -116,6 +127,55 @@ def test_checkpoint_path_loads_into_ai_service(tmp_path):
                    jnp.asarray(ids), jnp.asarray(mask))
     )
     np.testing.assert_allclose(got, gold, atol=1e-5)
+
+
+def test_checkpoint_without_tokenizer_falls_back_to_lexical(tmp_path):
+    """Pretrained weights paired with the hash tokenizer would embed
+    confident noise — AIService must refuse and use the lexical tier."""
+    _bert_checkpoint(tmp_path, "bge-small", with_tokenizer=False)
+    svc = AIService(
+        AiConfig(
+            backend="jax",
+            embedding_model="bge-small",
+            embedding_checkpoint_path=str(tmp_path),
+        )
+    )
+    assert isinstance(svc._embedder("bge-small"), LexicalEmbedder)
+
+
+def test_foreign_checkpoint_schema_degrades_to_lexical(tmp_path):
+    """A checkpoint whose tensors don't match the BERT-family schema must
+    return None from the loader (module contract) and degrade to lexical —
+    not raise KeyError on every embed call."""
+    import json as _json
+
+    ckpt = tmp_path / "bge-small"
+    ckpt.mkdir()
+    (ckpt / "config.json").write_text(_json.dumps({
+        "vocab_size": 10, "hidden_size": 8, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "intermediate_size": 16,
+        "max_position_embeddings": 16,
+    }))
+    torch = pytest.importorskip("torch")
+    from safetensors.torch import save_file
+
+    # roberta-style tensor names: schema mismatch
+    save_file(
+        {"roberta.embeddings.word_embeddings.weight": torch.zeros(10, 8)},
+        str(ckpt / "model.safetensors"),
+    )
+    from orama_core_tpu.models.hf_loader import load_encoder_checkpoint
+
+    assert load_encoder_checkpoint(str(ckpt)) is None
+    svc = AIService(
+        AiConfig(
+            backend="jax",
+            embedding_model="bge-small",
+            embedding_checkpoint_path=str(tmp_path),
+        )
+    )
+    assert isinstance(svc._embedder("bge-small"), LexicalEmbedder)
+    assert svc.embed_query("bge-small", ["x"]).shape == (1, 384)
 
 
 def test_checkpoint_tokenizer_used_when_present(tmp_path):

@@ -107,3 +107,58 @@ def test_generate_temperature_sampling():
     s3 = generate(params, cfg, ids, plen, max_new=16, eos_id=63,
                   temperature=1.5, rng=jax.random.PRNGKey(1))
     assert (np.asarray(s1) == np.asarray(s3)).all()
+
+
+def test_batched_generate_matches_per_row():
+    """Batched generate() with UNEQUAL prompt lengths must produce exactly
+    what each row produces alone (greedy): the kv cache tracks per-row
+    positions, so a short row's decode history is neither hidden by the
+    batch-wide slot index nor polluted by pad kv."""
+    cfg = _tiny_cfg()
+    params = llm.init_params(jax.random.PRNGKey(4), cfg)
+    prompts = [[1, 5, 9, 2, 7, 3], [4, 8]]  # lengths 6 and 2
+    pt, max_new, eos = 8, 6, 63
+
+    # reference: each row alone
+    solo = []
+    for p in prompts:
+        padded = np.zeros((1, pt), np.int32)
+        padded[0, : len(p)] = p
+        out = llm.generate(
+            params, cfg, jnp.asarray(padded),
+            jnp.asarray([len(p)], jnp.int32), max_new=max_new, eos_id=eos,
+        )
+        solo.append(np.asarray(out)[0].tolist())
+
+    # batched with unequal lengths
+    padded = np.zeros((2, pt), np.int32)
+    for r, p in enumerate(prompts):
+        padded[r, : len(p)] = p
+    out = llm.generate(
+        params, cfg, jnp.asarray(padded),
+        jnp.asarray([len(p) for p in prompts], jnp.int32),
+        max_new=max_new, eos_id=eos,
+    )
+    got = np.asarray(out).tolist()
+    for r in range(2):
+        exp = solo[r]
+        for e, g in zip(exp, got[r]):
+            assert e == g, (r, exp, got[r])
+            if e == eos:
+                break
+
+
+def test_generate_tail_is_eos_not_zeros():
+    """Early EOS must leave EOS (decoded to nothing), never token id 0
+    (NUL bytes / '!' in real vocabs) in the tail."""
+    cfg = _tiny_cfg()
+    params = llm.init_params(jax.random.PRNGKey(5), cfg)
+    padded = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+    out = llm.generate(
+        params, cfg, padded, jnp.asarray([2], jnp.int32),
+        max_new=8, eos_id=63,
+    )
+    row = np.asarray(out)[0].tolist()
+    if 63 in row:
+        first = row.index(63)
+        assert all(t == 63 for t in row[first:]), row
