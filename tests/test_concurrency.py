@@ -74,3 +74,63 @@ def test_concurrent_writes_and_searches(tmp_engine):
         "c", SearchParams.from_json({"term": "payload", "limit": 50}), READ
     )
     assert r.count == 40
+
+
+def test_deletes_commits_and_searches_race(tmp_engine):
+    """Hammer search while deletes + commits fold tombstones: the commit
+    REBINDS the deleted set (in-flight searches keep their snapshot) — a
+    mutating clear() would crash np.fromiter mid-iteration, and a stale
+    mask would resurrect deleted docs. Every search must see only alive
+    docs' ids and never raise."""
+    cid = "race"
+    tmp_engine.write_side.create_collection(MASTER, cid, READ, WRITE)
+    tmp_engine.write_side.write(
+        cid,
+        [{"id": str(i), "body": f"word{i} shared corpus"} for i in range(120)],
+        WRITE,
+    )
+    tmp_engine.flush()
+    tmp_engine.commit()
+
+    errors = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                res = tmp_engine.read_side.search(
+                    cid, SearchParams.from_json(
+                        {"term": "shared", "limit": 50}), READ
+                )
+                for h in res.hits:
+                    int(h.id)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        # interleave deletes, writes and commits
+        for i in range(0, 60, 10):
+            tmp_engine.write_side.delete_documents(
+                cid, [str(j) for j in range(i, i + 10)], WRITE
+            )
+            tmp_engine.flush()
+            if i % 20 == 0:
+                tmp_engine.commit()
+            reader = tmp_engine.read_side.collections[cid]
+        tmp_engine.commit()
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors
+    reader = tmp_engine.read_side.collections[cid]
+    assert reader.deleted == set()
+    res = tmp_engine.read_side.search(
+        cid, SearchParams.from_json({"term": "shared", "limit": 200}), READ
+    )
+    assert {int(h.id) for h in res.hits} == set(range(60, 120))
+    assert res.count == 60
