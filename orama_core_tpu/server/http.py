@@ -281,6 +281,10 @@ def _make_handler(orama):
             if mo and method == "POST":
                 body = self._body()
                 docs = body if isinstance(body, list) else [body]
+                if not all(isinstance(d, dict) for d in docs):
+                    raise HttpError(
+                        400, "insert body must be a document or a list of documents"
+                    )
                 ids = write_side.write(mo.group(1), docs, self._bearer())
                 self._send(200, {"inserted": len(ids), "ids": ids})
                 return 200

@@ -228,6 +228,16 @@ class SearchParams:
 
     @staticmethod
     def from_json(obj: Dict[str, Any]) -> "SearchParams":
+        # client input: shape-check before attribute access so malformed
+        # bodies surface as 400s, never 500s
+        if not isinstance(obj, dict):
+            raise ValueError("search body must be a JSON object")
+        for key, want in (
+            ("where", dict), ("facets", dict), ("boost", dict),
+        ):
+            v = obj.get(key)
+            if v is not None and not isinstance(v, want):
+                raise ValueError(f'"{key}" must be a JSON object')
         mode_s = obj.get("mode", "fulltext")
         try:
             mode = SearchModeKind(mode_s)

@@ -333,3 +333,40 @@ def test_tamil_stemmer_invariants(word):
     assert out == tamil_stem(word)
     # the virama-collapse postcondition: never a doubled virama
     assert "்்" not in out
+
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**6, 10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=12),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(st.dictionaries(
+    st.sampled_from([
+        "term", "mode", "limit", "boost", "properties", "where", "facets",
+        "fusion", "vector", "extra",
+    ]),
+    _json_values,
+    max_size=6,
+))
+@settings(max_examples=150, deadline=None)
+def test_search_params_from_json_total(obj):
+    """Client search bodies are hostile input: from_json either returns a
+    SearchParams or raises ValueError/TypeError (-> HTTP 400) — never any
+    other exception (-> HTTP 500)."""
+    from orama_core_tpu.types import SearchParams
+
+    try:
+        p = SearchParams.from_json(obj)
+        assert p.limit > 0
+    except (ValueError, TypeError):
+        pass

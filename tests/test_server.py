@@ -379,3 +379,51 @@ def test_document_fetch_is_cqrs_safe(server):
     engine.commit()
     status, doc = _req(base + "/v1/collections/c1/documents/2?api-key=rk")
     assert status == 200 and doc["title"] == "another document"
+
+
+def test_malformed_bodies_never_500(server):
+    """Fuzz the write/search routes with hostile payloads: every response
+    must be a clean 4xx JSON error — never a 500 or a hang (client input
+    must not reach an unhandled exception)."""
+    engine, base = server
+    hostile = [
+        b"not json at all",
+        b"[",
+        b'{"term": ',
+        b"null",
+        b'"just a string"',
+        b"[]",
+        b'{"term": {"nested": "object"}}',
+        b'{"term": "x", "mode": "warp-drive"}',
+        b'{"term": "x", "limit": "many"}',
+        b'{"term": "x", "limit": -5}',
+        b'{"term": "x", "where": {"price": {"gt": "soon"}}}',
+        b'{"term": "x", "where": {"price": "flat"}}',
+        b'{"term": "x", "properties": 7}',
+        b'{"term": "x", "facets": {"price": []}}',
+        b'{"vector": "not-a-list", "mode": "vector"}',
+        b'{"term": "x", "boost": {"title": "big"}}',
+        ('{"term": "' + "x" * 100000 + '"}').encode(),
+        b'{"term": "\xc3"}'[:12],  # truncated utf-8
+    ]
+    import urllib.error
+    import urllib.request
+
+    for body in hostile:
+        for path, bearer in (
+            ("/v1/collections/c1/search?api-key=rk", None),
+            ("/v1/collections/c1/insert", "wk"),
+        ):
+            req = urllib.request.Request(
+                base + path, data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    **({"Authorization": f"Bearer {bearer}"} if bearer else {}),
+                },
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    status = r.status
+            except urllib.error.HTTPError as e:
+                status = e.code
+            assert 200 <= status < 500, (status, body[:60], path)
