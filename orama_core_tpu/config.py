@@ -148,6 +148,14 @@ class TpuConfig:
     # autotune nprobe at commit against brute-force ground truth until
     # recall@10 >= target (index/vector_index.tune_nprobe)
     ivf_autotune: bool = True
+    # Parametric-OPQ rotation for PQ codebooks: "auto" (default) trains
+    # trial codebooks raw vs PCA-balanced and keeps the basis with the
+    # lower held-out reconstruction error (ops/pq.choose_rotation) —
+    # measured +3-4 recall pts on lexical-style embeddings, -19 pts on a
+    # mixed decaying spectrum, so neither fixed default is safe. "on"
+    # forces the rotation, "off" disables. Serving cost when on: one
+    # [Q, D] x [D, D] matmul per batch.
+    pq_rotation: str = "auto"
     ivf_autotune_target: float = 0.95
     # Selective-filter fast path (SURVEY §7 "filter selectivity"): when a
     # query's filters match at most this many docs (computable host-side

@@ -359,12 +359,17 @@ class _DeviceCache:
     def vector_pq_arrays(self, v: CommittedVectorIndex):
         def build():
             dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
+            rot = (
+                jnp.asarray(v.pq_rotation, jnp.float32)
+                if v.pq_rotation is not None else None
+            )
             return (
                 jnp.asarray(v.pq_codes),
                 jnp.asarray(v.pq_codebooks, dtype=jnp.float32),
                 jnp.asarray(v.vecs, dtype=dtype),
                 jnp.asarray(v.vec_docs),
                 jnp.asarray(np.ones(v.n_vectors, np.float32)),
+                rot,
             )
 
         return self._get(v, "vec_pq", build)
@@ -372,6 +377,10 @@ class _DeviceCache:
     def vector_ivfpq_arrays(self, v: CommittedVectorIndex):
         def build():
             dtype = jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
+            rot = (
+                jnp.asarray(v.pq_rotation, jnp.float32)
+                if v.pq_rotation is not None else None
+            )
             return (
                 jnp.asarray(v.pq_codes),
                 jnp.asarray(v.pq_codebooks, dtype=jnp.float32),
@@ -380,6 +389,7 @@ class _DeviceCache:
                 jnp.asarray(v.ivf_lists),
                 jnp.asarray(v.ivf_lens),
                 jnp.asarray(v.vec_docs),
+                rot,
             )
 
         return self._get(v, "vec_ivfpq", build)
@@ -732,6 +742,12 @@ class _DeviceCache:
             dtype = (
                 jnp.bfloat16 if self.cfg.vector_dtype == "bfloat16" else jnp.float32
             )
+            # OPQ basis rides along replicated; identity when PQ was
+            # built unrotated (the shard_map program has a fixed arity)
+            rot_h = (
+                v.pq_rotation if v.pq_rotation is not None
+                else np.eye(v.dimension, dtype=np.float32)
+            )
             return (
                 self._put_stacked(codes_st),
                 jnp.asarray(v.pq_codebooks, jnp.float32),
@@ -740,6 +756,7 @@ class _DeviceCache:
                 self._put_stacked(lists_st),
                 self._put_stacked(lens_st),
                 self._put_stacked(docs_st),
+                jnp.asarray(rot_h, jnp.float32),
             )
 
         return self._get(v, ("vec_ivfpq_sh", local_cap), build)
@@ -1475,7 +1492,7 @@ class CollectionReader:
             from ..ops import ivf as ivf_ops
 
             (
-                codes, books, vecs, cents, lists, lens, vec_docs,
+                codes, books, vecs, cents, lists, lens, vec_docs, rot,
             ) = self._device.vector_ivfpq_arrays(committed)
             expand = committed.tuned_expand or self.cfg.ivf_candidate_expand
             cand_k = min(max(limit, 10) * expand, committed.n_vectors)
@@ -1483,7 +1500,7 @@ class CollectionReader:
             sims, rows = ivf_ops.ivf_pq_search(
                 codes, books, vecs, cents, lists, lens, q_dev[None, :],
                 nprobe=min(nprobe, lists.shape[0]), k=cand_k, expand=expand,
-                residual=committed.pq_residual,
+                residual=committed.pq_residual, rotation=rot,
             )
             docs = vec_docs[rows[0]]
             contrib = jnp.maximum(sims[0], 0.0)
@@ -1510,14 +1527,15 @@ class CollectionReader:
         if mode == "pq" and committed.has_pq:
             from ..ops import pq as pq_ops
 
-            codes, books, vecs, vec_docs, valid = self._device.vector_pq_arrays(
-                committed
-            )
+            (
+                codes, books, vecs, vec_docs, valid, rot,
+            ) = self._device.vector_pq_arrays(committed)
             cand_k = min(
                 max(limit, 10) * self.cfg.ivf_candidate_expand, committed.n_vectors
             )
             sims, rows = pq_ops.pq_topk_rerank(
-                codes, books, vecs, valid, q_dev[None, :], k=cand_k, expand=1
+                codes, books, vecs, valid, q_dev[None, :], k=cand_k, expand=1,
+                rotation=rot,
             )
             docs = vec_docs[rows[0]]
             contrib = jnp.maximum(sims[0], 0.0)
@@ -2165,6 +2183,7 @@ class CollectionReader:
                     ):
                         (
                             codes, books, vecs, cents, lists, lens, docs,
+                            rot,
                         ) = self._device.sharded_ivfpq_arrays(c, local_cap)
                         expand = c.tuned_expand or self.cfg.ivf_candidate_expand
                         cand_k = min(max(limit, 10) * expand, c.n_vectors)
@@ -2177,7 +2196,7 @@ class CollectionReader:
                             c.pq_residual,
                         )(
                             codes, books, vecs, cents, lists, lens, docs,
-                            q_dev, filter_mask,
+                            rot, q_dev, filter_mask,
                         )
                     elif self.cfg.vector_index == "int8":
                         codes, scales, docs, valid = (
@@ -3305,12 +3324,12 @@ class CollectionReader:
                                 target_recall=self.cfg.ivf_autotune_target
                             )
                     elif self.cfg.vector_index == "pq" and big:
-                        vf.committed.build_pq()
+                        vf.committed.build_pq(rotate={"on": True, "off": False}.get(self.cfg.pq_rotation, "auto"))
                     elif self.cfg.vector_index == "ivf_pq" and big:
                         # the combined scale mode: IVF partitions + PQ ADC
                         # candidate scan + exact rerank (ops/ivf.ivf_pq_search)
                         vf.committed.build_ivf()
-                        vf.committed.build_pq()
+                        vf.committed.build_pq(rotate={"on": True, "off": False}.get(self.cfg.pq_rotation, "auto"))
                         if self.cfg.ivf_autotune:
                             vf.committed.tune_nprobe(
                                 target_recall=self.cfg.ivf_autotune_target

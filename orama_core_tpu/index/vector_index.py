@@ -11,7 +11,7 @@ the same layout (ops/ivf.py, ops/pq.py)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -82,6 +82,9 @@ class CommittedVectorIndex:
     # adds back q·cents[cluster] — the FAISS IVF-PQ shape; flat PQ's
     # quantization noise swamps within-cluster margins at scale
     pq_residual: bool = False
+    # parametric-OPQ basis [D, D]: codes quantize (residual @ R); the ADC
+    # stage rotates the query, probe/rerank stay raw (ops/pq.opq_rotation)
+    pq_rotation: Optional[np.ndarray] = None
     # (nprobe, ADC expand) chosen by tune_nprobe() against brute-force
     # ground truth (None => use the config defaults)
     tuned_nprobe: Optional[int] = None
@@ -103,9 +106,20 @@ class CommittedVectorIndex:
     def has_pq(self) -> bool:
         return self.pq_codebooks is not None
 
-    def build_pq(self, m: Optional[int] = None, n_codes: int = 256, seed: int = 0) -> None:
+    def build_pq(
+        self,
+        m: Optional[int] = None,
+        n_codes: int = 256,
+        seed: int = 0,
+        rotate: Any = "auto",
+    ) -> None:
         """Train per-subspace codebooks on device and encode the corpus.
-        M defaults to D/8 (8 dims per subspace, ~32x compression at f32)."""
+        M defaults to D/8 (8 dims per subspace, ~32x compression at f32).
+        ``rotate``: "auto" (default) measures held-out reconstruction error
+        raw vs parametric-OPQ basis (ops/pq.choose_rotation) and keeps the
+        better — the rotation helps sparse/lexical-style embeddings and
+        HURTS corpora whose raw basis carries intra-subspace correlation,
+        so the choice is data-driven; True forces it, False disables."""
         import jax
         import jax.numpy as jnp
 
@@ -130,9 +144,22 @@ class CommittedVectorIndex:
             self.pq_residual = True
         else:
             self.pq_residual = False
+        nc = min(n_codes, max(self.n_vectors, 2))
+        if rotate == "auto" and m > 1:
+            self.pq_rotation = pq_ops.choose_rotation(
+                v, m, jax.random.PRNGKey(seed + 1), n_codes=nc
+            )
+        elif rotate is True and m > 1:
+            self.pq_rotation = pq_ops.opq_rotation(v, m)
+        else:
+            self.pq_rotation = None
+        if self.pq_rotation is not None:
+            v = jnp.dot(
+                v, jnp.asarray(self.pq_rotation),
+                preferred_element_type=jnp.float32,
+            )
         books = pq_ops.pq_train(
-            v, jax.random.PRNGKey(seed), m=m,
-            n_codes=min(n_codes, max(self.n_vectors, 2)),
+            v, jax.random.PRNGKey(seed), m=m, n_codes=nc,
         )
         codes = pq_ops.pq_encode(v, books)
         self.pq_codebooks = np.asarray(books, dtype=np.float32)
@@ -210,6 +237,10 @@ class CommittedVectorIndex:
                     v_dev, cents, lists, lens, q_dev,
                     nprobe=nprobe, k=k, expand=exp,
                     residual=self.pq_residual,
+                    rotation=(
+                        jnp.asarray(self.pq_rotation)
+                        if self.pq_rotation is not None else None
+                    ),
                 )
             else:
                 _, ids = ivf_ops.ivf_search(
@@ -281,6 +312,8 @@ class CommittedVectorIndex:
             out["pq_codebooks"] = self.pq_codebooks
             out["pq_codes"] = self.pq_codes
             out["pq_residual"] = np.asarray([int(self.pq_residual)], np.int64)
+            if self.pq_rotation is not None:
+                out["pq_rotation"] = self.pq_rotation
         if self.tuned_nprobe is not None:
             out["tuned_nprobe"] = np.asarray([self.tuned_nprobe], np.int64)
         if self.tuned_expand is not None:
@@ -301,6 +334,7 @@ class CommittedVectorIndex:
             pq_codebooks=arrays.get("pq_codebooks"),
             pq_codes=arrays.get("pq_codes"),
             pq_residual=bool(arrays.get("pq_residual", [0])[0]),
+            pq_rotation=arrays.get("pq_rotation"),
             tuned_nprobe=int(tuned[0]) if tuned is not None else None,
             tuned_expand=int(tuned_e[0]) if tuned_e is not None else None,
         )

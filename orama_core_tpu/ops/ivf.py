@@ -249,6 +249,9 @@ def ivf_pq_search(
     k: int,
     expand: int = 10,
     residual: bool = False,
+    rotation: jax.Array = None,  # [D, D] OPQ basis: codes quantize
+    # (residual @ R); only the ADC LUT needs the rotated query — the
+    # centroid probe and the exact rerank stay in the raw basis
 ):
     """IVF + PQ + exact rerank (VERDICT r1 item 10; the engine's scale
     vector mode): probe ``nprobe`` clusters, score their members by PQ ADC
@@ -278,7 +281,13 @@ def ivf_pq_search(
 
     # ADC over candidates: per-subspace LUT gather, [Q, N] accumulator
     m, c, ds = codebooks.shape
-    qsub = queries.reshape(q_n, m, ds).transpose(1, 0, 2)   # [M, Q, ds]
+    q_adc = queries
+    if rotation is not None:
+        q_adc = jnp.dot(
+            queries, rotation.astype(queries.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(queries.dtype)
+    qsub = q_adc.reshape(q_n, m, ds).transpose(1, 0, 2)     # [M, Q, ds]
     lut = jnp.einsum(
         "mqd,mcd->mqc", qsub, codebooks, preferred_element_type=jnp.float32
     )                                                       # [M, Q, C]

@@ -223,12 +223,12 @@ def ivfpq_scores(
     beyond-HBM scale: partitions + compression instead of graph hops."""
     from ..ops import ivf as ivf_ops
 
-    def local(codes, books, vecs, cents, lists, lens, docs, query, mask):
+    def local(codes, books, vecs, cents, lists, lens, docs, rot, query, mask):
         kk = min(cand_k, nprobe * lists.shape[2])
         sims, rows = ivf_ops.ivf_pq_search(
             codes[0], books, vecs[0], cents, lists[0], lens[0],
             query[None, :], nprobe=nprobe, k=kk, expand=expand,
-            residual=residual,
+            residual=residual, rotation=rot,
         )
         d = docs[0][rows[0]]
         contrib = jnp.maximum(sims[0], 0.0)  # -inf pads -> 0 contribution
@@ -241,7 +241,7 @@ def ivfpq_scores(
             mesh=mesh,
             in_specs=(
                 P(DATA_AXIS), P(), P(DATA_AXIS), P(), P(DATA_AXIS),
-                P(DATA_AXIS), P(DATA_AXIS), P(), P(DATA_AXIS),
+                P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(DATA_AXIS),
             ),
             out_specs=P(DATA_AXIS),
             check_vma=False,

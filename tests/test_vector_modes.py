@@ -178,12 +178,14 @@ def test_ivf_pq_recall_and_autotune():
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     sims = q @ vecs.T
     gt = np.argsort(-sims, axis=1)[:, :10]
+    assert idx.pq_rotation is not None  # OPQ basis built by default
     _, ids = ivf_ops.ivf_pq_search(
         jnp.asarray(idx.pq_codes), jnp.asarray(idx.pq_codebooks),
         jnp.asarray(vecs), jnp.asarray(idx.ivf_cents),
         jnp.asarray(idx.ivf_lists), jnp.asarray(idx.ivf_lens),
         jnp.asarray(q), nprobe=tuned, k=10, expand=idx.tuned_expand,
         residual=idx.pq_residual,
+        rotation=jnp.asarray(idx.pq_rotation),
     )
     ids = np.asarray(ids)
     recall = np.mean(
@@ -247,3 +249,91 @@ def test_residual_pq_beats_flat_at_dense_clusters():
     r_flat, r_res = recall(False), recall(True)
     assert r_res >= 0.9, (r_flat, r_res)
     assert r_res > r_flat + 0.1, (r_flat, r_res)
+
+
+def test_opq_rotation_orthonormal_and_persisted():
+    import jax.numpy as jnp
+
+    from orama_core_tpu.index.vector_index import CommittedVectorIndex
+    from orama_core_tpu.ops import pq as pq_ops
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((2000, 32)).astype(np.float32)
+    r = pq_ops.opq_rotation(jnp.asarray(vecs), m=4)
+    assert r.shape == (32, 32)
+    np.testing.assert_allclose(r @ r.T, np.eye(32), atol=1e-4)
+
+    idx = CommittedVectorIndex(
+        dimension=32, vecs=vecs / np.linalg.norm(vecs, axis=1, keepdims=True),
+        vec_docs=np.arange(2000, dtype=np.int32),
+    )
+    idx.build_pq(m=4, rotate=True)  # forced on
+    assert idx.pq_rotation is not None
+    again = CommittedVectorIndex.from_arrays(idx.to_arrays())
+    np.testing.assert_array_equal(again.pq_rotation, idx.pq_rotation)
+    idx.build_pq(m=4, rotate=False)
+    assert idx.pq_rotation is None
+
+
+def test_choose_rotation_is_data_driven():
+    """build_pq(rotate="auto") must pick the basis with the lower held-out
+    reconstruction error: the OPQ rotation on lexical-style sparse
+    embeddings (measured +3-4 recall pts), and NO rotation on a corpus
+    whose raw basis carries intra-subspace correlation that PCA destroys
+    (measured -19 recall pts when forced on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orama_core_tpu.ops import pq as pq_ops
+
+    rng = np.random.default_rng(9)
+    n, d, m = 12_000, 64, 8
+
+    # corpus A: decaying spectrum through a random orthonormal mix —
+    # raw-basis subspaces are balanced AND internally correlated; the
+    # PCA-balanced basis is measurably WORSE here
+    decay = (0.97 ** np.arange(d)).astype(np.float32) * 3.0
+    mix, _ = np.linalg.qr(rng.standard_normal((d, d)).astype(np.float32))
+    z = rng.standard_normal((n, d)).astype(np.float32)
+    va = (z * decay[None, :]) @ mix.astype(np.float32)
+    va /= np.linalg.norm(va, axis=1, keepdims=True)
+    assert pq_ops.choose_rotation(
+        jnp.asarray(va), m, jax.random.PRNGKey(0)
+    ) is None
+
+    # corpus B: lexical-embedder vectors (sparse bag-of-features
+    # structure) — the rotation measurably helps; auto must keep it
+    from orama_core_tpu.models.lexical import LexicalEmbedder
+
+    topics = ["solar energy", "bread baking", "tpu kernels",
+              "ocean biology", "violin music", "alpine skiing"]
+    texts = [
+        f"{topics[i % 6]} document number {i} with extra "
+        f"{topics[(i // 6) % 6]} words"
+        for i in range(4000)
+    ]
+    vb = LexicalEmbedder(d).embed(texts)
+    rot = pq_ops.choose_rotation(jnp.asarray(vb), m, jax.random.PRNGKey(0))
+    assert rot is not None
+    np.testing.assert_allclose(rot @ rot.T, np.eye(d), atol=1e-4)
+
+    # and the kept basis actually ranks better on raw ADC top-k
+    q = vb[rng.choice(len(vb), 32, replace=False)]
+    gt = np.argsort(-(q @ vb.T), axis=1)[:, :10]
+    v = jnp.asarray(vb)
+    valid = jnp.ones(len(vb), jnp.float32)
+
+    def adc_recall(r):
+        train = v if r is None else jnp.dot(v, jnp.asarray(r))
+        books = pq_ops.pq_train(train, jax.random.PRNGKey(3), m=m)
+        codes = pq_ops.pq_encode(train, books)
+        _, ids = pq_ops.pq_topk(
+            codes, books, valid, jnp.asarray(q), k=10,
+            rotation=None if r is None else jnp.asarray(r),
+        )
+        ids = np.asarray(ids)
+        return float(np.mean(
+            [len(set(ids[i]) & set(gt[i])) / 10.0 for i in range(len(q))]
+        ))
+
+    assert adc_recall(rot) > adc_recall(None), "kept basis must rank better"
