@@ -148,8 +148,8 @@ def main() -> None:
 
     def run(label, make_params):
         params = [make_params(rand_term(rng.integers(1, 4))) for _ in range(args.queries)]
-        reader.search(params[0], ai)  # warm compiles for this shape family
-        reader.search(params[1], ai)
+        for p in params[:2]:  # warm compiles for this shape family
+            reader.search(p, ai)
         lat = []
         hits = 0
         t0 = time.time()

@@ -41,7 +41,10 @@ def _tokenize_and_stem(text: str, locale: str):
     if locale == "en":
         from .. import native
 
-        if native.available():
+        # native only when it provably matches the Python tokenizer the
+        # QUERY side uses (native.en_safe) — otherwise indexed terms
+        # would be unreachable (e.g. ß splits, Vietnamese stays unfolded)
+        if native.available() and native.en_safe(text):
             return native.tokenize_and_stem_en(text)
     return get_parser(locale).tokenize_and_stem(text)
 
@@ -267,7 +270,7 @@ class CollectionWriter:
             if locale == "en":
                 from .. import native
 
-                if native.available():
+                if native.available() and native.en_safe(text):
                     # one native call: tokenize+stem+group per unique term
                     terms_t, field_len = native.index_doc_en(text)
                     return keyword_ops + [

@@ -165,6 +165,51 @@ def index_doc_en(text: str):
     return terms, field_len
 
 
+_EN_SAFE: "frozenset[str] | None" = None
+
+
+def _build_en_safe() -> "frozenset[str]":
+    """Per-character agreement set between the native EN tokenizer and the
+    Python pipeline, built EMPIRICALLY (probe both on each char once).
+
+    The native fold covers most accented Latin but not every codepoint
+    (ß/æ/ð/þ fold to 0 and split the word; >= 0x370 is kept raw while
+    Python NFKD-folds) — indexing a doc through the native path when the
+    query side tokenizes differently makes its terms unreachable. Probing
+    beats hand-maintaining two tables in sync."""
+    from ..nlp.tokenizer import TextParser
+
+    parser = TextParser("en")
+    safe = set()
+    # Latin-1 supplement .. Latin Ext-B start, plus general punctuation
+    for lo, hi in ((0xA0, 0x250), (0x2000, 0x2070)):
+        for cp in range(lo, hi):
+            ch = chr(cp)
+            probe = f"xx{ch}yy zz"
+            try:
+                if tokenize_and_stem_en(probe) == parser.tokenize_and_stem(
+                    probe
+                ):
+                    safe.add(ch)
+            except Exception:
+                pass
+    return frozenset(safe)
+
+
+def en_safe(text: str) -> bool:
+    """True when the native EN pipeline provably tokenizes ``text`` exactly
+    like the Python pipeline the QUERY side uses. ASCII is always safe;
+    other chars consult the probed agreement set; anything un-probed
+    (>= U+0250 beyond punctuation) routes to the Python path."""
+    if text.isascii():
+        return True
+    global _EN_SAFE
+    if _EN_SAFE is None:
+        _EN_SAFE = _build_en_safe()
+    safe = _EN_SAFE
+    return all(ord(c) < 0x80 or c in safe for c in text)
+
+
 class NativePostingBuilder:
     """Accumulate per-doc term/position streams, pack committed CSR."""
 

@@ -20,7 +20,7 @@ def _op(summary: str, auth: str, body: bool = True) -> Dict[str, Any]:
 
 
 def openapi_spec() -> Dict[str, Any]:
-    return {
+    spec = {
         "openapi": "3.1.0",
         "info": {
             "title": "orama_core_tpu",
@@ -147,3 +147,20 @@ def openapi_spec() -> Dict[str, Any]:
             },
         },
     }
+    # OpenAPI 3.x REQUIRES every path-template variable to be declared —
+    # without these, validators and client generators reject the spec
+    import re
+
+    for path, item in spec["paths"].items():
+        names = re.findall(r"\{([^}]+)\}", path)
+        if names:
+            item["parameters"] = [
+                {
+                    "name": n,
+                    "in": "path",
+                    "required": True,
+                    "schema": {"type": "string"},
+                }
+                for n in names
+            ]
+    return spec

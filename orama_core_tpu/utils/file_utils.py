@@ -1,8 +1,11 @@
 """Durable file helpers: atomic JSON / numpy-archive writes.
 
 Counterpart of the reference's `BufferedFile` (`file_utils.rs:92-252`):
-write-to-temp + fsync + atomic rename, so readers never observe torn files
-(torn-write tolerance at read time mirrors document_storage.rs:75-86).
+write-to-temp + fsync + atomic rename + PARENT-DIRECTORY fsync — without
+the directory sync the rename itself isn't crash-durable, and a commit that
+already truncated the WAL could lose acknowledged files on power loss.
+Readers never observe torn files (torn-write tolerance at read time mirrors
+document_storage.rs:75-86).
 """
 
 from __future__ import annotations
@@ -10,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import zipfile
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -18,6 +22,19 @@ import numpy as np
 def ensure_dir(path: str) -> str:
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def _fsync_dir(d: str) -> None:
+    try:
+        fd = os.open(d, os.O_RDONLY)
+    except OSError:
+        return  # platforms/filesystems without directory fds
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def atomic_write_bytes(path: str, data: bytes) -> None:
@@ -30,6 +47,7 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        _fsync_dir(d)
     except BaseException:
         try:
             os.unlink(tmp)
@@ -61,6 +79,7 @@ def atomic_write_npz(path: str, arrays: Dict[str, np.ndarray]) -> None:
         with open(tmp, "rb") as f:
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        _fsync_dir(d)
     except BaseException:
         try:
             os.unlink(tmp)
@@ -70,8 +89,11 @@ def atomic_write_npz(path: str, arrays: Dict[str, np.ndarray]) -> None:
 
 
 def read_npz(path: str) -> Optional[Dict[str, np.ndarray]]:
+    """Returns None on missing/torn/corrupt archives (np.load raises
+    zipfile.BadZipFile on truncation and EOFError on empty files — both
+    must fall under the documented reader tolerance)."""
     try:
         with np.load(path, allow_pickle=False) as z:
             return {k: z[k] for k in z.files}
-    except (OSError, ValueError):
+    except (OSError, ValueError, EOFError, zipfile.BadZipFile, KeyError):
         return None

@@ -194,3 +194,93 @@ def test_party_planner_threads_conversation(tmp_path):
         assert llm_prompts and all("llamas" in pr for pr in llm_prompts)
     finally:
         e.close()
+
+
+def test_document_storage_readd_invalidates_cache(tmp_path):
+    from orama_core_tpu.engine.document_storage import DocumentStorage
+
+    ds = DocumentStorage(str(tmp_path))
+    ds.add_document(5, {"id": "a", "v": 1})
+    ds.commit()
+    assert ds.get(5)["v"] == 1          # populates the read cache
+    ds.add_document(5, {"id": "a", "v": 2})
+    ds.commit()
+    assert ds.get(5)["v"] == 2, "stale cached committed version served"
+
+
+def test_document_storage_compacts_garbage_segments(tmp_path):
+    """Deleted/updated docs leave dead lines; once most lines are dead and
+    segments piled up, commit must rewrite live docs into one segment and
+    GC the old files (one commit later)."""
+    import os
+
+    from orama_core_tpu.engine.document_storage import DocumentStorage
+
+    ds = DocumentStorage(str(tmp_path))
+    for batch in range(8):
+        for i in range(20):
+            ds.add_document(batch * 20 + i, {"id": str(batch * 20 + i), "b": batch})
+        ds.commit()
+    assert len(ds._segments) == 8
+    ds.delete_documents(range(0, 140))  # 140/160 dead
+    ds.commit()                          # folds deletes -> compaction fires
+    assert len(ds._segments) == 1, ds._segments
+    assert ds.count_committed() == 20
+    assert ds.get(150)["b"] == 7 and ds.get(5) is None
+    ds.commit()  # deferred GC removes retired segment files
+    on_disk = [n for n in os.listdir(tmp_path) if n.startswith("segment-")]
+    assert len(on_disk) == 1, on_disk
+    # reload sees the compacted layout
+    ds2 = DocumentStorage(str(tmp_path))
+    assert ds2.count_committed() == 20
+    assert ds2.get(150)["b"] == 7
+
+
+def test_document_storage_commit_race_keeps_newer_write(tmp_path):
+    """An add_document landing between commit's snapshot and its pop must
+    survive to the next commit (identity-guarded pop)."""
+    from orama_core_tpu.engine.document_storage import DocumentStorage
+
+    ds = DocumentStorage(str(tmp_path))
+    v1 = {"id": "x", "v": 1}
+    ds.add_document(1, v1)
+    orig_write = ds._write_segment
+
+    def racing_write(docs, seg_idx):
+        ds.add_document(1, {"id": "x", "v": 2})  # races the commit
+        return orig_write(docs, seg_idx)
+
+    ds._write_segment = racing_write
+    ds.commit()
+    assert ds.uncommitted_count() == 1, "newer write must not be discarded"
+    ds._write_segment = orig_write
+    ds.commit()
+    assert ds.get(1)["v"] == 2
+
+
+def test_document_storage_cache_bounded(tmp_path):
+    from orama_core_tpu.engine.document_storage import DocumentStorage
+
+    ds = DocumentStorage(str(tmp_path))
+    ds.CACHE_MAX = 10
+    for i in range(50):
+        ds.add_document(i, {"id": str(i)})
+    ds.commit()
+    for i in range(50):
+        assert ds.get(i) is not None
+    assert len(ds._cache) <= 10
+
+
+def test_read_npz_tolerates_corrupt_archives(tmp_path):
+    import numpy as np
+
+    from orama_core_tpu.utils import atomic_write_npz, read_npz
+
+    p = tmp_path / "x.npz"
+    atomic_write_npz(str(p), {"a": np.arange(4)})
+    assert read_npz(str(p))["a"].tolist() == [0, 1, 2, 3]
+    p.write_bytes(p.read_bytes()[:20])  # truncate -> BadZipFile
+    assert read_npz(str(p)) is None
+    p.write_bytes(b"")                  # empty -> EOFError
+    assert read_npz(str(p)) is None
+    assert read_npz(str(tmp_path / "missing.npz")) is None

@@ -62,3 +62,45 @@ def test_native_tokenizer_positions():
     assert out[0] == ("cats", ["cat"])
     assert out[1][0] == "chase"
     assert out[2] == ("cats", ["cat"])
+
+
+def test_native_gate_routes_divergent_text_to_python(tmp_engine):
+    """Docs whose text the native EN tokenizer would tokenize differently
+    from the Python QUERY-side pipeline (ß splits, Vietnamese stays
+    unfolded, em-dash joins words) must be indexed via the Python path —
+    otherwise their terms are unreachable by any query."""
+    from orama_core_tpu import native
+    from orama_core_tpu.types import SearchParams
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    assert native.en_safe("plain ascii text")
+    assert native.en_safe("café élève")       # agreement verified by probe
+    for t in ("straße", "Nguyễn", "a—b"):
+        assert not native.en_safe(t), t
+
+    e = tmp_engine
+    e.write_side.create_collection("master", "c", "rk", "wk")
+    e.write_side.write(
+        "c",
+        [
+            {"id": "1", "body": "die straße nach Nguyễn"},
+            {"id": "2", "body": "plain ascii document"},
+        ],
+        "wk",
+    )
+    e.flush()
+    for term, want in (("straße", "1"), ("Nguyễn", "1"), ("plain", "2")):
+        res = e.read_side.search(
+            "c", SearchParams.from_json({"term": term, "mode": "fulltext"}),
+            "rk",
+        )
+        assert {h.id for h in res.hits} == {want}, (term, res.hits)
+    # committed path too
+    e.commit()
+    res = e.read_side.search(
+        "c", SearchParams.from_json({"term": "straße"}), "rk"
+    )
+    assert {h.id for h in res.hits} == {"1"}
