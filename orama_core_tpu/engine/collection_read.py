@@ -956,7 +956,33 @@ class CollectionReader:
             self.uncommitted_ops += 1
 
     def _apply_locked(self, op) -> None:
-        if isinstance(op, CreateFieldOp):
+        # hot ops first: a bulk ingest is almost entirely Index*/Insert ops
+        if isinstance(op, IndexStringOp):
+            self._grow(op.doc_id)
+            self._string[op.field_id].uncommitted.insert(
+                # insert() copies positions into fresh lists, so the op's
+                # tuples are safe to pass through unconverted
+                op.doc_id, op.field_length, op.terms
+            )
+        elif isinstance(op, IndexKeywordOp):
+            self._grow(op.doc_id)
+            self._keyword[op.field_id].uncommitted.insert(op.doc_id, op.values)
+        elif isinstance(op, InsertDocumentOp):
+            self._grow(op.doc_id)
+            self._alive[op.doc_id] = 1.0
+            self._alive_version += 1
+            self.deleted.discard(op.doc_id)
+            self.doc_count += 1
+        elif isinstance(op, IndexNumberOp):
+            self._grow(op.doc_id)
+            self._number[op.field_id].uncommitted.insert(op.doc_id, op.value)
+        elif isinstance(op, IndexBoolOp):
+            self._grow(op.doc_id)
+            self._bool[op.field_id].uncommitted.insert(op.doc_id, op.value)
+        elif isinstance(op, IndexEmbeddingOp):
+            self._grow(op.doc_id)
+            self._vector[op.field_id].uncommitted.insert(op.doc_id, op.vectors)
+        elif isinstance(op, CreateFieldOp):
             f = op.field
             self.fields[f.field_id] = f
             self.field_by_name[f.name] = f.field_id
@@ -986,31 +1012,6 @@ class CollectionReader:
                     f.field_id,
                     _VectorField(UncommittedVectorIndex(dim), CommittedVectorIndex.empty(dim)),
                 )
-        elif isinstance(op, InsertDocumentOp):
-            self._grow(op.doc_id)
-            self._alive[op.doc_id] = 1.0
-            self._alive_version += 1
-            self.deleted.discard(op.doc_id)
-            self.doc_count += 1
-        elif isinstance(op, IndexStringOp):
-            self._grow(op.doc_id)
-            self._string[op.field_id].uncommitted.insert(
-                op.doc_id, op.field_length, {t: list(p) for t, p in op.terms.items()}
-            )
-        elif isinstance(op, IndexKeywordOp):
-            self._grow(op.doc_id)
-            self._keyword[op.field_id].uncommitted.insert(op.doc_id, op.values)
-        elif isinstance(op, IndexNumberOp):
-            self._grow(op.doc_id)
-            self._number[op.field_id].uncommitted.insert(op.doc_id, op.value)
-        elif isinstance(op, IndexBoolOp):
-            self._grow(op.doc_id)
-            self._bool[op.field_id].uncommitted.insert(op.doc_id, op.value)
-        elif isinstance(op, IndexEmbeddingOp):
-            self._grow(op.doc_id)
-            self._vector[op.field_id].uncommitted.insert(
-                op.doc_id, [list(v) for v in op.vectors]
-            )
         elif isinstance(op, DeleteDocumentsOp):
             ids = set(op.doc_ids)
             for d in ids:

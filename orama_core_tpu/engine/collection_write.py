@@ -175,11 +175,61 @@ class CollectionWriter:
 
     # -- document processing (reference: collection.rs:120-180) ---------------
 
+    def prepare_native_terms(
+        self, documents: Sequence[Dict[str, Any]]
+    ) -> Optional[Dict[str, Tuple[Dict[str, tuple], int]]]:
+        """Batch-precompute tokenize+stem for every EN-native-eligible string
+        value in ``documents`` — ONE ctypes call for the whole batch instead
+        of one per (doc, field). Returns {text: (terms, field_length)} or
+        None when the native library is unavailable.
+
+        Pure text->terms work only (no registry mutation), so callers run it
+        OUTSIDE the per-collection write lock; `_index_ops_for` re-checks
+        locale/type eligibility at use time, so a stale entry is merely
+        unused, never wrong."""
+        from .. import native
+
+        if not native.available():
+            return None
+        texts: List[str] = []
+        seen = set()
+        for doc in documents:
+            for key, value in flatten_document(doc).items():
+                if key == "id":
+                    continue
+                if isinstance(value, str):
+                    text = value
+                elif (
+                    isinstance(value, list)
+                    and value
+                    and all(isinstance(x, str) for x in value)
+                ):
+                    text = " ".join(value)
+                else:
+                    continue
+                f = self.fields.get(key)
+                if f is not None and f.type != ValueType.STRING:
+                    continue
+                locale = (
+                    (f.locale or self.default_locale)
+                    if f is not None
+                    else self.default_locale
+                )
+                if locale != "en" or text in seen:
+                    continue
+                seen.add(text)
+                if native.en_safe(text):
+                    texts.append(text)
+        if not texts:
+            return {}
+        return dict(zip(texts, native.index_docs_en(texts)))
+
     def process_document(
         self,
         doc_id: int,
         doc: Dict[str, Any],
         embedding_override: Optional[Any] = None,
+        prepared_terms: Optional[Dict[str, Tuple[Dict[str, tuple], int]]] = None,
     ) -> Tuple[List[Any], List[EmbeddingRequest]]:
         """Returns (index ops, embedding requests). The caller sends the
         CreateField/InsertDocument ops first, then these, then queues the
@@ -209,7 +259,7 @@ class CollectionWriter:
                     ValueType.ARRAY_BOOL: ValueType.BOOL,
                 }.get(vtype, vtype)
                 f = self._register_field(key, base)
-            ops.extend(self._index_ops_for(f, doc_id, value))
+            ops.extend(self._index_ops_for(f, doc_id, value, prepared_terms))
             if isinstance(value, str):
                 string_values.append(value)
             elif isinstance(value, list) and all(isinstance(x, str) for x in value):
@@ -238,7 +288,9 @@ class CollectionWriter:
                 from ..nlp import Chunker, approx_token_count
 
                 budget = model_info(f.model).max_input_tokens
-                if approx_token_count(text) > budget:
+                # a word of L chars counts max(1, ceil(L/4)) tokens, so
+                # token count <= char count: short texts skip the scan
+                if len(text) > budget and approx_token_count(text) > budget:
                     chunks = Chunker(max_tokens=budget).chunk_text(text)
                     if len(chunks) > MAX_EMBEDDING_CHUNKS:
                         # keep the head AND the tail chunk: truncating to a
@@ -254,7 +306,13 @@ class CollectionWriter:
                     )
         return ops, emb_reqs
 
-    def _index_ops_for(self, f: TypedField, doc_id: int, value: Any) -> List[Any]:
+    def _index_ops_for(
+        self,
+        f: TypedField,
+        doc_id: int,
+        value: Any,
+        prepared_terms: Optional[Dict[str, Tuple[Dict[str, tuple], int]]] = None,
+    ) -> List[Any]:
         if f.type == ValueType.STRING:
             texts = value if isinstance(value, list) else [value]
             text = " ".join(str(t) for t in texts)
@@ -270,6 +328,22 @@ class CollectionWriter:
             if locale == "en":
                 from .. import native
 
+                hit = (
+                    prepared_terms.get(text)
+                    if prepared_terms is not None
+                    else None
+                )
+                if hit is not None:
+                    # precomputed by the batch pre-pass (one native call
+                    # per write batch)
+                    terms_t, field_len = hit
+                    return keyword_ops + [
+                        IndexStringOp(
+                            self.id, doc_id, f.field_id,
+                            field_length=min(field_len, 65_534),
+                            terms=terms_t,
+                        )
+                    ]
                 if native.available() and native.en_safe(text):
                     # one native call: tokenize+stem+group per unique term
                     terms_t, field_len = native.index_doc_en(text)

@@ -141,6 +141,9 @@ class WriteSide:
         from ..server import metrics as m
 
         user_ids: List[str] = []
+        # batch tokenize+stem pre-pass: one native call for every EN string
+        # value in the batch (pure text work — safe outside the lock)
+        prepared_terms = c.prepare_native_terms(documents)
         for doc in documents:
             doc = dict(doc)
             uid = doc.get("id")
@@ -181,7 +184,9 @@ class WriteSide:
                     self.op_sender.send(
                         DeleteDocumentsOp(collection_id, (replaced,))
                     )
-                ops, emb_reqs = c.process_document(doc_id, doc, override)
+                ops, emb_reqs = c.process_document(
+                    doc_id, doc, override, prepared_terms
+                )
                 # field-creation ops must precede the index ops using them
                 for op in c.drain_field_ops():
                     self.op_sender.send(op)
@@ -312,12 +317,15 @@ class WriteSide:
             with m.EMBED_CALC_ELAPSED.time(model=model):
                 vecs = self.ai.embed_passage(model, [r.text for r in reqs])
             for r, v in zip(reqs, vecs):
+                # tolist() converts the whole vector in C (a per-element
+                # float(x) genexpr dominated the ingest profile)
+                vals = v.tolist() if hasattr(v, "tolist") else [float(x) for x in v]
                 self.op_sender.send(
                     IndexEmbeddingOp(
                         r.collection_id,
                         r.doc_id,
                         r.field_id,
-                        (tuple(float(x) for x in v),),
+                        (tuple(vals),),
                     )
                 )
         m.PENDING_EMBEDDING_GAUGE.set(0)

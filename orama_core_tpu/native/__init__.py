@@ -70,6 +70,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.oramax_index_doc_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
         lib.oramax_index_doc_free.argtypes = [ctypes.c_void_p]
 
+        lib.oramax_index_docs.restype = ctypes.c_void_p
+        lib.oramax_index_docs.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.oramax_index_docs_sizes.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.oramax_index_docs_copy.argtypes = (
+            [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        )
+        lib.oramax_index_docs_free.argtypes = [ctypes.c_void_p]
+
         lib.oramax_builder_new.restype = ctypes.c_void_p
         lib.oramax_builder_free.argtypes = [ctypes.c_void_p]
         lib.oramax_builder_insert.argtypes = [
@@ -163,6 +173,55 @@ def index_doc_en(text: str):
             pos_list[pos_starts[i] : pos_starts[i + 1]]
         )
     return terms, field_len
+
+
+def index_docs_en(texts: "List[str]"):
+    """Batched :func:`index_doc_en`: N documents in ONE native call.
+
+    Returns a list of (terms_dict, field_length) in input order. The
+    per-call ctypes marshalling (~80us/doc: handle management plus four
+    output buffers) dominated the single-doc path on bulk ingest."""
+    lib = _load()
+    assert lib is not None
+    if not texts:
+        return []
+    blobs = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    data = b"".join(blobs)
+    h = lib.oramax_index_docs(data, offsets.ctypes.data, len(blobs))
+    try:
+        sizes = np.zeros(4, np.int64)
+        lib.oramax_index_docs_sizes(h, sizes.ctypes.data)
+        n_terms, tb_len, n_pos, n_docs = (int(x) for x in sizes)
+        term_bytes = np.zeros(max(tb_len, 1), np.uint8)
+        term_offsets = np.zeros(n_terms + 1, np.int32)
+        pos_starts = np.zeros(n_terms + 1, np.int32)
+        positions = np.zeros(max(n_pos, 1), np.int32)
+        doc_term_starts = np.zeros(n_docs + 1, np.int32)
+        field_lengths = np.zeros(max(n_docs, 1), np.int32)
+        lib.oramax_index_docs_copy(
+            h, term_bytes.ctypes.data, term_offsets.ctypes.data,
+            pos_starts.ctypes.data, positions.ctypes.data,
+            doc_term_starts.ctypes.data, field_lengths.ctypes.data,
+        )
+    finally:
+        lib.oramax_index_docs_free(h)
+    raw = term_bytes.tobytes()
+    pos_list = positions.tolist()
+    toff = term_offsets.tolist()
+    pstarts = pos_starts.tolist()
+    dstarts = doc_term_starts.tolist()
+    flens = field_lengths.tolist()
+    out = []
+    for d in range(n_docs):
+        terms = {}
+        for i in range(dstarts[d], dstarts[d + 1]):
+            terms[raw[toff[i] : toff[i + 1]].decode("utf-8")] = tuple(
+                pos_list[pstarts[i] : pstarts[i + 1]]
+            )
+        out.append((terms, flens[d]))
+    return out
 
 
 _EN_SAFE: "frozenset[str] | None" = None

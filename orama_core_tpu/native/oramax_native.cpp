@@ -414,6 +414,71 @@ void oramax_index_doc_copy(void* h, uint8_t* term_bytes, int32_t* term_offsets,
 void oramax_index_doc_free(void* h) { delete (IndexDocResult*)h; }
 
 // ---------------------------------------------------------------------------
+// batched whole-document indexing: N documents in ONE ctypes round trip.
+// Per-call marshalling (handle + 4 output buffers per doc) dominated the
+// ingest profile at ~80us/doc; the batch variant pays it once per batch.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IndexDocsResult {
+  std::string term_bytes;
+  std::vector<int32_t> term_offsets{0};     // per term, across all docs
+  std::vector<int32_t> pos_starts{0};       // per term
+  std::vector<int32_t> positions;
+  std::vector<int32_t> doc_term_starts{0};  // per doc: first term index
+  std::vector<int32_t> field_lengths;       // per doc
+};
+
+}  // namespace
+
+void* oramax_index_docs(const uint8_t* texts, const int64_t* offsets,
+                        int64_t n_docs) {
+  auto* out = new IndexDocsResult();
+  for (int64_t d = 0; d < n_docs; d++) {
+    auto* r = (IndexDocResult*)oramax_index_doc(texts + offsets[d],
+                                                offsets[d + 1] - offsets[d]);
+    out->term_bytes += r->term_bytes;
+    int32_t base_tb = out->term_offsets.back();
+    for (size_t i = 1; i < r->term_offsets.size(); i++)
+      out->term_offsets.push_back(base_tb + r->term_offsets[i]);
+    int32_t base_pos = out->pos_starts.back();
+    for (size_t i = 1; i < r->pos_starts.size(); i++)
+      out->pos_starts.push_back(base_pos + r->pos_starts[i]);
+    out->positions.insert(out->positions.end(), r->positions.begin(),
+                          r->positions.end());
+    out->doc_term_starts.push_back((int32_t)(out->term_offsets.size() - 1));
+    out->field_lengths.push_back(r->field_length);
+    delete r;
+  }
+  return out;
+}
+
+void oramax_index_docs_sizes(void* h, int64_t* out4) {
+  auto* r = (IndexDocsResult*)h;
+  out4[0] = (int64_t)(r->term_offsets.size() - 1);  // total terms
+  out4[1] = (int64_t)r->term_bytes.size();
+  out4[2] = (int64_t)r->positions.size();
+  out4[3] = (int64_t)r->field_lengths.size();  // n docs
+}
+
+void oramax_index_docs_copy(void* h, uint8_t* term_bytes,
+                            int32_t* term_offsets, int32_t* pos_starts,
+                            int32_t* positions, int32_t* doc_term_starts,
+                            int32_t* field_lengths) {
+  auto* r = (IndexDocsResult*)h;
+  memcpy(term_bytes, r->term_bytes.data(), r->term_bytes.size());
+  memcpy(term_offsets, r->term_offsets.data(), r->term_offsets.size() * 4);
+  memcpy(pos_starts, r->pos_starts.data(), r->pos_starts.size() * 4);
+  memcpy(positions, r->positions.data(), r->positions.size() * 4);
+  memcpy(doc_term_starts, r->doc_term_starts.data(),
+         r->doc_term_starts.size() * 4);
+  memcpy(field_lengths, r->field_lengths.data(), r->field_lengths.size() * 4);
+}
+
+void oramax_index_docs_free(void* h) { delete (IndexDocsResult*)h; }
+
+// ---------------------------------------------------------------------------
 // posting builder: accumulate (term, doc, position) and pack CSR
 // ---------------------------------------------------------------------------
 

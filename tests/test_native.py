@@ -104,3 +104,54 @@ def test_native_gate_routes_divergent_text_to_python(tmp_engine):
         "c", SearchParams.from_json({"term": "straße"}), "rk"
     )
     assert {h.id for h in res.hits} == {"1"}
+
+
+def test_native_index_docs_batch_matches_single():
+    """index_docs_en (one ctypes call per batch) must agree exactly with
+    per-doc index_doc_en across empty docs, stop-word-only docs, repeats,
+    and multi-term position groups."""
+    import random
+
+    rng = random.Random(7)
+    words = (
+        "search engine vector index the and running runner ran café "
+        "hello world quick brown fox"
+    ).split()
+    texts = [
+        " ".join(rng.choices(words, k=rng.randint(0, 30))) for _ in range(200)
+    ]
+    texts += ["", "   ", "the and of", "hello hello hello", texts[0]]
+    single = [native.index_doc_en(t) for t in texts]
+    assert native.index_docs_en(texts) == single
+    assert native.index_docs_en([]) == []
+
+
+def test_prepare_native_terms_used_by_write(tmp_engine):
+    """The write batch pre-pass must produce identical index state to the
+    per-doc native path (same op payloads -> same search results)."""
+    from orama_core_tpu.types import SearchParams
+
+    e = tmp_engine
+    e.write_side.create_collection("master", "c", "rk", "wk")
+    docs = [
+        {"id": "1", "title": "search engines", "body": "the quick brown fox"},
+        {"id": "2", "title": "vector databases", "body": "fox ran quickly"},
+        {"id": "3", "title": "straße", "body": "non-native-safe text ß"},
+    ]
+    c = e.write_side._collection("c")
+    prepared = c.prepare_native_terms(docs)
+    assert prepared is not None
+    # native-eligible texts are present; the ß text is excluded (en_safe gate)
+    assert "the quick brown fox" in prepared
+    assert all("ß" not in k for k in prepared)
+    terms, flen = prepared["the quick brown fox"]
+    # "the" is a stop word: quick(0) brown(1) fox(2) -> field length 3
+    assert flen == 3 and "quick" in terms and "fox" in terms
+    # end-to-end: batch write (uses the pre-pass) matches expectations
+    e.write_side.write("c", docs, "wk")
+    e.flush()
+    for term, want in (("quick", {"1", "2"}), ("straße", {"3"})):
+        res = e.read_side.search(
+            "c", SearchParams.from_json({"term": term, "mode": "fulltext"}), "rk"
+        )
+        assert {h.id for h in res.hits} == want, (term, res.hits)
