@@ -131,29 +131,34 @@ class ReadSide:
                     s = self.rx.recv(timeout=timeout)
                     if s is None:
                         break
-                    batch = [s]
+                    batch = s if isinstance(s, list) else [s]
                 else:
                     break
-            for stamped in batch:
-                # per-op isolation: one poisoned op must not discard the
-                # rest of an already-drained batch (up to 100k dequeued
-                # ops). The reference PANICS here (lib.rs:96 "OUCH!"); we
-                # log loudly and keep the offset moving so commit/WAL
-                # truncation never wedge on a permanently-failing op.
-                try:
-                    self.apply(stamped)
-                    n += 1
-                except Exception as e:
-                    from ..utils import tracing
+            # the commit-exclusion lock is taken once per <=1024-op slice,
+            # not per op (per-op acquisition dominated bulk-ingest apply);
+            # slicing bounds how long a pending commit can be starved
+            for start in range(0, len(batch), 1024):
+                with self._apply_commit_lock:
+                    for stamped in batch[start : start + 1024]:
+                        # per-op isolation: one poisoned op must not discard
+                        # the rest of an already-drained batch. The reference
+                        # PANICS here (lib.rs:96 "OUCH!"); we log loudly and
+                        # keep the offset moving so commit/WAL truncation
+                        # never wedge on a permanently-failing op.
+                        try:
+                            self._apply_locked(stamped)
+                            n += 1
+                        except Exception as e:
+                            from ..utils import tracing
 
-                    tracing.log(
-                        "error",
-                        f"op {stamped.offset.value} "
-                        f"({type(stamped.op).__name__}) dropped: {e!r}",
-                    )
-                    self._applied_offset = max(
-                        self._applied_offset, stamped.offset.value
-                    )
+                            tracing.log(
+                                "error",
+                                f"op {stamped.offset.value} "
+                                f"({type(stamped.op).__name__}) dropped: {e!r}",
+                            )
+                            self._applied_offset = max(
+                                self._applied_offset, stamped.offset.value
+                            )
             timeout = 0.0
         if n:
             m.COLLECTION_OPS.inc(n)

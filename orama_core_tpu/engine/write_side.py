@@ -180,19 +180,21 @@ class WriteSide:
             # (Hook eval stays outside: it sees a private doc copy.)
             with c._lock:
                 doc_id, replaced = c.assign_doc_id(uid)
-                if replaced is not None:
-                    self.op_sender.send(
-                        DeleteDocumentsOp(collection_id, (replaced,))
-                    )
                 ops, emb_reqs = c.process_document(
                     doc_id, doc, override, prepared_terms
                 )
-                # field-creation ops must precede the index ops using them
-                for op in c.drain_field_ops():
-                    self.op_sender.send(op)
-                self.op_sender.send(InsertDocumentOp(collection_id, doc_id, doc))
-                for op in ops:
-                    self.op_sender.send(op)
+                # one channel send per document (delete-replaced first,
+                # then field-creation ops, which must precede the index
+                # ops using them)
+                doc_ops: List[Any] = []
+                if replaced is not None:
+                    doc_ops.append(
+                        DeleteDocumentsOp(collection_id, (replaced,))
+                    )
+                doc_ops.extend(c.drain_field_ops())
+                doc_ops.append(InsertDocumentOp(collection_id, doc_id, doc))
+                doc_ops.extend(ops)
+                self.op_sender.send_many(doc_ops)
             for req in emb_reqs:
                 self._embedding_queue.put(req)
             self._ops_since_commit += len(ops) + 1
@@ -316,11 +318,12 @@ class WriteSide:
         for model, reqs in by_model.items():
             with m.EMBED_CALC_ELAPSED.time(model=model):
                 vecs = self.ai.embed_passage(model, [r.text for r in reqs])
+            emb_ops: List[Any] = []
             for r, v in zip(reqs, vecs):
                 # tolist() converts the whole vector in C (a per-element
                 # float(x) genexpr dominated the ingest profile)
                 vals = v.tolist() if hasattr(v, "tolist") else [float(x) for x in v]
-                self.op_sender.send(
+                emb_ops.append(
                     IndexEmbeddingOp(
                         r.collection_id,
                         r.doc_id,
@@ -328,6 +331,7 @@ class WriteSide:
                         (tuple(vals),),
                     )
                 )
+            self.op_sender.send_many(emb_ops)
         m.PENDING_EMBEDDING_GAUGE.set(0)
         m.EMBEDDING_GAUGE.set(self._embedding_queue.qsize())
         self.op_sender.sync_wal()

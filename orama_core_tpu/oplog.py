@@ -166,9 +166,43 @@ class OperationSender:
         return stamped.offset
 
     def send_batch(self, ops: List[WriteOperation]) -> Offset:
-        last = Offset(self._offset)
-        for op in ops:
-            last = self.send(op)
+        return self.send_many(ops)
+
+    def send_many(
+        self, ops: List[WriteOperation], timeout: float = 30.0
+    ) -> Offset:
+        """Stamp and enqueue a batch of ops under ONE lock acquisition and
+        (at most) a few queue puts — bulk ingest sends ~8 ops per document,
+        and per-op put/lock overhead dominated the channel cost.
+
+        Ops are chunked to <=64 per queue item so channel capacity keeps
+        its backpressure meaning. Same ordering/durability contract as
+        send(): stamping, puts, and WAL appends all happen under the
+        sender lock, puts precede their chunk's WAL appends."""
+        if not ops:
+            return Offset(self._offset)
+        with self._lock:
+            last = Offset(self._offset)
+            for i in range(0, len(ops), 64):
+                chunk = []
+                for op in ops[i : i + 64]:
+                    self._offset += 1
+                    last = Offset(self._offset)
+                    chunk.append(StampedOp(last, op))
+                try:
+                    self._q.put(chunk, timeout=timeout)
+                except queue.Full:
+                    # ops stamped in THIS chunk are lost before any WAL
+                    # append (no phantom replay); prior chunks are already
+                    # published — same at-least-once boundary as send()
+                    raise RuntimeError(
+                        "op channel full after "
+                        f"{timeout}s — is the read-side pump running? "
+                        "(flush() more often in synchronous mode)"
+                    ) from None
+                if self.wal is not None:
+                    for stamped in chunk:
+                        self.wal.append(stamped)
         return last
 
     def sync_wal(self) -> None:
@@ -186,19 +220,26 @@ class OperationReceiver:
         self._q = q
 
     def recv(self, timeout: Optional[float] = None) -> Optional[StampedOp]:
+        """Pop one queue item. send_many() enqueues chunks, so this may
+        return a list of StampedOp; drain() always flattens."""
         try:
             return self._q.get(timeout=timeout)
         except queue.Empty:
             return None
 
     def drain(self, max_ops: int = 100_000) -> List[StampedOp]:
-        """Drain everything currently queued without blocking."""
+        """Drain everything currently queued without blocking (flattens
+        send_many() chunks)."""
         out: List[StampedOp] = []
         while len(out) < max_ops:
             try:
-                out.append(self._q.get_nowait())
+                item = self._q.get_nowait()
             except queue.Empty:
                 break
+            if isinstance(item, list):
+                out.extend(item)
+            else:
+                out.append(item)
         return out
 
 
