@@ -23,6 +23,50 @@ def test_channel_offsets_monotonic():
     assert tx.offset == 5
 
 
+def test_send_many_preserves_order_and_offsets():
+    """send_many chunks ops into <=64-op queue items; drain must flatten
+    back to the exact send order with contiguous offsets, interleaving
+    correctly with single send()s."""
+    tx, rx = channel(100)
+    tx.send(InsertDocumentOp("c", 0, {}))
+    last = tx.send_many(
+        [InsertDocumentOp("c", i, {}) for i in range(1, 150)]
+    )
+    tx.send(InsertDocumentOp("c", 150, {}))
+    assert last.value == 150
+    ops = rx.drain()
+    assert [s.offset.value for s in ops] == list(range(1, 152))
+    assert [s.op.doc_id for s in ops] == list(range(151))
+    assert tx.send_many([]).value == tx.offset  # empty batch is a no-op
+
+
+def test_send_many_concurrent_writers_no_interleave_within_batch():
+    """Two threads sending batches concurrently: every batch's ops must
+    stay contiguous in offset order (stamping and publish happen under
+    one sender lock), and all offsets are a permutation of 1..N."""
+    import threading
+
+    tx, rx = channel(10_000)
+
+    def writer(base):
+        for b in range(10):
+            tx.send_many(
+                [InsertDocumentOp("c", base + b * 10 + i, {}) for i in range(10)]
+            )
+
+    threads = [threading.Thread(target=writer, args=(k * 1000,)) for k in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    ops = rx.drain()
+    assert [s.offset.value for s in ops] == list(range(1, 201))
+    # within each 10-op batch the doc ids are consecutive (no interleave)
+    for i in range(0, 200, 10):
+        ids = [s.op.doc_id for s in ops[i : i + 10]]
+        assert ids == list(range(ids[0], ids[0] + 10))
+
+
 def test_channel_offset_restore():
     tx, _ = channel(10)
     tx.set_offset(41)
