@@ -371,12 +371,23 @@ class CollectionWriter:
             ]
         if f.type == ValueType.NUMBER:
             vals = value if isinstance(value, list) else [value]
+            # type-mismatched values are IGNORED, not errors: a later doc
+            # carrying a string where the schema inferred a number must not
+            # abort the write batch (reference fields.rs:183-189
+            # Number::try_from(v).ok(); bools are ints in Python, exclude)
             return [
-                IndexNumberOp(self.id, doc_id, f.field_id, float(v)) for v in vals
+                IndexNumberOp(self.id, doc_id, f.field_id, float(v))
+                for v in vals
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
             ]
         if f.type == ValueType.BOOL:
             vals = value if isinstance(value, list) else [value]
-            return [IndexBoolOp(self.id, doc_id, f.field_id, bool(v)) for v in vals]
+            # same ignore-on-mismatch contract (reference fields.rs:236-243)
+            return [
+                IndexBoolOp(self.id, doc_id, f.field_id, v)
+                for v in vals
+                if isinstance(v, bool)
+            ]
         return []
 
     # -- dump / load (reference: CollectionDump::V1) --------------------------

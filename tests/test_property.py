@@ -370,3 +370,46 @@ def test_search_params_from_json_total(obj):
         assert p.limit > 0
     except (ValueError, TypeError):
         pass
+
+
+# -- ingest pre-pass equivalence ---------------------------------------------
+
+_doc_values = st.one_of(
+    st.text(max_size=40),
+    st.lists(st.text(max_size=12), max_size=4),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.dictionaries(
+            st.sampled_from(["title", "body", "tags", "price", "flag"]),
+            _doc_values,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_prepare_native_terms_prepass_emits_identical_ops(docs):
+    """For arbitrary documents (unicode strings, lists, numbers, bools),
+    process_document with the batch pre-pass must emit exactly the ops the
+    per-doc path emits — the pre-pass is a pure transport optimization."""
+    from orama_core_tpu.engine.collection_write import CollectionWriter
+
+    def run(prepared_from_batch):
+        w = CollectionWriter(
+            "c", None, "rk", "wk", default_locale="en", embedding_model=None
+        )
+        prepared = w.prepare_native_terms(docs) if prepared_from_batch else None
+        out = []
+        for i, doc in enumerate(docs):
+            ops, _ = w.process_document(i, dict(doc), None, prepared)
+            out.extend(ops)
+            w.drain_field_ops()
+        return out
+
+    assert run(True) == run(False)

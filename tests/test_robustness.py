@@ -164,3 +164,43 @@ def test_sse_keepalive_comments(server, monkeypatch):
         raw = r.read().decode()
     assert "keepalive" in raw
     assert '"type": "start"' in raw and '"type": "end"' in raw
+
+
+def test_type_mismatched_values_are_ignored_not_errors(tmp_engine):
+    """A document carrying a string where the schema inferred a number (or
+    a non-bool in a bool field) must not abort the write batch: the
+    mismatched value is ignored, the rest of the document still indexes
+    (reference fields.rs:183-189, 236-243)."""
+    from orama_core_tpu.types import SearchParams
+
+    e = tmp_engine
+    e.write_side.create_collection("master", "c", "rk", "wk")
+    e.write_side.write(
+        "c",
+        [{"id": "1", "title": "first doc", "price": 10.0, "flag": True}],
+        "wk",
+    )
+    # doc 2: price is a string, flag is a number — both ignored, title indexes
+    e.write_side.write(
+        "c",
+        [{"id": "2", "title": "second doc", "price": "", "flag": 3.5}],
+        "wk",
+    )
+    e.flush()
+    res = e.read_side.search(
+        "c", SearchParams.from_json({"term": "second"}), "rk"
+    )
+    assert [h.id for h in res.hits] == ["2"]
+    # the mismatched values did not land in the number/bool indexes
+    res = e.read_side.search(
+        "c",
+        SearchParams.from_json({"term": "doc", "where": {"price": {"gte": 0}}}),
+        "rk",
+    )
+    assert {h.id for h in res.hits} == {"1"}
+    res = e.read_side.search(
+        "c",
+        SearchParams.from_json({"term": "doc", "where": {"flag": True}}),
+        "rk",
+    )
+    assert {h.id for h in res.hits} == {"1"}
