@@ -413,3 +413,53 @@ def test_prepare_native_terms_prepass_emits_identical_ops(docs):
         return out
 
     assert run(True) == run(False)
+
+
+_fuzz_value = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.integers(min_value=-(2**31), max_value=2**31),
+        st.text(max_size=30),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(st.text(min_size=1, max_size=8), children, max_size=3),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.dictionaries(st.text(min_size=1, max_size=8), _fuzz_value, max_size=4),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_engine_write_total_over_arbitrary_documents(tmp_path_factory, docs):
+    """The full write path (flatten, schema inference, tokenize, keyword,
+    embedding assembly, op publish, read-side apply) must accept ANY
+    JSON-shaped document batch without raising, and every doc must land."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+
+    cfg = OramaxConfig()
+    d = str(tmp_path_factory.mktemp("fuzzw"))
+    cfg.writer_side.data_dir = d + "/w"
+    cfg.reader_side.data_dir = d + "/r"
+    engine = build_orama(cfg, start_background=False)
+    try:
+        engine.write_side.create_collection("master", "c", "rk", "wk")
+        ids = engine.write_side.write("c", docs, "wk")
+        engine.flush()
+        assert len(ids) == len(docs)
+        # duplicate user ids within the batch replace (count distinct ids)
+        assert engine.read_side.count_documents("c") == len(set(ids))
+    finally:
+        engine.close()
