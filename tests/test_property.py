@@ -463,3 +463,99 @@ def test_engine_write_total_over_arbitrary_documents(tmp_path_factory, docs):
         assert engine.read_side.count_documents("c") == len(set(ids))
     finally:
         engine.close()
+
+
+@pytest.fixture(scope="module")
+def fuzz_search_engine(tmp_path_factory):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+
+    cfg = OramaxConfig()
+    d = str(tmp_path_factory.mktemp("fuzzs"))
+    cfg.writer_side.data_dir = d + "/w"
+    cfg.reader_side.data_dir = d + "/r"
+    engine = build_orama(cfg, start_background=False)
+    engine.write_side.create_collection("master", "c", "rk", "wk")
+    engine.write_side.write(
+        "c",
+        [
+            {"id": "1", "title": "alpha search", "price": 3.0, "live": True},
+            {"id": "2", "title": "beta vector", "price": 9.0, "live": False},
+            {"id": "3", "title": "gamma index", "tags": ["x", "y"]},
+        ],
+        "wk",
+    )
+    engine.flush()
+    engine.commit()  # exercise committed + uncommitted paths
+    engine.write_side.write("c", [{"id": "4", "title": "delta live"}], "wk")
+    engine.flush()
+    yield engine
+    engine.close()
+
+
+_field_names = st.sampled_from(["title", "price", "live", "tags", "nope", ""])
+_plausible_search = st.fixed_dictionaries(
+    {},
+    optional={
+        "term": st.one_of(st.text(max_size=20), st.sampled_from(
+            ["alpha", "alpha search", "ALPHA", "", " ", "alp", "δ δ"]
+        )),
+        "mode": st.sampled_from(
+            ["fulltext", "vector", "hybrid", "default", "bogus"]
+        ),
+        "limit": st.integers(min_value=-2, max_value=50),
+        "boost": st.dictionaries(_field_names, st.floats(-2, 5, width=32), max_size=2),
+        "properties": st.lists(_field_names, max_size=2),
+        "where": st.dictionaries(
+            _field_names,
+            st.one_of(
+                st.booleans(),
+                st.fixed_dictionaries({"gt": st.floats(-10, 10, width=32)}),
+                st.fixed_dictionaries({"eq": st.floats(-10, 10, width=32)}),
+                st.fixed_dictionaries(
+                    {"between": st.tuples(st.floats(-5, 5, width=32),
+                                          st.floats(-5, 5, width=32))}
+                ),
+                st.text(max_size=5),
+            ),
+            max_size=2,
+        ),
+        "facets": st.dictionaries(
+            _field_names,
+            st.one_of(
+                st.just({}),
+                st.fixed_dictionaries({"true": st.booleans(), "false": st.booleans()}),
+                st.fixed_dictionaries({"ranges": st.lists(
+                    st.fixed_dictionaries({"from": st.floats(-5, 5, width=32),
+                                           "to": st.floats(-5, 5, width=32)}),
+                    max_size=2,
+                )}),
+            ),
+            max_size=2,
+        ),
+        "fusion": st.sampled_from(["rrf", "minmax", "bogus"]),
+        "vector": st.lists(st.floats(-1, 1, width=32), min_size=0, max_size=130),
+    },
+)
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=list(HealthCheck))
+@given(obj=_plausible_search)
+def test_search_execution_total_over_valid_params(fuzz_search_engine, obj):
+    """Any body that PARSES must then EXECUTE to a SearchResult or a
+    ValueError (unknown field/property -> HTTP 400) — never a KeyError,
+    IndexError, jax error, or other 500-shaped exception."""
+    from orama_core_tpu.types import SearchParams
+
+    try:
+        p = SearchParams.from_json(obj)
+    except (ValueError, TypeError):
+        return
+    try:
+        r = fuzz_search_engine.read_side.search("c", p, "rk", with_documents=False)
+        assert r.count >= 0
+    except ValueError:
+        pass
