@@ -162,7 +162,7 @@ class ReadSide:
             timeout = 0.0
         if n:
             m.COLLECTION_OPS.inc(n)
-            m.OPERATION_GAUGE.set(self.rx._q.qsize())
+            m.OPERATION_GAUGE.set(self.rx.pending_ops())
         return n
 
     # -- search (reference: read/mod.rs:127-179) ------------------------------

@@ -122,11 +122,31 @@ class StampedOp:
     op: WriteOperation
 
 
+class _OpCount:
+    """Op-level depth of the channel (queue items may be chunks of ops,
+    so qsize() undercounts after send_many)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._n = 0
+
+    def add(self, n: int) -> None:
+        with self._lock:
+            self._n += n
+
+    def value(self) -> int:
+        with self._lock:
+            return self._n
+
+
 class OperationSender:
     """Stamps ops with offsets and pushes into the bounded channel."""
 
-    def __init__(self, q: "queue.Queue[StampedOp]") -> None:
+    def __init__(
+        self, q: "queue.Queue[StampedOp]", count: Optional[_OpCount] = None
+    ) -> None:
         self._q = q
+        self._count = count or _OpCount()
         self._lock = threading.Lock()
         self._offset = 0
         self.wal = None  # optional WriteAheadLog (wal.py)
@@ -163,6 +183,7 @@ class OperationSender:
                 ) from None
             if self.wal is not None:
                 self.wal.append(stamped)
+            self._count.add(1)
         return stamped.offset
 
     def send_batch(self, ops: List[WriteOperation]) -> Offset:
@@ -203,6 +224,7 @@ class OperationSender:
                 if self.wal is not None:
                     for stamped in chunk:
                         self.wal.append(stamped)
+                self._count.add(len(chunk))
         return last
 
     def sync_wal(self) -> None:
@@ -212,20 +234,31 @@ class OperationSender:
             self.wal.sync()
 
     def pending(self) -> int:
-        return self._q.qsize()
+        """Ops (not queue items) currently in flight to the read side."""
+        return self._count.value()
 
 
 class OperationReceiver:
-    def __init__(self, q: "queue.Queue[StampedOp]") -> None:
+    def __init__(
+        self, q: "queue.Queue[StampedOp]", count: Optional[_OpCount] = None
+    ) -> None:
         self._q = q
+        self._count = count or _OpCount()
+
+    def pending_ops(self) -> int:
+        """Ops (not queue items) still undelivered — the channel-depth
+        gauge (qsize() undercounts: send_many items are chunks)."""
+        return self._count.value()
 
     def recv(self, timeout: Optional[float] = None) -> Optional[StampedOp]:
         """Pop one queue item. send_many() enqueues chunks, so this may
         return a list of StampedOp; drain() always flattens."""
         try:
-            return self._q.get(timeout=timeout)
+            item = self._q.get(timeout=timeout)
         except queue.Empty:
             return None
+        self._count.add(-(len(item) if isinstance(item, list) else 1))
+        return item
 
     def drain(self, max_ops: int = 100_000) -> List[StampedOp]:
         """Drain everything currently queued without blocking (flattens
@@ -238,11 +271,14 @@ class OperationReceiver:
                 break
             if isinstance(item, list):
                 out.extend(item)
+                self._count.add(-len(item))
             else:
                 out.append(item)
+                self._count.add(-1)
         return out
 
 
 def channel(capacity: int = 10_000) -> Tuple[OperationSender, OperationReceiver]:
     q: "queue.Queue[StampedOp]" = queue.Queue(maxsize=capacity)
-    return OperationSender(q), OperationReceiver(q)
+    count = _OpCount()
+    return OperationSender(q, count), OperationReceiver(q, count)

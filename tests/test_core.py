@@ -328,3 +328,18 @@ def test_read_npz_tolerates_corrupt_archives(tmp_path):
     p.write_bytes(b"")                  # empty -> EOFError
     assert read_npz(str(p)) is None
     assert read_npz(str(tmp_path / "missing.npz")) is None
+
+
+def test_channel_pending_counts_ops_not_chunks():
+    """pending()/pending_ops() must report ops, not queue items: send_many
+    enqueues <=64-op chunks, so qsize() undercounts channel depth."""
+    tx, rx = channel(1000)
+    tx.send_many([InsertDocumentOp("c", i, {}) for i in range(150)])
+    tx.send(InsertDocumentOp("c", 150, {}))
+    assert tx.pending() == 151
+    assert rx.pending_ops() == 151
+    first = rx.recv()  # one chunk (64 ops)
+    assert isinstance(first, list) and len(first) == 64
+    assert rx.pending_ops() == 151 - 64
+    rx.drain()
+    assert rx.pending_ops() == 0 and tx.pending() == 0
