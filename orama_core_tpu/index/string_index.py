@@ -25,6 +25,7 @@ Deviations from the reference (deliberate, documented):
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -319,8 +320,7 @@ class CommittedStringIndex:
             plists = [sorted(bucket[d]) for d in ds]
             u_docs_l.extend(ds)
             u_plen_l.extend(map(len, plists))
-            for pl in plists:
-                u_pos_l.extend(pl)
+            u_pos_l.extend(itertools.chain.from_iterable(plists))
             u_nid_l.append(nid)
             u_tcount_l.append(len(ds))
         u_docs = np.asarray(u_docs_l, dtype=np.int32)
