@@ -303,30 +303,87 @@ class CommittedStringIndex:
         unc_terms_sorted = sorted(uncommitted.terms)
         u_nid_l: List[int] = []
         u_tcount_l: List[int] = []
-        u_docs_l: List[int] = []
-        u_plen_l: List[int] = []
-        u_pos_l: List[int] = []
+        # per-term output chunks, in term order. Small buckets accumulate in
+        # flat Python lists (numpy per-call overhead would dominate a
+        # long-tail vocabulary); buckets >= _VEC_BUCKET go through a fully
+        # vectorized lexsort path (a 250k-doc window put 8M+ per-posting
+        # sorted()/append calls on the commit path).
+        _VEC_BUCKET = 512
+        docs_chunks: List[np.ndarray] = []
+        plen_chunks: List[np.ndarray] = []
+        pos_chunks: List[np.ndarray] = []
+        sm_docs: List[int] = []
+        sm_plen: List[int] = []
+        sm_pos: List[int] = []
+        deleted_arr = (
+            np.fromiter(deleted, np.int64, len(deleted)) if deleted else None
+        )
+
+        def _flush_small() -> None:
+            if sm_docs:
+                docs_chunks.append(np.asarray(sm_docs, dtype=np.int32))
+                plen_chunks.append(np.asarray(sm_plen, dtype=np.int64))
+                pos_chunks.append(np.asarray(sm_pos, dtype=np.int32))
+                sm_docs.clear(); sm_plen.clear(); sm_pos.clear()
+
         for term, nid in zip(unc_terms_sorted, remap_b_l):
             bucket = uncommitted.terms[term]
-            # batch per TERM, not per (term, doc): C-level sorted/extend/map
-            # beat a per-posting Python loop ~3x on big windows. Position
-            # lists are appended in scan order (ascending), so sorting the
-            # concatenated stream per doc is a near-no-op for Timsort.
-            ds = sorted(bucket)
-            if deleted:
-                ds = [d for d in ds if d not in deleted]
-            if not ds:
-                continue
-            plists = [sorted(bucket[d]) for d in ds]
-            u_docs_l.extend(ds)
-            u_plen_l.extend(map(len, plists))
-            u_pos_l.extend(itertools.chain.from_iterable(plists))
-            u_nid_l.append(nid)
-            u_tcount_l.append(len(ds))
-        u_docs = np.asarray(u_docs_l, dtype=np.int32)
-        u_plen = np.asarray(u_plen_l, dtype=np.int64)
+            n = len(bucket)
+            if n >= _VEC_BUCKET:
+                keys = np.fromiter(bucket.keys(), np.int64, n)
+                lens = np.fromiter(map(len, bucket.values()), np.int64, n)
+                pos = np.fromiter(
+                    itertools.chain.from_iterable(bucket.values()),
+                    np.int32, int(lens.sum()),
+                )
+                # global order contract: docs ascending within the term,
+                # positions ascending within the doc
+                order = np.argsort(keys, kind="stable")
+                keys_s, lens_s = keys[order], lens[order]
+                doc_rep = np.repeat(keys, lens)
+                pos = pos[np.lexsort((pos, doc_rep))]
+                if deleted_arr is not None:
+                    keep = ~np.isin(keys_s, deleted_arr)
+                    if not keep.all():
+                        pos = pos[np.repeat(keep, lens_s)]
+                        keys_s, lens_s = keys_s[keep], lens_s[keep]
+                if not len(keys_s):
+                    continue
+                _flush_small()
+                docs_chunks.append(keys_s.astype(np.int32))
+                plen_chunks.append(lens_s)
+                pos_chunks.append(pos)
+                u_nid_l.append(nid)
+                u_tcount_l.append(len(keys_s))
+            else:
+                # C-level sorted/extend/map per term; position lists are
+                # appended in scan order so the per-doc sort is a Timsort
+                # near-no-op
+                ds = sorted(bucket)
+                if deleted:
+                    ds = [d for d in ds if d not in deleted]
+                if not ds:
+                    continue
+                plists = [sorted(bucket[d]) for d in ds]
+                sm_docs.extend(ds)
+                sm_plen.extend(map(len, plists))
+                sm_pos.extend(itertools.chain.from_iterable(plists))
+                u_nid_l.append(nid)
+                u_tcount_l.append(len(ds))
+        _flush_small()
+        u_docs = (
+            np.concatenate(docs_chunks) if docs_chunks
+            else np.zeros(0, dtype=np.int32)
+        )
+        u_plen = (
+            np.concatenate(plen_chunks) if plen_chunks
+            else np.zeros(0, dtype=np.int64)
+        )
         u_tf = u_plen.astype(np.float32)  # tf == positions per (term, doc)
-        u_positions = np.asarray(u_pos_l, dtype=np.int32)
+        u_positions = (
+            np.concatenate(pos_chunks) if pos_chunks
+            else np.zeros(0, dtype=np.int32)
+        )
         u_nid = np.asarray(u_nid_l, dtype=np.int64)
         u_tcounts = np.asarray(u_tcount_l, dtype=np.int64)
         p_u = len(u_docs)

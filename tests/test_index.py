@@ -273,3 +273,56 @@ def test_number_eq_float32_precision_edge(tmp_engine):
     assert eq(a) == ["a", "b"]
     assert eq(b) == ["a", "b"]
     assert eq(c) == ["c"]
+
+
+def test_merge_vectorized_and_list_paths_agree_across_threshold():
+    """The commit repack uses a vectorized lexsort path for buckets >= 512
+    docs and a list path below; both must produce the identical CSR,
+    including delete filtering and empty-term pruning at the boundary."""
+    import random
+
+    import numpy as np
+
+    from orama_core_tpu.index.string_index import (
+        CommittedStringIndex,
+        UncommittedStringIndex,
+    )
+
+    rng = random.Random(11)
+    unc = UncommittedStringIndex()
+    # "big" lands in ~700 docs (vectorized), "mid" ~511 (list), tail terms
+    # in 1-3 docs; "gone" only in docs that will be deleted (pruned)
+    for i in range(900):
+        terms = {}
+        if rng.random() < 0.8:
+            terms["big"] = (0, 2, 5)
+        if i < 511:
+            terms["mid"] = (1,)
+        terms[f"tail{i % 37}"] = (3, 4)
+        if i % 5 == 0:
+            terms["gone"] = (6,)
+        unc.insert(i, 7, terms)
+    deleted = set(range(0, 900, 5))
+    got = CommittedStringIndex.empty().merge(unc, 900, deleted=deleted)
+
+    exp_terms, exp_docs, exp_tf, exp_pos, exp_starts = [], [], [], [], [0]
+    for t in sorted(unc.terms):
+        bucket = unc.terms[t]
+        n = 0
+        for d in sorted(bucket):
+            if d in deleted:
+                continue
+            pl = sorted(bucket[d])
+            exp_docs.append(d)
+            exp_tf.append(float(len(pl)))
+            exp_pos.extend(pl)
+            n += 1
+        if n:  # empty terms are pruned from the dictionary
+            exp_terms.append(t)
+            exp_starts.append(len(exp_docs))
+    assert "gone" not in got.term_dict.terms
+    assert got.term_dict.terms == exp_terms
+    assert np.array_equal(got.post_docs, np.asarray(exp_docs, np.int32))
+    assert np.array_equal(got.post_tf, np.asarray(exp_tf, np.float32))
+    assert np.array_equal(got.positions, np.asarray(exp_pos, np.int32))
+    assert np.array_equal(got.term_starts, np.asarray(exp_starts, np.int64))
