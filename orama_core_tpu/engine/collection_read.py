@@ -2419,7 +2419,13 @@ class CollectionReader:
             fid = self.field_by_name.get(field_name)
             if fid is None:
                 raise ValueError(f"unknown facet field {field_name}")
+            ftype = self.fields[fid].type
             if isinstance(fdef, NumberFacetDefinition):
+                if ftype != ValueType.NUMBER:
+                    raise ValueError(
+                        f'"{field_name}" is not a number field (facet shape'
+                        " does not match the field type)"
+                    )
                 nf = self._number[fid]
                 lows = jnp.asarray(
                     [float(r.low) for r in fdef.ranges], jnp.float32
@@ -2444,6 +2450,11 @@ class CollectionReader:
                 values = {r.key: int(c) for r, c in zip(fdef.ranges, counts)}
                 out[field_name] = FacetResult(count=len(values), values=values)
             elif isinstance(fdef, StringFacetDefinition):
+                if ftype != ValueType.STRING:
+                    raise ValueError(
+                        f'"{field_name}" is not a string field (facet shape'
+                        " does not match the field type)"
+                    )
                 kf = self._keyword[fid]
                 agg: Dict[str, int] = {}
                 if not kf.committed.is_empty:
@@ -2468,6 +2479,11 @@ class CollectionReader:
                 ]
                 out[field_name] = FacetResult(count=len(agg), values=dict(top))
             elif isinstance(fdef, BoolFacetDefinition):
+                if ftype != ValueType.BOOL:
+                    raise ValueError(
+                        f'"{field_name}" is not a bool field (facet shape'
+                        " does not match the field type)"
+                    )
                 bf = self._bool[fid]
                 true_mask, has_mask = self._device.sharded_bool_arrays(
                     bf.committed, cap_s
@@ -3216,7 +3232,13 @@ class CollectionReader:
             fid = self.field_by_name.get(field_name)
             if fid is None:
                 raise ValueError(f"unknown facet field {field_name}")
+            ftype = self.fields[fid].type
             if isinstance(fdef, NumberFacetDefinition):
+                if ftype != ValueType.NUMBER:
+                    raise ValueError(
+                        f'"{field_name}" is not a number field (facet shape'
+                        " does not match the field type)"
+                    )
                 nf = self._number[fid]
                 lows = jnp.asarray([float(r.low) for r in fdef.ranges], jnp.float32)
                 highs = jnp.asarray([float(r.high) for r in fdef.ranges], jnp.float32)
@@ -3238,6 +3260,11 @@ class CollectionReader:
                 }
                 out[field_name] = FacetResult(count=len(values), values=values)
             elif isinstance(fdef, StringFacetDefinition):
+                if ftype != ValueType.STRING:
+                    raise ValueError(
+                        f'"{field_name}" is not a string field (facet shape'
+                        " does not match the field type)"
+                    )
                 kf = self._keyword[fid]
                 agg: Dict[str, int] = {}
                 if not kf.committed.is_empty:
@@ -3261,6 +3288,11 @@ class CollectionReader:
                     count=len(agg), values=dict(top)
                 )
             elif isinstance(fdef, BoolFacetDefinition):
+                if ftype != ValueType.BOOL:
+                    raise ValueError(
+                        f'"{field_name}" is not a bool field (facet shape'
+                        " does not match the field type)"
+                    )
                 bf = self._bool[fid]
                 true_mask, has_mask = self._device.bool_arrays(bf.committed, self.capacity)
                 tc, fc = np.asarray(

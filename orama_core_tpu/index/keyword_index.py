@@ -91,8 +91,11 @@ class CommittedKeywordIndex:
         value_ids = dict(self.value_ids)
         keep = ~np.isin(self.docs, np.fromiter(deleted, np.int32, len(deleted))) \
             if deleted and len(self.docs) else np.ones(len(self.docs), bool)
-        ids = list(self.ids[keep])
-        docs = [int(d) for d in self.docs[keep]]
+        # committed pairs stay as arrays (a list round trip here made every
+        # commit pay O(total pairs) of Python boxing); only the window's
+        # pairs run through Python, for interning
+        u_ids: List[int] = []
+        u_docs: List[int] = []
         for v, d in uncommitted.pairs:
             if d in deleted:
                 continue
@@ -107,10 +110,11 @@ class CommittedKeywordIndex:
                     )
                 value_ids[v] = vid
                 values.append(v)
-            ids.append(float(vid))
-            docs.append(d)
-        i_arr = np.asarray(ids, np.float32)
-        d_arr = np.asarray(docs, np.int32)
+            u_ids.append(vid)
+            u_docs.append(d)
+        i_arr = np.concatenate([self.ids[keep], np.asarray(u_ids, np.float32)])
+        d_arr = np.concatenate([self.docs[keep], np.asarray(u_docs, np.int32)])
+        # stable sort keeps committed-before-window order within a value id
         order = np.argsort(i_arr, kind="stable")
         return CommittedKeywordIndex(values=values, ids=i_arr[order], docs=d_arr[order])
 

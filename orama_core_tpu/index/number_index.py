@@ -69,14 +69,24 @@ class CommittedNumberIndex:
         self, uncommitted: UncommittedNumberIndex, deleted: Optional[Set[int]] = None
     ) -> "CommittedNumberIndex":
         deleted = deleted or set()
-        vals = [v for v, d in zip(self.vals, self.docs) if d not in deleted]
-        docs = [int(d) for d in self.docs if d not in deleted]
+        # committed pairs stay as arrays (per-pair Python boxing here made
+        # every commit pay O(total pairs)); only the window runs in Python
+        if deleted and len(self.docs):
+            keep = ~np.isin(
+                self.docs, np.fromiter(deleted, np.int32, len(deleted))
+            )
+            c_vals, c_docs = self.vals[keep], self.docs[keep]
+        else:
+            c_vals, c_docs = self.vals, self.docs
+        u_vals: List[float] = []
+        u_docs: List[int] = []
         for v, d in uncommitted.pairs:
             if d not in deleted:
-                vals.append(v)
-                docs.append(d)
-        v_arr = np.asarray(vals, dtype=np.float32)
-        d_arr = np.asarray(docs, dtype=np.int32)
+                u_vals.append(v)
+                u_docs.append(d)
+        v_arr = np.concatenate([c_vals, np.asarray(u_vals, np.float32)])
+        d_arr = np.concatenate([c_docs, np.asarray(u_docs, np.int32)])
+        # stable sort keeps committed-before-window order within a value
         order = np.argsort(v_arr, kind="stable")
         return CommittedNumberIndex(vals=v_arr[order], docs=d_arr[order])
 

@@ -210,3 +210,30 @@ def test_keyword_intern_cardinality_guard(monkeypatch):
         unc.insert(i, [f"value-{i}"])
     with pytest.raises(ValueError, match="distinct values"):
         ki.CommittedKeywordIndex.empty().merge(unc)
+
+
+def test_facet_shape_field_type_mismatch_is_400_not_500(tmp_engine):
+    """A bool/number/string-shaped facet on a field of another type must
+    raise ValueError (HTTP 400), not KeyError (500). Found by the search
+    execution fuzzer."""
+    import pytest
+
+    from orama_core_tpu.types import SearchParams
+
+    e = tmp_engine
+    e.write_side.create_collection("master", "c", "rk", "wk")
+    e.write_side.write(
+        "c", [{"id": "1", "title": "words here", "price": 5.0, "live": True}], "wk"
+    )
+    e.flush()
+    cases = [
+        {"title": {"true": True, "false": True}},     # bool facet on string
+        {"title": {"ranges": [{"from": 0, "to": 9}]}},  # number facet on string
+        {"price": {"true": True, "false": True}},     # bool facet on number
+        {"live": {"ranges": [{"from": 0, "to": 9}]}},   # number facet on bool
+        {"price": {}},                                  # string facet on number
+    ]
+    for facets in cases:
+        p = SearchParams.from_json({"term": "words", "facets": facets})
+        with pytest.raises(ValueError):
+            e.read_side.search("c", p, "rk", with_documents=False)
