@@ -369,3 +369,38 @@ def test_partial_tolerance_degraded_reads(router):
     r.slices = [_Broken(), _Broken()]
     with pytest.raises(ConnectionError):
         r.search("c1", dict(body), READ)
+
+
+def test_router_execution_total_and_oracle_ranking(router, oracle):
+    """Plausible search bodies through the 3-slice router: execution must
+    end in a result or ValueError (never a 500-shaped exception), and for
+    fulltext bodies with synced global stats the ranking must match the
+    single-engine oracle."""
+    r, engines = router
+    r.commit()
+    oracle.commit()
+    r.sync_global_stats("c1", WRITE)
+    bodies = [
+        {"term": "cat dog", "limit": 3},
+        {"term": "cat", "where": {"price": {"between": [2, 8]}}},
+        {"term": "", "facets": {"price": {"ranges": [{"from": 0, "to": 5}]}}},
+        {"term": "the cat", "boost": {"title": 2.0}},
+        {"term": "cat", "mode": "hybrid", "fusion": "rrf"},
+        {"term": "cat", "properties": ["title"]},
+        {"term": "zzz-no-hit"},
+        {"term": "cat", "limit": 50},
+        {"term": "cat", "where": {"nope": True}},            # 400
+        {"term": "cat", "facets": {"title": {"true": True}}},  # 400 (shape)
+    ]
+    for body in bodies:
+        try:
+            got = r.search("c1", dict(body), READ)
+        except (ValueError, TypeError):
+            continue
+        if body.get("mode") in (None, "fulltext"):
+            want = oracle.read_side.search(
+                "c1", SearchParams.from_json(dict(body)), READ,
+                with_documents=False,
+            )
+            assert [h.id for h in got.hits] == [h.id for h in want.hits], body
+            assert got.count == want.count, body
