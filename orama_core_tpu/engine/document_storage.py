@@ -118,6 +118,10 @@ class DocumentStorage:
         with self._lock:
             return self._by_uid.get(user_id)
 
+    def user_id_of(self, doc_id: int) -> Optional[str]:
+        with self._lock:
+            return self._uid_of.get(doc_id)
+
     def get_by_user_id(self, user_id: str) -> Optional[Dict[str, Any]]:
         doc_id = self.doc_id_of(user_id)
         return self.get(doc_id) if doc_id is not None else None

@@ -257,7 +257,13 @@ class ReadSide:
         hits: List[SearchResultHit] = []
         for doc_id, score in ranked:
             doc = storage.get(doc_id) if with_documents else None
-            uid = str(doc.get("id")) if doc else str(doc_id)
+            if doc:
+                uid = str(doc.get("id"))
+            else:
+                # without documents, hits still carry the USER id (the
+                # storage keeps the uid map in memory); the dense id is
+                # only a last resort for docs missing from storage
+                uid = storage.user_id_of(doc_id) or str(doc_id)
             hits.append(SearchResultHit(id=uid, score=score, document=doc))
         elapsed_ms = (time.perf_counter() - t0) * 1e3
         return SearchResult(hits=hits, count=count, elapsed_ms=elapsed_ms, facets=facets)

@@ -20,6 +20,20 @@ LOCALES = (
 
 DEFAULT_LOCALE = "en"
 
+# Full-name aliases the reference's FromStr also accepts (locales.rs:124-157)
+# — its own docs use them ('"language": "english"' in create-collection.mdx).
+LOCALE_ALIASES = {
+    "arabic": "ar", "bulgarian": "bg", "danish": "da", "german": "de",
+    "greek": "el", "english": "en", "spanish": "es", "estonian": "et",
+    "finnish": "fi", "french": "fr", "irish": "ga", "hindi": "hi",
+    "hungarian": "hu", "armenian": "hy", "indonesian": "id", "italian": "it",
+    "japanese": "jp", "korean": "ko", "lithuanian": "lt", "nepali": "ne",
+    "dutch": "nl", "norwegian": "no", "portuguese": "pt", "romanian": "ro",
+    "russian": "ru", "sanskrit": "sa", "slovenian": "sl", "serbian": "sr",
+    "swedish": "sv", "tamil": "ta", "turkish": "tr", "ukrainian": "uk",
+    "chinese": "zh", "khmer": "km",
+}
+
 # Word splitting: unicode-aware "non word" split. CJK locales split on any
 # non-letter and additionally break each CJK codepoint into its own token.
 #
@@ -48,6 +62,7 @@ def normalize_locale(locale: Optional[str]) -> str:
     if not locale:
         return DEFAULT_LOCALE
     low = locale.lower()
+    low = LOCALE_ALIASES.get(low, low)
     if low not in LOCALES:
         raise ValueError(f"unsupported locale {locale!r}")
     return low

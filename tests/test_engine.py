@@ -564,3 +564,27 @@ def test_deleted_tombstones_age_out_at_commit(tmp_engine):
     assert reader._string[fid].committed is before, (
         "empty commit rewrote a committed generation"
     )
+
+
+def test_hits_carry_user_ids_without_documents(tmp_engine):
+    """with_documents=False must still return USER ids (from the storage's
+    in-memory uid map), not dense internal ids."""
+    from orama_core_tpu.types import SearchParams
+
+    e = tmp_engine
+    e.write_side.create_collection("master", "c", "rk", "wk")
+    e.write_side.write("c", [{"id": "doc-abc", "t": "running dogs"}], "wk")
+    e.flush()
+    r = e.read_side.search(
+        "c", SearchParams.from_json({"term": "running"}), "rk",
+        with_documents=False,
+    )
+    assert [h.id for h in r.hits] == ["doc-abc"]
+    assert r.hits[0].document is None
+    e.commit()
+    # committed + reloaded uid map still resolves
+    r = e.read_side.search(
+        "c", SearchParams.from_json({"term": "running"}), "rk",
+        with_documents=False,
+    )
+    assert [h.id for h in r.hits] == ["doc-abc"]

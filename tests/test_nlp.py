@@ -421,3 +421,18 @@ def test_khmer_words_stay_whole():
     assert p.tokenize("សៀវភៅ សម្រាប់ កុមារ") == ["សៀវភៅ", "សម្រាប់", "កុមារ"]
     # coeng (ccc=9 combining) is orthography and survives the fold
     assert fold_diacritics("សម្រាប់") == "សម្រាប់"
+
+
+def test_full_language_names_accepted():
+    """The reference's FromStr (and its own docs) accept full names like
+    "english"/"french" alongside ISO codes (locales.rs:124-157)."""
+    from orama_core_tpu.nlp import get_parser, normalize_locale
+
+    assert normalize_locale("english") == "en"
+    assert normalize_locale("FRENCH") == "fr"
+    assert normalize_locale("chinese") == "zh"
+    assert get_parser("english").tokenize_and_stem("running")[0][1] == ["run"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_locale("klingon")
