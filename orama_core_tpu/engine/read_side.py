@@ -246,6 +246,13 @@ class ReadSide:
             if skip_auth
             else self.check_read_key(collection_id, read_api_key)
         )
+        offset = params.offset
+        if offset:
+            # pagination: rank offset+limit, slice after (the shared
+            # kernels/batcher only know a single k)
+            import dataclasses as _dc
+
+            params = _dc.replace(params, limit=params.limit + offset, offset=0)
         if self._batchable(params):
             ranked, count = self._batcher.submit(
                 self._batch_key(collection_id, params), params
@@ -253,6 +260,8 @@ class ReadSide:
             facets = None
         else:
             ranked, count, facets = reader.search(params, self.ai)
+        if offset:
+            ranked = ranked[offset:]
         storage = self.doc_storage[collection_id]
         hits: List[SearchResultHit] = []
         for doc_id, score in ranked:

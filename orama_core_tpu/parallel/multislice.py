@@ -315,6 +315,13 @@ class MultiSliceRouter:
         ):
             return self._search_hybrid_global(cid, params_json, read_key)
         limit = int(params_json.get("limit", 10))
+        offset = int(params_json.get("offset", 0))
+        if offset:
+            # pagination is a COORDINATOR concern: each slice must return
+            # its full top-(offset+limit) so the merged skip is global
+            params_json = {
+                **params_json, "limit": limit + offset, "offset": 0,
+            }
         futures = [
             self._pool.submit(s.search, cid, params_json, read_key)
             for s in self.slices
@@ -326,7 +333,7 @@ class MultiSliceRouter:
         hits = sorted(
             (h for r in results for h in r.hits),
             key=lambda h: (-h.score, h.id),
-        )[:limit]
+        )[offset : offset + limit]
         count = sum(r.count for r in results)
         facets = self._merge_facets(results)
         elapsed = max((r.elapsed_ms for r in results), default=0.0)
@@ -380,11 +387,14 @@ class MultiSliceRouter:
         per query — ``global_fusion=False`` restores the single-scatter
         slice-local path."""
         limit = int(p.get("limit", 10))
+        offset = int(p.get("offset", 0))
+        limit += offset  # pagination applies after the global fusion
         L = max(4 * limit, 40)
         comp = {
             k: v for k, v in p.items()
-            if k not in ("mode", "limit", "facets", "fusion")
+            if k not in ("mode", "limit", "facets", "fusion", "offset")
         }
+        p = {k: v for k, v in p.items() if k != "offset"}
         pf = dict(comp, mode="fulltext", limit=L)
         pv = dict(comp, mode="vector", limit=L)
         ph = dict(p, limit=1)
@@ -433,7 +443,7 @@ class MultiSliceRouter:
                 for r, h in enumerate(ranked):
                     scores[h.id] = scores.get(h.id, 0.0) + 1.0 / (61.0 + r)
                     by_id.setdefault(h.id, h)
-        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[offset:limit]
         hits = [
             SearchResultHit(id=i, score=s, document=by_id[i].document)
             for i, s in top

@@ -65,6 +65,11 @@ def openapi_spec() -> Dict[str, Any]:
                                             "enum": ["fulltext", "vector", "hybrid"],
                                         },
                                         "limit": {"type": "integer", "default": 10},
+                                        "offset": {
+                                            "type": "integer",
+                                            "default": 0,
+                                            "description": "ranked hits to skip (pagination)",
+                                        },
                                         "vector": {
                                             "type": "array",
                                             "items": {"type": "number"},

@@ -157,7 +157,9 @@ class NumberFacetRange:
 
     @property
     def key(self) -> str:
-        return f"{_fmt_num(self.low)}-{_fmt_num(self.high)}"
+        lo = "-inf" if self.low == float("-inf") else _fmt_num(self.low)
+        hi = "inf" if self.high == float("inf") else _fmt_num(self.high)
+        return f"{lo}-{hi}"
 
 
 def _fmt_num(v: Number) -> str:
@@ -193,10 +195,23 @@ FacetDefinition = Union[
 
 def parse_facet(obj: Any) -> FacetDefinition:
     if isinstance(obj, dict) and "ranges" in obj:
-        ranges = tuple(
-            NumberFacetRange(low=r["from"], high=r["to"]) for r in obj["ranges"]
-        )
-        return NumberFacetDefinition(ranges=ranges)
+        rs = obj["ranges"]
+        if not isinstance(rs, list):
+            raise ValueError('"ranges" must be a list of {from, to} objects')
+        ranges = []
+        for r in rs:
+            if not isinstance(r, dict) or not ({"from", "to"} & set(r)):
+                raise ValueError(f"bad facet range: {r!r}")
+            # open-ended ranges per the reference's own docs, e.g.
+            # {"from": 1000} (search-documents.mdx:112 — its code requires
+            # both bounds; implemented here as documented)
+            lo, hi = r.get("from", float("-inf")), r.get("to", float("inf"))
+            if isinstance(lo, bool) or isinstance(hi, bool) or not (
+                isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+            ):
+                raise ValueError(f"bad facet range bounds: {r!r}")
+            ranges.append(NumberFacetRange(low=lo, high=hi))
+        return NumberFacetDefinition(ranges=tuple(ranges))
     if isinstance(obj, dict) and ("true" in obj or "false" in obj):
         return BoolFacetDefinition(
             true=bool(obj.get("true", False)), false=bool(obj.get("false", False))
@@ -216,6 +231,10 @@ class SearchParams:
     term: str = ""
     mode: SearchModeKind = SearchModeKind.FULLTEXT
     limit: int = 10
+    # pagination: skip the first `offset` ranked hits (the reference's docs
+    # promise this parameter, search-documents.mdx:42; its dto.rs:249 never
+    # implemented it — implemented here as documented)
+    offset: int = 0
     boost: Dict[str, float] = dataclasses.field(default_factory=dict)
     # None => all string fields; "*" => all; list => specified
     properties: Optional[List[str]] = None
@@ -254,6 +273,9 @@ class SearchParams:
         limit = int(obj.get("limit", 10))
         if limit <= 0:
             raise ValueError("limit must be positive")
+        offset = int(obj.get("offset", 0))
+        if offset < 0:
+            raise ValueError("offset must be >= 0")
         vector = obj.get("vector")
         if vector is not None:
             if mode != SearchModeKind.VECTOR:
@@ -269,6 +291,7 @@ class SearchParams:
             term=str(obj.get("term", "")),
             mode=mode,
             limit=limit,
+            offset=offset,
             boost={str(k): float(v) for k, v in (obj.get("boost") or {}).items()},
             properties=props,
             where=where,

@@ -588,3 +588,79 @@ def test_hits_carry_user_ids_without_documents(tmp_engine):
         with_documents=False,
     )
     assert [h.id for h in r.hits] == ["doc-abc"]
+
+
+def test_offset_paginates_all_modes(tmp_engine):
+    """offset skips ranked hits globally: page k of limit L equals the
+    [k*L, (k+1)*L) slice of the full ranking — the parameter the
+    reference's docs promise but its dto never implemented
+    (search-documents.mdx:42 vs dto.rs:249)."""
+    from orama_core_tpu.types import SearchParams
+
+    e = tmp_engine
+    e.write_side.create_collection("master", "c", "rk", "wk")
+    e.write_side.write(
+        "c",
+        [{"id": f"d{i:02d}", "t": "common " + ("hot " * (20 - i))} for i in range(20)],
+        "wk",
+    )
+    e.flush()
+    for mode in ("fulltext", "hybrid"):
+        full = e.read_side.search(
+            "c", SearchParams.from_json({"term": "common hot", "mode": mode, "limit": 20}),
+            "rk", with_documents=False,
+        )
+        for off in (0, 3, 7, 18, 25):
+            page = e.read_side.search(
+                "c",
+                SearchParams.from_json(
+                    {"term": "common hot", "mode": mode, "limit": 5, "offset": off}
+                ),
+                "rk", with_documents=False,
+            )
+            assert [h.id for h in page.hits] == [h.id for h in full.hits][off : off + 5], (mode, off)
+            assert page.count == full.count
+    # committed path too
+    e.commit()
+    full = e.read_side.search(
+        "c", SearchParams.from_json({"term": "common hot", "limit": 20}),
+        "rk", with_documents=False,
+    )
+    page = e.read_side.search(
+        "c", SearchParams.from_json({"term": "common hot", "limit": 5, "offset": 10}),
+        "rk", with_documents=False,
+    )
+    assert [h.id for h in page.hits] == [h.id for h in full.hits][10:15]
+    import pytest
+
+    with pytest.raises(ValueError):
+        SearchParams.from_json({"term": "x", "offset": -1})
+
+
+def test_open_ended_facet_ranges(tmp_engine):
+    """{"from": 1000} (no "to") per the reference's docs: open-ended
+    ranges count everything past the bound; missing "from" means -inf.
+    Previously raised KeyError (HTTP 500)."""
+    from orama_core_tpu.types import SearchParams
+
+    e = tmp_engine
+    e.write_side.create_collection("master", "c", "rk", "wk")
+    e.write_side.write(
+        "c", [{"id": str(i), "t": "item", "price": float(i * 100)} for i in range(12)],
+        "wk",
+    )
+    e.flush()
+    r = e.read_side.search(
+        "c",
+        SearchParams.from_json({
+            "term": "item",
+            "facets": {"price": {"ranges": [
+                {"from": 0, "to": 500}, {"from": 1000}, {"to": 200},
+            ]}},
+        }),
+        "rk", with_documents=False,
+    )
+    vals = r.facets["price"].values
+    assert vals["0-500"] == 6          # 0..500 inclusive
+    assert vals["1000-inf"] == 2       # 1000, 1100
+    assert vals["-inf-200"] == 3       # 0, 100, 200

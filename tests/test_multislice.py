@@ -404,3 +404,24 @@ def test_router_execution_total_and_oracle_ranking(router, oracle):
             )
             assert [h.id for h in got.hits] == [h.id for h in want.hits], body
             assert got.count == want.count, body
+
+
+def test_router_offset_is_global_pagination(router, oracle):
+    """offset through the router equals the global merged ranking's slice
+    (each slice returns its top offset+limit; the coordinator skips)."""
+    r, engines = router
+    r.commit()
+    oracle.commit()
+    r.sync_global_stats("c1", WRITE)
+    full = r.search("c1", {"term": "cat dog the", "limit": 10}, READ)
+    for off in (0, 2, 5, 9, 15):
+        page = r.search(
+            "c1", {"term": "cat dog the", "limit": 3, "offset": off}, READ
+        )
+        assert [h.id for h in page.hits] == [h.id for h in full.hits][off : off + 3], off
+    # hybrid global-fusion path too
+    full_h = r.search("c1", {"term": "cat", "mode": "hybrid", "limit": 10}, READ)
+    page_h = r.search(
+        "c1", {"term": "cat", "mode": "hybrid", "limit": 4, "offset": 3}, READ
+    )
+    assert [h.id for h in page_h.hits] == [h.id for h in full_h.hits][3:7]
