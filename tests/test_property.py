@@ -507,6 +507,7 @@ _plausible_search = st.fixed_dictionaries(
             ["fulltext", "vector", "hybrid", "default", "bogus"]
         ),
         "limit": st.integers(min_value=-2, max_value=50),
+        "offset": st.integers(min_value=-2, max_value=60),
         "boost": st.dictionaries(_field_names, st.floats(-2, 5, width=32), max_size=2),
         "properties": st.lists(_field_names, max_size=2),
         "where": st.dictionaries(
@@ -529,8 +530,11 @@ _plausible_search = st.fixed_dictionaries(
                 st.just({}),
                 st.fixed_dictionaries({"true": st.booleans(), "false": st.booleans()}),
                 st.fixed_dictionaries({"ranges": st.lists(
-                    st.fixed_dictionaries({"from": st.floats(-5, 5, width=32),
-                                           "to": st.floats(-5, 5, width=32)}),
+                    st.fixed_dictionaries(
+                        {},
+                        optional={"from": st.floats(-5, 5, width=32),
+                                  "to": st.floats(-5, 5, width=32)},
+                    ),
                     max_size=2,
                 )}),
             ),
