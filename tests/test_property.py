@@ -202,6 +202,23 @@ def test_commit_timing_never_changes_results(tmp_path_factory, script, qterm):
             if r1.facets is not None:
                 for fname in r1.facets:
                     assert r1.facets[fname].values == r2.facets[fname].values, body
+        # durability leg: a final commit + cold reload must still equal the
+        # never-committed oracle for every probe body
+        committed.commit()
+        cfg = committed.cfg
+        committed.close()
+        committed = build_orama(cfg, start_background=False)
+        for body in bodies:
+            p = SearchParams.from_json(body)
+            r1 = committed.read_side.search("c", p, READ)
+            r2 = plain.read_side.search("c", p, READ)
+            assert r1.count == r2.count, ("reload", body)
+            assert {h.id for h in r1.hits} == {h.id for h in r2.hits}, ("reload", body)
+            if r1.facets is not None:
+                for fname in r1.facets:
+                    assert r1.facets[fname].values == r2.facets[fname].values, (
+                        "reload", body,
+                    )
     finally:
         committed.close()
         plain.close()
