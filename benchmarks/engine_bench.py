@@ -136,8 +136,13 @@ def main() -> None:
             SearchParams.from_json({"term": q, "mode": mode, **extra})
             for q in queries
         ]
-        # warm compile
-        engine.read_side.search("bench", params[0], "rk", with_documents=False)
+        # warm compile: one full untimed pass so EVERY plan-size bucket the
+        # query set hits is compiled before timing (queries of different
+        # posting volume land in different PLAN_BUCKETS shape families —
+        # warming only params[0] left compiles inside the timed loop, which
+        # dominated the r3 TPU bm25 number)
+        for p in params:
+            engine.read_side.search("bench", p, "rk", with_documents=False)
         t0 = time.time()
         total_hits = 0
         for p in params:

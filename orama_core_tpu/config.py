@@ -139,9 +139,14 @@ class TpuConfig:
     # chips). Compare per chip: benchmarks/int8_30m_bench.py --phase1
     int8_phase1: str = "xla"
     # BM25 posting scan in the fused program: the Pallas DMA-aligned
-    # block-gather variant (ops/bm25.bm25_scores_blocked_pallas) — at
-    # parity with the XLA blocked scan on v5e, opt-in for other chips
-    bm25_pallas: bool = False
+    # block-gather variant (ops/bm25.bm25_scores_blocked_pallas). Measured
+    # 10.5 ms vs 15.2 ms for the XLA blocked scan at 1M postings on v5e
+    # once per-dispatch relay noise is amortized inside one program
+    # (benchmarks/bm25_scan_bench.py) — the earlier "parity" reading was
+    # dispatch-bound. Both paths sit on the segment_sum floor (~10.1 ms);
+    # see benchmarks/segsum_bench.py. Applied on TPU backends only
+    # (collection_read gates on backend); harmless elsewhere.
+    bm25_pallas: bool = True
     ivf_threshold: int = 50_000
     ivf_nprobe: int = 16
     ivf_candidate_expand: int = 8

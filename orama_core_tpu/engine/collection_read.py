@@ -1317,33 +1317,65 @@ class CollectionReader:
                     # fine-grained gather (ops/bm25.bm25_scores_blocked);
                     # per-doc factors (phrase boost, filter mask) distribute
                     # over the contribution sum and multiply densely after
-                    from ..ops.bm25 import BLOCK, build_block_plan
+                    from ..ops.bm25 import (
+                        BLOCK,
+                        aligned_blocks_needed,
+                        build_block_plan,
+                        build_block_plan_aligned,
+                    )
 
                     p_lo_list = [int(ts_host[lo]) for lo, hi in token_spans]
                     p_len_list = [
                         int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans
                     ]
-                    need_blocks = sum(
-                        (ln + BLOCK - 1) // BLOCK for ln in p_len_list
-                    )
-                    nb = bucket_pad(max(need_blocks, 1), bm25_ops.PLAN_BUCKETS)
-                    b_starts, b_valid = build_block_plan(p_lo_list, p_len_list, nb)
                     (
                         d_docs, d_tf, d_ni, d_plens, d_pos, d_posdocs,
                         d_tstarts, d_pstarts,
                     ) = self._device.string_arrays(committed)
-                    raw = bm25_ops.bm25_scores_blocked(
-                        d_docs, d_tf, d_ni, d_plens,
-                        jnp.asarray(b_starts), jnp.asarray(b_valid),
+                    # idf N is the COMBINED committed+uncommitted doc
+                    # count — the reference scores the committed segment
+                    # with the shared GlobalInfo (collection.rs:930-951,
+                    # committed/string.rs:355), not the committed-only N.
+                    scan_args = (
                         jnp.float32(1.0 if phrase else field_boost),
                         jnp.float32(gi.avgdl),
-                        # idf N is the COMBINED committed+uncommitted doc
-                        # count — the reference scores the committed segment
-                        # with the shared GlobalInfo (collection.rs:930-951,
-                        # committed/string.rs:355), not the committed-only N.
                         jnp.float32(gi.total_documents),
-                        n_docs=cap, n_blocks=nb,
                     )
+                    use_pallas = self.cfg.bm25_pallas and (
+                        jax.default_backend() == "tpu"
+                        or getattr(self.cfg, "_test_force_fast_path", False)
+                    )
+                    if use_pallas:
+                        need_blocks = aligned_blocks_needed(p_len_list)
+                        nb = bucket_pad(
+                            max(need_blocks, 1), bm25_ops.PLAN_BUCKETS
+                        )
+                        sb_a, lo_a, hi_a = build_block_plan_aligned(
+                            p_lo_list, p_len_list, nb
+                        )
+                        raw = bm25_ops.bm25_scores_blocked_pallas(
+                            d_docs, d_tf, d_ni, d_plens,
+                            jnp.asarray(sb_a), jnp.asarray(lo_a),
+                            jnp.asarray(hi_a), *scan_args,
+                            n_docs=cap, n_blocks=nb,
+                            interpret=jax.default_backend() != "tpu",
+                        )
+                    else:
+                        need_blocks = sum(
+                            (ln + BLOCK - 1) // BLOCK for ln in p_len_list
+                        )
+                        nb = bucket_pad(
+                            max(need_blocks, 1), bm25_ops.PLAN_BUCKETS
+                        )
+                        b_starts, b_valid = build_block_plan(
+                            p_lo_list, p_len_list, nb
+                        )
+                        raw = bm25_ops.bm25_scores_blocked(
+                            d_docs, d_tf, d_ni, d_plens,
+                            jnp.asarray(b_starts), jnp.asarray(b_valid),
+                            *scan_args,
+                            n_docs=cap, n_blocks=nb,
+                        )
                     if phrase:
                         # sort-free doc-major phrase kernel: commit-static
                         # stream + spans, one compiled program per generation
@@ -2840,10 +2872,10 @@ class CollectionReader:
                 build_block_plan_aligned,
             )
 
-            # Pallas block-gather scan: measured at parity with the XLA
-            # blocked path on v5e (25.4 vs 22.0 ms per 1M-posting scan —
-            # the scan is not gather-latency-bound there), so it stays an
-            # opt-in for chips where XLA's sliced gather lowers worse
+            # Pallas block-gather scan: 10.5 vs 15.2 ms per 1M-posting
+            # scan on v5e when iterations run inside one program (the
+            # earlier "parity" 25.4-vs-22.0 reading was per-dispatch relay
+            # noise; benchmarks/bm25_scan_bench.py) — default on TPU
             bm25_pallas = self.cfg.bm25_pallas and (
                 jax.default_backend() == "tpu"
                 or getattr(self.cfg, "_test_force_fast_path", False)
