@@ -151,6 +151,28 @@ def main():
 
     timed("per_term_indep", jax.jit(per_term_indep), d_idx_t, d_val_t)
 
+    # ---- dense heavy-term rows + scatter tail -------------------------
+    # BM25 posting contributions are commit-static (g(tf,len); idf/boost
+    # are per-term scalars), so heavy terms can be precomputed as dense
+    # [n_docs] rows at commit; query-time = weighted row-sum + scatter of
+    # only the light-term postings. Measure the composite at several
+    # density thresholds.
+    for n_heavy in (2, 3, 4):
+        rows = np.zeros((n_heavy, n_docs), np.float32)
+        for t in range(n_heavy):
+            rows[t, idx_l[t]] = val_l[t]
+        d_rows = jnp.asarray(rows)
+        w = jnp.ones(n_heavy, jnp.float32)
+        tail_i = jnp.asarray(np.concatenate(idx_l[n_heavy:]))
+        tail_v = jnp.asarray(np.concatenate(val_l[n_heavy:]))
+
+        def dense_plus_tail(rw, wts, ti, tv):
+            head = jnp.einsum("h,hd->d", wts, rw)
+            return head + jax.ops.segment_sum(tv, ti, num_segments=n_docs)
+
+        timed(f"dense{n_heavy}_tail{sum(dfs[n_heavy:])//1000}k",
+              jax.jit(dense_plus_tail), d_rows, w, tail_i, tail_v)
+
     print(json.dumps({
         "bench": "segsum", "postings": int(P), "docs": n_docs,
         "backend": jax.default_backend(), "results": results}))

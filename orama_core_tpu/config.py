@@ -147,6 +147,17 @@ class TpuConfig:
     # see benchmarks/segsum_bench.py. Applied on TPU backends only
     # (collection_read gates on backend); harmless elsewhere.
     bm25_pallas: bool = True
+    # Dense per-term score rows for Zipf-head terms: the posting scan's
+    # per-doc scatter costs ~10 ns/posting on TPU no matter how gathers
+    # are arranged (benchmarks/segsum_bench.py), so terms whose posting
+    # span is >= n_docs/bm25_dense_df_ratio are precomputed at commit as
+    # dense g(tf,len) rows — query-time heavy-term scoring is a weighted
+    # dense row-sum (HBM bandwidth) and only the light tail pays the
+    # scatter: 9.9 -> 2.3 ms on the 1M-posting Zipf mix. Exact (idf and
+    # boosts stay query-time scalars). Memory: up to
+    # bm25_dense_terms * capacity * 4 B per string field.
+    bm25_dense_terms: int = 16      # max dense rows per field (0 disables)
+    bm25_dense_df_ratio: int = 16   # df >= n_docs/ratio qualifies
     ivf_threshold: int = 50_000
     ivf_nprobe: int = 16
     ivf_candidate_expand: int = 8

@@ -265,6 +265,35 @@ class _DeviceCache:
 
         return self._get(s, "str", build)
 
+    def dense_term_rows(self, s: CommittedStringIndex, cap: int, avgdl: float):
+        """Dense g(tf, len) rows for Zipf-head terms (ops/bm25.py module
+        comment): heavy-term scoring becomes a weighted dense row-sum
+        instead of a ~10 ns/posting scatter (9.9 -> 2.3 ms on the 1M-posting
+        Zipf mix, segsum_bench). Rows embed avgdl, so the cache key carries
+        it: between commits avgdl only moves when uncommitted docs arrive,
+        and callers gate on empty windows (same eligibility as the fused
+        path). Returns (rows [H, cap] device f32, {term_index: row}) or
+        None. Mesh mode: rows would replicate [H, cap] per device and the
+        shard_map BM25 has its own layouts — callers skip this cache there.
+        """
+
+        def build():
+            from ..ops.bm25 import build_dense_term_rows
+
+            built = build_dense_term_rows(
+                s.term_starts, s.post_docs, s.post_tf, s.doc_lens_dense,
+                cap=cap, avgdl=avgdl,
+                budget=int(self.cfg.bm25_dense_terms),
+                df_ratio=int(self.cfg.bm25_dense_df_ratio),
+            )
+            if built is None:
+                return (None, None)
+            rows, row_by_term = built
+            return (jnp.asarray(rows), row_by_term)
+
+        key = ("dense_rows", cap, round(float(avgdl), 6))
+        return self._get(s, key, build)
+
     def phrase_docmajor_arrays(self, s: CommittedStringIndex, cap: int):
         """Commit-static doc-major position stream for the sort-free phrase
         kernel (ops/bm25.phrase_boost_docmajor): every (doc, pos, term) of
@@ -2863,14 +2892,42 @@ class CollectionReader:
             field_boost = float(params.boost.get(f.name, 1.0))
 
             ts_host = committed.term_starts
-            p_lo = [int(ts_host[lo]) for lo, hi in token_spans]
-            p_len = [int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans]
             from ..ops.bm25 import (
                 BLOCK,
+                DENSE_SEL_BUCKETS,
                 aligned_blocks_needed,
                 build_block_plan,
                 build_block_plan_aligned,
+                pad_dense_sel,
+                split_spans_dense,
             )
+
+            # Zipf-head terms score via precomputed dense rows (weighted
+            # row-sum inside the fused program) instead of the scatter;
+            # light terms keep the blocked scan. Exact — see ops/bm25.py.
+            # Mesh mode keeps the scan (rows would replicate per device).
+            dense_rows = None
+            d_sel = d_w = None
+            if self._device._mesh is None:
+                dense_rows, row_by_term = self._device.dense_term_rows(
+                    committed, cap, gi_avgdl
+                )
+                if dense_rows is not None:
+                    p_lo, p_len, sel, wsel = split_spans_dense(
+                        token_spans, ts_host, row_by_term,
+                        committed.term_df(), gi_n,
+                    )
+                    if sel and len(sel) <= DENSE_SEL_BUCKETS[-1]:
+                        sel_a, w_a = pad_dense_sel(sel, wsel)
+                        d_sel = jnp.asarray(sel_a)
+                        d_w = jnp.asarray(w_a)
+                    else:
+                        dense_rows = None  # none selected / over bucket
+            if dense_rows is None:
+                p_lo = [int(ts_host[lo]) for lo, hi in token_spans]
+                p_len = [
+                    int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans
+                ]
 
             # Pallas block-gather scan: 10.5 vs 15.2 ms per 1M-posting
             # scan on v5e when iterations run inside one program (the
@@ -2905,6 +2962,8 @@ class CollectionReader:
             ba_idx = ba_lo = ba_hi = z
             d_docs = z
             d_tf = d_ni = d_plens = zf
+            dense_rows = None
+            d_sel = d_w = None
 
         if phrase:
             ph_docs, ph_poss, ph_terms, ph_bounds = (
@@ -2973,6 +3032,11 @@ class CollectionReader:
             lx = hx = jnp.array(True)
 
         k = min(bucket_pad(params.limit, (16, 128, 1024)), cap)
+        use_dense = dense_rows is not None
+        if not use_dense:
+            dense_rows = jnp.zeros((1, 1), jnp.float32)
+            d_sel = jnp.zeros(1, jnp.int32)
+            d_w = jnp.zeros(1, jnp.float32)
         vals, idx, count = jax.device_get(
             hybrid_ops.hybrid_fused_topk(
                 d_docs, d_tf, d_ni, d_plens,
@@ -2980,6 +3044,7 @@ class CollectionReader:
                 ba_idx, ba_lo, ba_hi,
                 jnp.float32(1.0 if phrase else field_boost),
                 jnp.float32(gi_avgdl), jnp.float32(gi_n),
+                dense_rows, d_sel, d_w,
                 ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans,
                 jnp.float32(field_boost),
                 vecs, vec_docs, vec_valid, q_dev,
@@ -2989,7 +3054,7 @@ class CollectionReader:
                     "minmax" if params.fusion == HybridFusion.MINMAX else "rrf"
                 ),
                 phrase=phrase, nf=kind, masked=masked, mode=mode,
-                bm25_pallas=bm25_pallas,
+                bm25_pallas=bm25_pallas, dense=use_dense,
                 interpret=jax.default_backend() != "tpu",
             )
         )

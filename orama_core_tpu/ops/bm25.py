@@ -571,3 +571,131 @@ def idf_from_counts(ni, n_docs_with_field):
 
     ni = np.asarray(ni, dtype=np.float64)
     return np.log1p((n_docs_with_field - ni + 0.5) / (ni + 0.5)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dense per-term score rows for Zipf-head terms.
+#
+# The per-doc reduction of the posting scan is an XLA TPU scatter-add at
+# ~10 ns/posting no matter how the gathers are arranged — the measured
+# floor of the whole 1M-posting scan (benchmarks/segsum_bench.py:
+# segment_sum alone 9.9 ms; sorted/unique hints do not help). But the
+# per-posting BM25 factor g(tf, len) = tf(k1+1)/(tf + k1(1-b+b len/avgdl))
+# is COMMIT-STATIC — only idf and the field boost are query-dependent, and
+# both are per-term scalars. So the few head terms that dominate posting
+# volume are precomputed at commit as dense [cap] g rows; at query time a
+# heavy term costs one weighted dense row-add (pure HBM bandwidth) and
+# only the light-term tail pays the scatter. Measured on v5e at the
+# Zipf-heavy 1M-posting mix: 9.9 ms -> 2.3 ms with 3 dense terms
+# (exact: rel err 6.7e-8). The reference's CPU engine has no analog —
+# its per-posting loop (committed/string.rs:302-479) IS the scatter.
+# ---------------------------------------------------------------------------
+
+
+def build_dense_term_rows(
+    term_starts, post_docs, post_tf, doc_lens_dense,
+    cap: int, avgdl: float, budget: int, df_ratio: int,
+):
+    """Host (numpy): pick heavy terms and build their dense g rows.
+
+    Heavy = posting-span width >= max(cap // df_ratio, 8), top ``budget``
+    by width. Rows embed avgdl (cache key must include it) but NOT idf or
+    boost — those stay query-time scalars so DFS stat overrides and boosts
+    keep working. Returns (rows float32[H, cap], row_by_term {t: row}) or
+    None when nothing qualifies.
+    """
+    import numpy as np
+
+    if budget <= 0 or len(term_starts) < 2:
+        return None
+    spans = np.diff(term_starts)
+    thresh = max(cap // max(df_ratio, 1), 8)
+    heavy = np.nonzero(spans >= thresh)[0]
+    if heavy.size == 0:
+        return None
+    if heavy.size > budget:
+        heavy = heavy[np.argsort(spans[heavy], kind="stable")[::-1][:budget]]
+        heavy.sort()
+    rows = np.zeros((len(heavy), cap), np.float32)
+    for r, t in enumerate(heavy):
+        lo, hi = int(term_starts[t]), int(term_starts[t + 1])
+        docs = post_docs[lo:hi]
+        tf = post_tf[lo:hi].astype(np.float32)
+        lens = doc_lens_dense[docs]
+        den = tf + K1 * (1.0 - B + B * lens / max(float(avgdl), 1e-9))
+        rows[r, docs] = tf * (K1 + 1.0) / np.maximum(den, 1e-9)
+    return rows, {int(t): r for r, t in enumerate(heavy)}
+
+
+def split_spans_dense(
+    token_spans, term_starts, row_by_term, term_df, n_for_idf,
+):
+    """Host: split token term-spans into light posting subspans + heavy rows.
+
+    Each heavy term inside a span owns a contiguous posting run; the
+    light remainder becomes posting subspans for the blocked scan, and the
+    heavy term contributes (row index, idf) for the dense row-sum. A term
+    matched by several spans (surface + stem, repeated tokens) is emitted
+    once per span — additive, exactly like the scan scoring its run once
+    per span. Returns (p_lo, p_len, sel_rows, sel_idf).
+    """
+    import math
+
+    p_lo: list = []
+    p_len: list = []
+    sel: list = []
+    w: list = []
+    for lo, hi in token_spans:
+        cur = int(term_starts[lo])
+        for t in range(lo, hi):
+            r = row_by_term.get(t)
+            if r is None:
+                continue
+            t_lo, t_hi = int(term_starts[t]), int(term_starts[t + 1])
+            if t_lo > cur:
+                p_lo.append(cur)
+                p_len.append(t_lo - cur)
+            cur = t_hi
+            ni = float(term_df[t])
+            w.append(
+                math.log1p(max((n_for_idf - ni + 0.5) / (ni + 0.5), 0.0))
+            )
+            sel.append(r)
+        end = int(term_starts[hi])
+        if end > cur:
+            p_lo.append(cur)
+            p_len.append(end - cur)
+    return p_lo, p_len, sel, w
+
+
+DENSE_SEL_BUCKETS = (2, 8, 32)
+
+
+def pad_dense_sel(sel, w, buckets=DENSE_SEL_BUCKETS):
+    """Pad (sel, w) to a bucketed length; pads select row 0 with weight 0.
+
+    Callers must fall back to the plain scan when len(sel) exceeds the
+    largest bucket (raise here rather than silently truncate scores)."""
+    import numpy as np
+
+    n = len(sel)
+    if n > buckets[-1]:
+        raise ValueError(f"dense selection {n} exceeds bucket {buckets[-1]}")
+    hb = next(b for b in buckets if b >= n)
+    sel_a = np.zeros(hb, np.int32)
+    w_a = np.zeros(hb, np.float32)
+    sel_a[:n] = sel
+    w_a[:n] = w
+    return sel_a, w_a
+
+
+def dense_rows_contrib(rows, sel, w, boost):
+    """Device: boost * sum_h w[h] * rows[sel[h]] — the heavy-term scores.
+
+    Traceable (used inside the fused program) and jit-safe standalone."""
+    return boost * jnp.einsum(
+        "h,hd->d", w, jnp.take(rows, sel, axis=0)
+    )
+
+
+dense_rows_contrib_jit = jax.jit(dense_rows_contrib)
