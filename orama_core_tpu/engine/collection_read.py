@@ -292,6 +292,19 @@ class _DeviceCache:
             return (jnp.asarray(rows), row_by_term)
 
         key = ("dense_rows", cap, round(float(avgdl), 6))
+        # avgdl is part of the key; a moving avgdl (live windows arriving
+        # between calls) must not accumulate [H, cap] device rows — evict
+        # stale variants for this segment before building a new one
+        oid = id(s)
+        stale = [
+            k for k in self._store
+            if k[0] == oid
+            and isinstance(k[1], tuple)
+            and k[1][:2] == ("dense_rows", cap)
+            and k[1] != key
+        ]
+        for k in stale:
+            del self._store[k]
         return self._get(s, key, build)
 
     def phrase_docmajor_arrays(self, s: CommittedStringIndex, cap: int):

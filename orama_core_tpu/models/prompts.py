@@ -36,29 +36,30 @@ _TEMPLATES: Dict[str, str] = {
     # generic analyst — the reference's chat path likewise treats vision
     # as a text chat whose prompt carries the image reference) ----------
     "vision": (
-        "You are an image analysis assistant. Provide a detailed "
-        "analysis of what the image shows: the key elements and how "
-        "they relate.\n\nImage: {prompt}\n"
+        "You describe images for a search index. Write a thorough "
+        "account of everything visible in the picture and explain how "
+        "the parts fit together.\n\nImage: {prompt}\n"
     ),
     "vision_generic": (
-        "You are an image analysis assistant. Provide a detailed "
-        "analysis of what the image shows: the key elements and how "
-        "they relate.\n\nImage: {prompt}\n"
+        "You describe images for a search index. Write a thorough "
+        "account of everything visible in the picture and explain how "
+        "the parts fit together.\n\nImage: {prompt}\n"
     ),
     "vision_ecommerce": (
-        "You are a product description assistant. Describe the product "
-        "shown in the image, including its mood, colors, and potential "
-        "use cases.\n\nImage: {prompt}\n"
+        "You write storefront copy. Given a product photo, write a "
+        "description a shopper would find useful: what the item is, its "
+        "look and feel, and situations where someone would want it."
+        "\n\nImage: {prompt}\n"
     ),
     "vision_tech_documentation": (
-        "You are a technical documentation analyzer. Analyze this "
-        "technical documentation image, focusing on its key components "
-        "and technical details.\n\nImage: {prompt}\n"
+        "You read engineering documentation. Given a screenshot from a "
+        "manual or spec, summarize what it teaches: the parts, values, "
+        "and procedures it conveys.\n\nImage: {prompt}\n"
     ),
     "vision_code": (
-        "You are a code analysis assistant. Analyze the provided code "
-        "block: its functionality, implementation details, and intended "
-        "purpose.\n\nCode: {prompt}\n"
+        "You explain source code. Given a code snippet, walk through "
+        "what it does, how it is built, and what problem it appears to "
+        "solve.\n\nCode: {prompt}\n"
     ),
     "autoquery": (
         "Convert the natural-language request into a JSON search-params "

@@ -35,7 +35,7 @@ from .fusion import minmax_fuse, rrf_fuse
     jax.jit,
     static_argnames=(
         "n_docs", "n_blocks", "k", "fusion", "phrase", "nf", "masked",
-        "mode", "bm25_pallas", "interpret",
+        "mode", "bm25_pallas", "dense", "interpret",
     ),
 )
 def hybrid_fused_topk(
@@ -45,6 +45,12 @@ def hybrid_fused_topk(
     ba_idx, ba_lo, ba_hi,       # int32[n_blocks] aligned plan (Pallas path)
     bm25_boost,                 # f32[] (1.0 when phrase: boost rides the kernel)
     avgdl, nfd,                 # f32[] global info
+    # dense Zipf-head term rows (device cache: dense_term_rows; dummies
+    # when dense=False): rows f32[H, n_docs], sel int32[S], w f32[S] —
+    # heavy terms score as boost * sum_s w[s] * rows[sel[s]] (a weighted
+    # dense row-sum at HBM bandwidth) instead of the per-posting scatter.
+    # See ops/bm25.py "dense term rows" section for the derivation.
+    dense_rows, d_sel, d_w,
     # phrase stream (device cache: phrase_docmajor_arrays; dummies when
     # phrase=False — unused args are dropped by XLA)
     ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans, ph_boost,
@@ -64,6 +70,7 @@ def hybrid_fused_topk(
     masked: bool,      # multiply ft by the mask (where-filters or deletes)
     mode: str = "hybrid",  # "hybrid" | "fulltext" | "vector"
     bm25_pallas: bool = False,  # Pallas block-gather scan (TPU)
+    dense: bool = False,  # heavy terms via precomputed dense rows
     interpret: bool = False,
 ):
     if nf == "range":
@@ -93,6 +100,13 @@ def hybrid_fused_topk(
             ft = bm25_ops.bm25_scores_blocked(
                 post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
                 bm25_boost, avgdl, nfd, n_docs=n_docs, n_blocks=n_blocks,
+            )
+        if dense:
+            # heavy-term scores from commit-static dense g rows; added
+            # BEFORE the phrase multiplier, exactly like the scan's
+            # contribution for those terms would be
+            ft = ft + bm25_ops.dense_rows_contrib(
+                dense_rows, d_sel, d_w, bm25_boost
             )
         if phrase:
             ft = ft * bm25_ops.phrase_boost_docmajor(

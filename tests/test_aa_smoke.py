@@ -1,0 +1,231 @@
+"""Fast smoke tests for the canonical fused serving shape, collected first
+(``aa`` prefix) so a broken default path fails within seconds of the suite
+starting, not 24 s in.
+
+Round-3 postmortem: a half-landed feature broke the single-query fused
+program (one string field, committed-only — `_hybrid_fused_eligible`,
+collection_read.py) and the first failure only surfaced deep in a batching
+test. These tests pin:
+
+1. the canonical shape end-to-end (one string field -> commit -> term
+   search) AND that it actually took the fused one-dispatch path;
+2. bit-parity of the dense Zipf-head-term rows (ops/bm25.py dense section)
+   against the plain blocked scan, at both the ops and the engine level.
+
+Reference bar: committed/string.rs:302-479 (the committed BM25 loop the
+fused program replaces).
+"""
+
+import numpy as np
+import pytest
+
+from orama_core_tpu.types import SearchParams
+
+MASTER = "master"
+READ = "read-key"
+WRITE = "write-key"
+
+
+def _engine(tmp_path, tag, **tpu_overrides):
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / f"w-{tag}")
+    cfg.reader_side.data_dir = str(tmp_path / f"r-{tag}")
+    cfg.writer_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.insert_batch_commit_size = 10_000_000
+    cfg.writer_side.commit_interval_sec = 3600.0
+    cfg.reader_side.commit_interval_sec = 3600.0
+    cfg.ai.backend = "fake"
+    for k, v in tpu_overrides.items():
+        setattr(cfg.tpu, k, v)
+    return build_orama(cfg, start_background=False)
+
+
+def _seed(engine, docs, cid="c1"):
+    engine.write_side.create_collection(
+        MASTER, cid, read_api_key=READ, write_api_key=WRITE
+    )
+    engine.flush()
+    engine.write_side.write(cid, docs, WRITE)
+    engine.flush()
+    engine.commit()
+    return cid
+
+
+def test_fused_canonical_shape_smoke(tmp_path, monkeypatch):
+    """One string field -> commit -> {"term": ...}: the steady-state query
+    every deployment serves. Must return ranked hits AND ride the fused
+    single-dispatch program."""
+    engine = _engine(tmp_path, "smoke")
+    try:
+        cid = _seed(
+            engine,
+            [
+                {"id": "a", "body": "the cat sat on the mat"},
+                {"id": "b", "body": "a dog chased the cat and the cat ran"},
+                {"id": "c", "body": "quantum computing explained"},
+            ],
+        )
+        reader = engine.read_side._reader(cid)
+        calls = []
+        orig = reader._search_hybrid_fused
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(reader, "_search_hybrid_fused", spy)
+        res = engine.read_side.search(
+            cid, SearchParams.from_json({"term": "cat"}), READ
+        )
+        assert [h.id for h in res.hits] == ["b", "a"]
+        assert res.count == 2
+        assert calls, "canonical shape did not take the fused path"
+
+        # multi-token (phrase-boosted) flavor of the same shape
+        res = engine.read_side.search(
+            cid, SearchParams.from_json({"term": "cat sat"}), READ
+        )
+        assert res.hits and res.hits[0].id == "a"
+    finally:
+        engine.close()
+
+
+def _dense_corpus():
+    # "common" is the Zipf head (every doc); rare terms discriminate.
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = []
+    for i in range(48):
+        words = ["common"] * int(rng.integers(1, 4)) + list(
+            rng.choice(vocab, size=int(rng.integers(2, 5)))
+        )
+        rng.shuffle(words)
+        docs.append({"id": str(i), "body": " ".join(words)})
+    return docs
+
+
+@pytest.mark.parametrize(
+    "term", ["common", "common alpha", "beta common gamma"]
+)
+def test_dense_rows_engine_parity(tmp_path, term):
+    """Same corpus, same queries: engine with dense head-term rows enabled
+    must score identically (f32 round-off) to the plain blocked scan.
+    df_ratio is set huge so 'common' qualifies as heavy despite the small
+    padded capacity (threshold max(cap // ratio, 8) = 8 docs)."""
+    e_dense = _engine(
+        tmp_path, "dense", bm25_dense_terms=16, bm25_dense_df_ratio=10**6
+    )
+    e_scan = _engine(tmp_path, "scan", bm25_dense_terms=0)
+    try:
+        docs = _dense_corpus()
+        cid_d = _seed(e_dense, docs)
+        cid_s = _seed(e_scan, docs)
+
+        # prove the dense split actually engages in the dense engine
+        reader = e_dense.read_side._reader(cid_d)
+        rows, row_by_term = reader._device.dense_term_rows(
+            reader._string[
+                next(
+                    fid
+                    for fid, f in reader.fields.items()
+                    if f.type.name == "STRING"
+                )
+            ].committed,
+            reader.capacity,
+            1.0,
+        )
+        assert rows is not None and len(row_by_term) >= 1
+
+        p = SearchParams.from_json({"term": term, "limit": 32})
+        r_d = e_dense.read_side.search(cid_d, p, READ)
+        r_s = e_scan.read_side.search(cid_s, p, READ)
+        assert [h.id for h in r_d.hits] == [h.id for h in r_s.hits]
+        np.testing.assert_allclose(
+            [h.score for h in r_d.hits],
+            [h.score for h in r_s.hits],
+            rtol=2e-5,
+        )
+        assert r_d.count == r_s.count
+    finally:
+        e_dense.close()
+        e_scan.close()
+
+
+def test_dense_rows_ops_parity():
+    """Ops-level bit-parity: splitting a query's spans into heavy dense
+    rows + light scan subspans reproduces the full scan's scores."""
+    import jax.numpy as jnp
+
+    from orama_core_tpu.ops.bm25 import (
+        K1,
+        B,
+        build_dense_term_rows,
+        dense_rows_contrib,
+        pad_dense_sel,
+        split_spans_dense,
+    )
+
+    rng = np.random.default_rng(3)
+    n_docs, n_terms = 64, 12
+    # term 0 is heavy (posting in every doc); others sparse
+    post = []
+    term_starts = [0]
+    for t in range(n_terms):
+        docs = (
+            np.arange(n_docs)
+            if t == 0
+            else np.sort(
+                rng.choice(n_docs, size=int(rng.integers(2, 7)), replace=False)
+            )
+        )
+        for d in docs:
+            post.append((d, float(rng.integers(1, 4))))
+        term_starts.append(len(post))
+    term_starts = np.asarray(term_starts, np.int64)
+    post_docs = np.asarray([p[0] for p in post], np.int32)
+    post_tf = np.asarray([p[1] for p in post], np.float32)
+    doc_lens = rng.integers(4, 30, size=n_docs).astype(np.float32)
+    avgdl = float(doc_lens.mean())
+    df = np.diff(term_starts).astype(np.float64)
+
+    built = build_dense_term_rows(
+        term_starts, post_docs, post_tf, doc_lens,
+        cap=n_docs, avgdl=avgdl, budget=4, df_ratio=2,
+    )
+    assert built is not None
+    rows, row_by_term = built
+    assert 0 in row_by_term
+
+    spans = [(0, 2), (5, 8)]  # span 1 contains the heavy term
+
+    def scan_scores(p_lo, p_len):
+        out = np.zeros(n_docs, np.float64)
+        for lo, ln in zip(p_lo, p_len):
+            for j in range(lo, lo + ln):
+                d, tf = int(post_docs[j]), float(post_tf[j])
+                t = int(np.searchsorted(term_starts, j, side="right") - 1)
+                ni = df[t]
+                idf = np.log1p(max((n_docs - ni + 0.5) / (ni + 0.5), 0.0))
+                den = tf + K1 * (1 - B + B * doc_lens[d] / avgdl)
+                out[d] += idf * tf * (K1 + 1.0) / den
+        return out
+
+    full = scan_scores(
+        [int(term_starts[lo]) for lo, hi in spans],
+        [int(term_starts[hi] - term_starts[lo]) for lo, hi in spans],
+    )
+    p_lo, p_len, sel, w = split_spans_dense(
+        spans, term_starts, row_by_term, df, float(n_docs)
+    )
+    assert sel, "heavy term not selected"
+    sel_a, w_a = pad_dense_sel(sel, w)
+    split = scan_scores(p_lo, p_len) + np.asarray(
+        dense_rows_contrib(
+            jnp.asarray(rows), jnp.asarray(sel_a), jnp.asarray(w_a),
+            jnp.float32(1.0),
+        )
+    )
+    np.testing.assert_allclose(split, full, rtol=2e-6, atol=1e-7)
