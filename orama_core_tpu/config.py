@@ -158,6 +158,14 @@ class TpuConfig:
     # bm25_dense_terms * capacity * 4 B per string field.
     bm25_dense_terms: int = 16      # max dense rows per field (0 disables)
     bm25_dense_df_ratio: int = 16   # df >= n_docs/ratio qualifies
+    # Windowed phrase reduction (ops/bm25.phrase_boost_docmajor_windowed):
+    # the doc-major stream is sorted by doc, so per-doc phrase counts
+    # reduce via commit-static block windows (Pallas VPU binning + page
+    # one-hot MXU matmul) instead of a 20M-element cumsum + 1M random
+    # bounds-gather. Exact; falls back to the cumsum kernel on corpora
+    # whose blocks span too many docs (phrase_window_meta -> None).
+    # Applied on TPU backends only (collection_read gates on backend).
+    phrase_windowed: bool = True
     ivf_threshold: int = 50_000
     ivf_nprobe: int = 16
     ivf_candidate_expand: int = 8

@@ -346,6 +346,36 @@ class _DeviceCache:
 
         return self._get(s, ("phrase_dm", cap), build)
 
+    def phrase_windowed_arrays(self, s: CommittedStringIndex, cap: int):
+        """Doc-major stream + commit-static window meta for the windowed
+        phrase kernel (ops/bm25.phrase_boost_docmajor_windowed). Streams
+        are shared with phrase_docmajor_arrays; the extra state is the
+        per-block W-aligned window bases plus the static (W, wsub)
+        widths. Returns (docs, poss, terms, w_base, W, wsub) or
+        (None, ..., 0, 0) when the corpus needs the cumsum fallback
+        (phrase_window_meta -> None)."""
+
+        def build():
+            from ..ops.bm25 import phrase_window_meta
+
+            d_dev, p_dev, t_dev, _bounds = self.phrase_docmajor_arrays(
+                s, cap
+            )
+            pp = len(s.positions)
+            pp_pad = int(d_dev.shape[0])
+            run_lens = np.diff(s.pos_starts)
+            pos_doc = np.repeat(s.post_docs, run_lens)
+            counts = np.bincount(pos_doc, minlength=cap).astype(np.int64)
+            bounds = np.zeros(cap + 1, np.int64)
+            np.cumsum(counts[:cap], out=bounds[1:])
+            meta = phrase_window_meta(bounds, pp, pp_pad)
+            if meta is None:
+                return (None, None, None, None, 0, 0)
+            w_base, W, wsub = meta
+            return (d_dev, p_dev, t_dev, jnp.asarray(w_base), W, wsub)
+
+        return self._get(s, ("phrase_win", cap), build)
+
     # vector -----------------------------------------------------------------
 
     def vector_arrays(self, v: CommittedVectorIndex):
@@ -1424,9 +1454,6 @@ class CollectionReader:
                         # (ops/bm25.phrase_boost_docmajor); span count is
                         # bucketed — each span is a compare pass over the
                         # full position stream
-                        d_dev, p_dev, t_dev, bounds = (
-                            self._device.phrase_docmajor_arrays(committed, cap)
-                        )
                         max_tok = 32
                         # surface spans only: stems never drive phrase
                         # adjacency (query_expansion contract)
@@ -1437,10 +1464,44 @@ class CollectionReader:
                         spans_a = np.zeros((n_sp, 2), np.int32)
                         for si, (lo, hi) in enumerate(ph_only[:max_tok]):
                             spans_a[si] = (lo, hi)
-                        boost_by_doc = bm25_ops.phrase_boost_docmajor(
-                            d_dev, p_dev, t_dev, bounds, jnp.asarray(spans_a),
-                            jnp.float32(field_boost), n_docs=cap,
-                        )
+                        # windowed reduction (Pallas window binning + page
+                        # one-hot matmul) when the commit's window meta
+                        # allows it; cumsum+bounds-gather otherwise
+                        ph_win = None
+                        if self.cfg.phrase_windowed and (
+                            jax.default_backend() == "tpu"
+                            or getattr(
+                                self.cfg, "_test_force_fast_path", False
+                            )
+                        ):
+                            ph_win = self._device.phrase_windowed_arrays(
+                                committed, cap
+                            )
+                            if ph_win[0] is None:
+                                ph_win = None
+                        if ph_win is not None:
+                            dw, pw, tw, wb, ph_W, ph_wsub = ph_win
+                            boost_by_doc = (
+                                bm25_ops.phrase_boost_docmajor_windowed(
+                                    dw, pw, tw, wb, jnp.asarray(spans_a),
+                                    jnp.float32(field_boost), n_docs=cap,
+                                    W=ph_W, wsub=ph_wsub,
+                                    interpret=(
+                                        jax.default_backend() != "tpu"
+                                    ),
+                                )
+                            )
+                        else:
+                            d_dev, p_dev, t_dev, bounds = (
+                                self._device.phrase_docmajor_arrays(
+                                    committed, cap
+                                )
+                            )
+                            boost_by_doc = bm25_ops.phrase_boost_docmajor(
+                                d_dev, p_dev, t_dev, bounds,
+                                jnp.asarray(spans_a),
+                                jnp.float32(field_boost), n_docs=cap,
+                            )
                         raw = raw * boost_by_doc
                     if masked:
                         raw = raw * filter_mask
@@ -2978,10 +3039,27 @@ class CollectionReader:
             dense_rows = None
             d_sel = d_w = None
 
+        ph_windowed = False
+        ph_W = ph_wsub = 0
         if phrase:
-            ph_docs, ph_poss, ph_terms, ph_bounds = (
-                self._device.phrase_docmajor_arrays(committed, cap)
-            )
+            z = jnp.zeros(1, jnp.int32)
+            ph_bounds = ph_wbase = z
+            # windowed reduction when the commit's window meta allows it
+            # (same gate as the multi-dispatch path)
+            if self.cfg.phrase_windowed and (
+                jax.default_backend() == "tpu"
+                or getattr(self.cfg, "_test_force_fast_path", False)
+            ):
+                win = self._device.phrase_windowed_arrays(committed, cap)
+                if win[0] is not None:
+                    (
+                        ph_docs, ph_poss, ph_terms, ph_wbase, ph_W, ph_wsub,
+                    ) = win
+                    ph_windowed = True
+            if not ph_windowed:
+                ph_docs, ph_poss, ph_terms, ph_bounds = (
+                    self._device.phrase_docmajor_arrays(committed, cap)
+                )
             # spans drive a per-span compare pass over the WHOLE position
             # stream — bucket the count (a 2-token query must not pay a
             # 32-span unroll: ~0.6 ms/span at 20M positions). Surface spans
@@ -2994,7 +3072,7 @@ class CollectionReader:
             ph_spans = jnp.asarray(spans_a)
         else:
             z = jnp.zeros(1, jnp.int32)
-            ph_docs = ph_poss = ph_terms = ph_bounds = z
+            ph_docs = ph_poss = ph_terms = ph_bounds = ph_wbase = z
             ph_spans = jnp.zeros((1, 2), jnp.int32)
 
         if vfid is not None:
@@ -3058,7 +3136,7 @@ class CollectionReader:
                 jnp.float32(1.0 if phrase else field_boost),
                 jnp.float32(gi_avgdl), jnp.float32(gi_n),
                 dense_rows, d_sel, d_w,
-                ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans,
+                ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans,
                 jnp.float32(field_boost),
                 vecs, vec_docs, vec_valid, q_dev,
                 alive, nvals, ndocs, nvalid, lo, hi, lx, hx,
@@ -3068,6 +3146,7 @@ class CollectionReader:
                 ),
                 phrase=phrase, nf=kind, masked=masked, mode=mode,
                 bm25_pallas=bm25_pallas, dense=use_dense,
+                ph_windowed=ph_windowed, ph_W=ph_W, ph_wsub=ph_wsub,
                 interpret=jax.default_backend() != "tpu",
             )
         )

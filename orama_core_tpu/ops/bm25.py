@@ -492,35 +492,14 @@ def phrase_boost_blocked(
 PAD_DOC = 2**31 - 1  # sorts last; marks padding rows
 
 
-@functools.partial(jax.jit, static_argnames=("n_docs",))
-def phrase_boost_docmajor(
-    docs: jax.Array,        # int32[PPpad] owning doc per position, SORTED by (doc, pos); pad = PAD_DOC
-    poss: jax.Array,        # int32[PPpad] position values (same order)
-    terms: jax.Array,       # int32[PPpad] owning term id per position (same order)
-    doc_bounds: jax.Array,  # int32[n_docs+1] CSR of each doc's run in the stream
-    spans: jax.Array,       # int32[MAXTOK, 2] matched term-id ranges (pad: lo==hi)
-    user_boost: jax.Array,  # float32[]
-    n_docs: int,
-) -> jax.Array:
-    """Sort-free phrase boost over the commit-static doc-major position
-    stream (VERDICT r1 item 5: the query-time (doc,pos) sort — ~100-200 ms
-    at the 4M-pair bucket — replaced by one sort PER COMMIT plus a few
-    bandwidth-bound scans per query).
-
-    The stream holds EVERY position of the field sorted by (doc, pos); a
-    query marks positions whose owning term falls in any matched span, then
-    counts per doc: ``anyorder`` = (doc,pos) groups with >= 1 matched member
-    (stem + original share a position — a group), ``sequences`` = adjacent
-    matched groups at pos+1. Same semantics as phrase_boost_by_doc.
-
-    A (doc, pos) group has AT MOST 2 members — the tokenizer emits the
-    original term plus one stem only when it differs
-    (nlp/tokenizer.py::tokenize_and_stem) — so all group logic is bounded
-    shift-compares instead of cummax/cummin scans; the only scans left are
-    the two counting cumsums read back through the per-doc CSR bounds.
-    Measured at 1M docs / 20M positions on v5e: the scan formulation cost
-    332 ms/query; this one is bandwidth-bound. One compiled program per
-    commit, independent of query shape."""
+def _phrase_group_flags(docs, poss, terms, spans):
+    """Per-position phrase counters over the doc-major stream (shared by
+    the cumsum and windowed reductions): ``anyc[e]`` is 1 at the first
+    member of a (doc, pos) group containing a matched term, ``seqc[e]`` is
+    1 when that group additionally follows a matched group at pos-1.
+    Returns (anyc f32[PP], seqc f32[PP]); all the group logic is bounded
+    shift-compares (group size <= 2 — tokenizer emits original + at most
+    one distinct stem)."""
     pp = docs.shape[0]
     valid = docs < PAD_DOC
 
@@ -552,6 +531,39 @@ def phrase_boost_docmajor(
 
     anyc = (first & grp_any).astype(jnp.float32)
     seqc = (first & adj_key & grp_any & prev_grp_matched).astype(jnp.float32)
+    return anyc, seqc
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def phrase_boost_docmajor(
+    docs: jax.Array,        # int32[PPpad] owning doc per position, SORTED by (doc, pos); pad = PAD_DOC
+    poss: jax.Array,        # int32[PPpad] position values (same order)
+    terms: jax.Array,       # int32[PPpad] owning term id per position (same order)
+    doc_bounds: jax.Array,  # int32[n_docs+1] CSR of each doc's run in the stream
+    spans: jax.Array,       # int32[MAXTOK, 2] matched term-id ranges (pad: lo==hi)
+    user_boost: jax.Array,  # float32[]
+    n_docs: int,
+) -> jax.Array:
+    """Sort-free phrase boost over the commit-static doc-major position
+    stream (VERDICT r1 item 5: the query-time (doc,pos) sort — ~100-200 ms
+    at the 4M-pair bucket — replaced by one sort PER COMMIT plus a few
+    bandwidth-bound scans per query).
+
+    The stream holds EVERY position of the field sorted by (doc, pos); a
+    query marks positions whose owning term falls in any matched span, then
+    counts per doc: ``anyorder`` = (doc,pos) groups with >= 1 matched member
+    (stem + original share a position — a group), ``sequences`` = adjacent
+    matched groups at pos+1. Same semantics as phrase_boost_by_doc.
+
+    A (doc, pos) group has AT MOST 2 members — the tokenizer emits the
+    original term plus one stem only when it differs
+    (nlp/tokenizer.py::tokenize_and_stem) — so all group logic is bounded
+    shift-compares instead of cummax/cummin scans; the only scans left are
+    the two counting cumsums read back through the per-doc CSR bounds.
+    Measured at 1M docs / 20M positions on v5e: the scan formulation cost
+    332 ms/query; this one is bandwidth-bound. One compiled program per
+    commit, independent of query shape."""
+    anyc, seqc = _phrase_group_flags(docs, poss, terms, spans)
     csa = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(anyc)])
     css = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.cumsum(seqc)])
     # doc bounds are contiguous (hi[d] == lo[d+1]), so ONE pair-gather at
@@ -563,6 +575,240 @@ def phrase_boost_docmajor(
     anyorder = d[:, 0]                          # [n_docs]
     seq = d[:, 1]
     return jnp.where(anyorder > 0, anyorder + 2.0 * seq + user_boost, user_boost)
+
+
+# ---------------------------------------------------------------------------
+# Windowed phrase reduction (round-4 replacement for the cumsum + bounds-
+# gather per-doc assembly in phrase_boost_docmajor).
+#
+# The doc-major stream is sorted by doc, so a block of _PH_PB consecutive
+# positions spans only a small, COMMIT-STATIC range of doc ids (~PB/avgdl).
+# That turns the per-doc reduction into dense window arithmetic:
+#
+#   stage 1  bin each 128-position sub-run into its own tiny doc window
+#            (sub-run doc range <= Wsub) via an all-pairs compare — VPU
+#            work is PP x Wsub instead of PP x n_docs;
+#   stage 2  shift the 16 sub-run windows into the block's page-aligned
+#            2W window (another small compare-sum) — both stages live in
+#            VMEM inside one Pallas kernel, no scatter, no 20M cumsum,
+#            no random gather;
+#   stage 3  (XLA) combine the [nb, 2W] block windows into [n_docs] with
+#            a page one-hot matmul — rows are W-aligned by construction,
+#            so the combine is a well-shaped [P, nb2] x [nb2, 2W] MXU
+#            matmul instead of a 1M-element scatter.
+#
+# Exactness: all counts are small integers accumulated in f32; the one-hot
+# operands are 0/1. Degenerate corpora (a block spanning > W_CAP docs,
+# i.e. very short documents) fall back to phrase_boost_docmajor — the
+# cache layer decides per commit (phrase_window_meta returns None).
+# Replaces the same reference behavior (committed/string.rs:367-479).
+# ---------------------------------------------------------------------------
+
+_PH_PB = 2048              # positions per Pallas grid block
+_PH_SUB = 16               # sub-runs per block
+_PH_SUBLEN = _PH_PB // _PH_SUB   # 128 (one lane tile)
+_PH_W_CAP = 1024           # fall back beyond this block window
+_PH_WSUB_CAP = 256
+
+
+def phrase_window_meta(doc_bounds, pp: int, pp_pad: int):
+    """Host: per-block aligned window bases + static window widths for the
+    windowed phrase kernel, derived from the per-doc CSR ``doc_bounds``
+    (``doc_bounds[d]`` = first stream slot of doc d; the sorted doc column
+    itself is never materialized on host — owning doc of slot p is
+    ``searchsorted(bounds, p, 'right') - 1``).
+
+    Returns (w_base int32[nb] — W-aligned, 0 for all-pad blocks; W; Wsub)
+    or None when the corpus is too doc-dense for the windowed path
+    (W > _PH_W_CAP or Wsub > _PH_WSUB_CAP)."""
+    import numpy as np
+
+    if pp_pad % _PH_PB != 0 or pp <= 0:
+        return None
+    nb = pp_pad // _PH_PB
+
+    def doc_of(p):
+        return np.searchsorted(doc_bounds, p, side="right") - 1
+
+    starts = np.arange(nb, dtype=np.int64) * _PH_PB
+    live = starts < pp
+    ends = np.minimum(starts + _PH_PB, pp) - 1
+    first = np.where(live, doc_of(np.minimum(starts, pp - 1)), 0)
+    last = np.where(live, doc_of(ends), 0)
+    rng = (last - first + 1) * live
+    W = int(rng.max()) if nb else 1
+    W = max(((W + 127) // 128) * 128, 128)
+    if W > _PH_W_CAP:
+        return None
+
+    nsub = pp_pad // _PH_SUBLEN
+    s_starts = np.arange(nsub, dtype=np.int64) * _PH_SUBLEN
+    s_live = s_starts < pp
+    s_ends = np.minimum(s_starts + _PH_SUBLEN, pp) - 1
+    s_first = np.where(s_live, doc_of(np.minimum(s_starts, pp - 1)), 0)
+    s_last = np.where(s_live, doc_of(s_ends), 0)
+    s_rng = (s_last - s_first + 1) * s_live
+    wsub = int(s_rng.max()) if nsub else 1
+    wsub = max(((wsub + 7) // 8) * 8, 8)
+    if wsub > _PH_WSUB_CAP:
+        return None
+    # stage-2 compare lives in VMEM as (_PH_SUB*wsub, 2W) f32 — bound it
+    if _PH_SUB * wsub * 2 * W * 4 > 4 * 1024 * 1024:
+        return None
+
+    w_base = ((first // W) * W * live).astype(np.int32)
+    return w_base, W, wsub
+
+
+def _phrase_window_kernel(W: int, wsub: int):
+    def kernel(wb_ref, docs_ref, any_ref, seq_ref, any_out, seq_out):
+        i = pl.program_id(0)
+        wb = wb_ref[i]
+        d = docs_ref[0]                      # (SUB, SUBLEN) int32
+        rel = d - wb                         # valid values in [0, 2W)
+        off = jnp.min(rel, axis=1)           # (SUB,) sorted => first = min
+        # stage 1: bin each sub-run into its [off, off+wsub) doc window.
+        # Pad elements have rel huge => tgt >= wsub (or the whole sub-run
+        # is pad: tgt == 0 but contribs are 0) — they never contribute.
+        tgt = rel - off[:, None]             # (SUB, SUBLEN)
+        wi = jax.lax.broadcasted_iota(
+            jnp.int32, (_PH_SUB, wsub, _PH_SUBLEN), 1
+        )
+        eq3 = tgt[:, None, :] == wi          # (SUB, wsub, SUBLEN)
+        mini_a = jnp.sum(
+            jnp.where(eq3, any_ref[0][:, None, :], 0.0), axis=2
+        )                                    # (SUB, wsub)
+        mini_s = jnp.sum(
+            jnp.where(eq3, seq_ref[0][:, None, :], 0.0), axis=2
+        )
+        # stage 2: shift sub-run windows into the block's 2W window.
+        # off for all-pad sub-runs is huge; the + wi2 wraps, never matching
+        # v in [0, 2W).
+        wi2 = jax.lax.broadcasted_iota(jnp.int32, (_PH_SUB, wsub), 1)
+        tgt2 = (off[:, None] + wi2).reshape(_PH_SUB * wsub, 1)
+        vi = jax.lax.broadcasted_iota(
+            jnp.int32, (_PH_SUB * wsub, 2 * W), 1
+        )
+        eq2 = tgt2 == vi                     # (SUB*wsub, 2W)
+        # outputs are blocked (1, 8, 2W/8) — Mosaic requires the last two
+        # block dims be (8k, 128k) or equal the array dims
+        any_out[0] = jnp.sum(
+            jnp.where(eq2, mini_a.reshape(_PH_SUB * wsub, 1), 0.0), axis=0
+        ).reshape(8, (2 * W) // 8)
+        seq_out[0] = jnp.sum(
+            jnp.where(eq2, mini_s.reshape(_PH_SUB * wsub, 1), 0.0), axis=0
+        ).reshape(8, (2 * W) // 8)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_docs", "W", "wsub", "interpret")
+)
+def phrase_boost_docmajor_windowed(
+    docs: jax.Array,        # int32[PPpad] sorted by (doc, pos); pad = PAD_DOC
+    poss: jax.Array,        # int32[PPpad]
+    terms: jax.Array,       # int32[PPpad]
+    w_base: jax.Array,      # int32[nb] per-block W-aligned window base
+    spans: jax.Array,       # int32[MAXTOK, 2] matched term-id ranges
+    user_boost: jax.Array,  # float32[]
+    n_docs: int,
+    W: int,
+    wsub: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed phrase boost: same contract (and bit-identical result) as
+    phrase_boost_docmajor, with the per-doc assembly done by the Pallas
+    window kernel + page one-hot matmul (module comment above)."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    pp = docs.shape[0]
+    assert pp % _PH_PB == 0, "pad the phrase stream to a _PH_PB multiple"
+    nb = pp // _PH_PB
+    anyc, seqc = _phrase_group_flags(docs, poss, terms, spans)
+
+    d3 = docs.reshape(nb, _PH_SUB, _PH_SUBLEN)
+    a3 = anyc.reshape(nb, _PH_SUB, _PH_SUBLEN)
+    s3 = seqc.reshape(nb, _PH_SUB, _PH_SUBLEN)
+
+    def plane(i, wb):
+        return (i, 0, 0)
+
+    grid_spec = _pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, _PH_SUB, _PH_SUBLEN), plane),
+            pl.BlockSpec((1, _PH_SUB, _PH_SUBLEN), plane),
+            pl.BlockSpec((1, _PH_SUB, _PH_SUBLEN), plane),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, (2 * W) // 8), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((1, 8, (2 * W) // 8), lambda i, wb: (i, 0, 0)),
+        ],
+    )
+    win_a, win_s = pl.pallas_call(
+        _phrase_window_kernel(W, wsub),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 8, (2 * W) // 8), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, (2 * W) // 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(w_base, d3, a3, s3)
+    win_a = win_a.reshape(nb, 2 * W)
+    win_s = win_s.reshape(nb, 2 * W)
+
+    # stage 3: page combine. Each block's 2W window covers exactly pages
+    # (w_base/W, w_base/W + 1); rows are page-aligned by construction, so
+    # the combine is a one-hot matmul (well-shaped for the MXU) instead of
+    # a scatter into [n_docs].
+    n_pages = -(-n_docs // W) + 2
+    pages = w_base // jnp.int32(W)
+    rows = jnp.concatenate([win_a[:, :W], win_a[:, W:],
+                            win_s[:, :W], win_s[:, W:]], axis=1)
+    rows = rows.reshape(nb, 4, W)
+    row_pages = jnp.stack(
+        [pages, pages + 1, pages, pages + 1], axis=1
+    )                                        # (nb, 4)
+    # channel tag rides the one-hot so anyorder/seq separate after the
+    # matmul: target row = page * 2 + (0 for any, 1 for seq)
+    chan = jnp.asarray([0, 0, 1, 1], jnp.int32)[None, :]
+    tgt_rows = (row_pages * 2 + chan).reshape(nb * 4)
+    flat = rows.reshape(nb * 4, W)
+
+    chunk = 2048
+    n_rows = nb * 4
+    pad_rows = -(-n_rows // chunk) * chunk
+    if pad_rows != n_rows:
+        tgt_rows = jnp.concatenate(
+            [tgt_rows, jnp.full((pad_rows - n_rows,), 2 * n_pages, jnp.int32)]
+        )
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad_rows - n_rows, W), jnp.float32)]
+        )
+    page_ids = jnp.arange(2 * n_pages + 1, dtype=jnp.int32)
+
+    def chunk_sum(args):
+        tr, fr = args
+        oh = (tr[:, None] == page_ids[None, :]).astype(jnp.float32)
+        return jnp.einsum(
+            "cp,cw->pw", oh, fr, preferred_element_type=jnp.float32
+        )
+
+    parts = jax.lax.map(
+        chunk_sum,
+        (
+            tgt_rows.reshape(-1, chunk),
+            flat.reshape(-1, chunk, W),
+        ),
+    )
+    out_pages = jnp.sum(parts, axis=0)       # (2*n_pages+1, W)
+    anyorder = out_pages[0::2, :][:n_pages].reshape(-1)[:n_docs]
+    seq = out_pages[1::2, :][:n_pages].reshape(-1)[:n_docs]
+    return jnp.where(
+        anyorder > 0, anyorder + 2.0 * seq + user_boost, user_boost
+    )
 
 
 def idf_from_counts(ni, n_docs_with_field):

@@ -31,11 +31,162 @@ from . import vector as vector_ops
 from .fusion import minmax_fuse, rrf_fuse
 
 
+def _field_fulltext_score(
+    fargs, fstat, *, n_docs, bm25_pallas, interpret
+):
+    """One string field's dense BM25 scores inside a fused trace: blocked
+    posting scan (XLA or Pallas) + optional dense Zipf-head rows +
+    optional phrase multiplier. ``fargs`` is the per-field array bundle
+    (see hybrid_fused_topk's parameter comments), ``fstat`` the per-field
+    statics (n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub)."""
+    (
+        post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
+        ba_idx, ba_lo, ba_hi, bm25_boost, avgdl, nfd,
+        dense_rows, d_sel, d_w,
+        ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans, ph_boost,
+    ) = fargs
+    n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub = fstat
+    if bm25_pallas:
+        # DMA-aligned block gathers (the vmapped dynamic_slice path
+        # reads at ~0.4 GB/s on TPU — see bm25_scores_blocked_pallas)
+        ft = bm25_ops.bm25_scores_blocked_pallas(
+            post_docs, post_tf, post_ni, post_lens,
+            ba_idx, ba_lo, ba_hi,
+            bm25_boost, avgdl, nfd,
+            n_docs=n_docs, n_blocks=n_blocks, interpret=interpret,
+        )
+    else:
+        ft = bm25_ops.bm25_scores_blocked(
+            post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
+            bm25_boost, avgdl, nfd, n_docs=n_docs, n_blocks=n_blocks,
+        )
+    if dense:
+        # heavy-term scores from commit-static dense g rows; added
+        # BEFORE the phrase multiplier, exactly like the scan's
+        # contribution for those terms would be
+        ft = ft + bm25_ops.dense_rows_contrib(
+            dense_rows, d_sel, d_w, bm25_boost
+        )
+    if phrase:
+        if ph_windowed:
+            ft = ft * bm25_ops.phrase_boost_docmajor_windowed(
+                ph_docs, ph_poss, ph_terms, ph_wbase, ph_spans,
+                ph_boost, n_docs=n_docs, W=ph_W, wsub=ph_wsub,
+                interpret=interpret,
+            )
+        else:
+            ft = ft * bm25_ops.phrase_boost_docmajor(
+                ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans,
+                ph_boost, n_docs=n_docs,
+            )
+    return ft
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_docs", "k", "fusion", "nf", "masked", "mode", "bm25_pallas",
+        "field_statics", "u_ft", "u_vec", "interpret",
+    ),
+)
+def hybrid_fused_topk_mf(
+    # tuple of per-field array bundles — each laid out exactly like
+    # hybrid_fused_topk's leading args (_field_fulltext_score's fargs);
+    # empty tuple when mode == "vector"
+    fields,
+    # live freshness-window contributions, host-merged across fields
+    # (padded scatter pairs; dummies unless u_ft/u_vec). String window
+    # scores already include boost + idf (no phrase in the window —
+    # uncommitted/string.rs:124-193); vector window scores are summed
+    # relu-cosines. Both are added UNMASKED and masked in-trace, which
+    # distributes identically to the multi-dispatch path's host-side
+    # mask skip.
+    u_ft_idx, u_ft_vals,
+    u_vec_idx, u_vec_vals,
+    # committed vectors (device cache: vector_arrays)
+    vecs, vec_docs, vec_valid, query,
+    # masks/filters
+    alive_mask,
+    nf_vals, nf_docs, nf_valid,
+    nf_lo, nf_hi, nf_lx, nf_hx,
+    *,
+    n_docs: int,
+    k: int,
+    fusion: str,       # "rrf" | "minmax"
+    nf: str,           # "none" | "range" | "eq"
+    masked: bool,      # multiply by the mask (where-filters or deletes)
+    mode: str,         # "hybrid" | "fulltext" | "vector"
+    bm25_pallas: bool,
+    # tuple of per-field statics (n_blocks, phrase, dense, ph_windowed,
+    # ph_W, ph_wsub), parallel to ``fields``
+    field_statics,
+    u_ft: bool,        # string freshness window present
+    u_vec: bool,       # vector freshness window present
+    interpret: bool = False,
+):
+    """Multi-string-field fused serving with live freshness windows: the
+    whole query — per-field BM25 (+dense rows, +phrase) summed across
+    fields, host-scattered window contributions, filter mask, vector
+    matmul, fusion, top-k — in ONE dispatch. Bit-identical to the
+    multi-dispatch chain (search_fulltext's per-field loop +
+    _scatter_add_scores window merge; the reference's per-field loop is
+    collection.rs:903-955)."""
+    if nf == "range":
+        m = filter_ops.number_range_mask(
+            nf_vals, nf_docs, nf_valid, nf_lo, nf_hi, nf_lx, nf_hx,
+            n_docs=n_docs,
+        )
+        mask = filter_ops.combine_masks(alive_mask, m)
+    elif nf == "eq":
+        m = filter_ops.number_eq_mask(
+            nf_vals, nf_docs, nf_valid, nf_lo, n_docs=n_docs
+        )
+        mask = filter_ops.combine_masks(alive_mask, m)
+    else:
+        mask = alive_mask
+    if mode != "vector":
+        ft = jnp.zeros((n_docs,), jnp.float32)
+        for fargs, fstat in zip(fields, field_statics):
+            ft = ft + _field_fulltext_score(
+                fargs, fstat, n_docs=n_docs, bm25_pallas=bm25_pallas,
+                interpret=interpret,
+            )
+        if u_ft:
+            ft = ft.at[u_ft_idx].add(u_ft_vals)
+        if masked:
+            ft = ft * mask
+    if mode != "fulltext":
+        q8 = jnp.zeros((8, query.shape[0]), query.dtype).at[0].set(query)
+        sims8 = jnp.dot(
+            vecs, q8.T.astype(vecs.dtype), preferred_element_type=jnp.float32
+        )                                                   # [P, 8]
+        sims = jnp.maximum(sims8[:, 0], 0.0) * vec_valid
+        vec = jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs)
+        if u_vec:
+            vec = vec.at[u_vec_idx].add(u_vec_vals)
+        vec = vec * mask
+    if mode == "fulltext":
+        fused = ft
+    elif mode == "vector":
+        fused = vec
+    else:
+        if fusion == "rrf":
+            # candidate-exact RRF: no dense argsorts (31.6 -> ~5 ms at 1M)
+            from .fusion import rrf_candidate_count, rrf_fuse_topk
+
+            return rrf_fuse_topk(ft, vec, k, rrf_candidate_count(k))
+        fused = minmax_fuse(ft, vec)
+    vals, idx = jax.lax.top_k(fused, k)
+    count = jnp.sum(fused > 0).astype(jnp.int32)
+    return vals, idx.astype(jnp.int32), count
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_docs", "n_blocks", "k", "fusion", "phrase", "nf", "masked",
-        "mode", "bm25_pallas", "dense", "interpret",
+        "mode", "bm25_pallas", "dense", "ph_windowed", "ph_W",
+        "ph_wsub", "interpret",
     ),
 )
 def hybrid_fused_topk(
@@ -51,9 +202,11 @@ def hybrid_fused_topk(
     # dense row-sum at HBM bandwidth) instead of the per-posting scatter.
     # See ops/bm25.py "dense term rows" section for the derivation.
     dense_rows, d_sel, d_w,
-    # phrase stream (device cache: phrase_docmajor_arrays; dummies when
-    # phrase=False — unused args are dropped by XLA)
-    ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans, ph_boost,
+    # phrase stream (device cache: phrase_docmajor_arrays /
+    # phrase_windowed_arrays; dummies when phrase=False — unused args are
+    # dropped by XLA). ph_wbase is the windowed reduction's per-block
+    # window base (dummy unless ph_windowed).
+    ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans, ph_boost,
     # committed vectors (device cache: vector_arrays)
     vecs, vec_docs, vec_valid, query,
     # masks/filters
@@ -71,6 +224,9 @@ def hybrid_fused_topk(
     mode: str = "hybrid",  # "hybrid" | "fulltext" | "vector"
     bm25_pallas: bool = False,  # Pallas block-gather scan (TPU)
     dense: bool = False,  # heavy terms via precomputed dense rows
+    ph_windowed: bool = False,  # windowed phrase reduction (TPU)
+    ph_W: int = 0,       # static block window width (ph_windowed)
+    ph_wsub: int = 0,    # static sub-run window width (ph_windowed)
     interpret: bool = False,
 ):
     if nf == "range":
@@ -87,32 +243,18 @@ def hybrid_fused_topk(
     else:
         mask = alive_mask
     if mode != "vector":
-        if bm25_pallas:
-            # DMA-aligned block gathers (the vmapped dynamic_slice path
-            # reads at ~0.4 GB/s on TPU — see bm25_scores_blocked_pallas)
-            ft = bm25_ops.bm25_scores_blocked_pallas(
-                post_docs, post_tf, post_ni, post_lens,
-                ba_idx, ba_lo, ba_hi,
-                bm25_boost, avgdl, nfd,
-                n_docs=n_docs, n_blocks=n_blocks, interpret=interpret,
-            )
-        else:
-            ft = bm25_ops.bm25_scores_blocked(
-                post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
-                bm25_boost, avgdl, nfd, n_docs=n_docs, n_blocks=n_blocks,
-            )
-        if dense:
-            # heavy-term scores from commit-static dense g rows; added
-            # BEFORE the phrase multiplier, exactly like the scan's
-            # contribution for those terms would be
-            ft = ft + bm25_ops.dense_rows_contrib(
-                dense_rows, d_sel, d_w, bm25_boost
-            )
-        if phrase:
-            ft = ft * bm25_ops.phrase_boost_docmajor(
-                ph_docs, ph_poss, ph_terms, ph_bounds, ph_spans, ph_boost,
-                n_docs=n_docs,
-            )
+        fargs = (
+            post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
+            ba_idx, ba_lo, ba_hi, bm25_boost, avgdl, nfd,
+            dense_rows, d_sel, d_w,
+            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans,
+            ph_boost,
+        )
+        fstat = (n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub)
+        ft = _field_fulltext_score(
+            fargs, fstat, n_docs=n_docs, bm25_pallas=bm25_pallas,
+            interpret=interpret,
+        )
         if masked:
             ft = ft * mask
     if mode != "fulltext":

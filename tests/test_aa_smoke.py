@@ -229,3 +229,66 @@ def test_dense_rows_ops_parity():
         )
     )
     np.testing.assert_allclose(split, full, rtol=2e-6, atol=1e-7)
+
+
+def test_phrase_windowed_engine_parity(tmp_path):
+    """Multi-token (phrase) queries through BOTH serving paths must score
+    identically with the windowed phrase reduction and the cumsum
+    fallback. Forces the fast-path gate so the windowed kernel runs (in
+    interpret mode) on CPU."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = ["cat", "dog", "mat", "sat", "ran", "bird", "tree", "sky"]
+    docs = []
+    for i in range(260):  # >1024 positions so the stream pads to >=2048
+        words = list(rng.choice(vocab, size=int(rng.integers(4, 12))))
+        if i % 3 == 0:
+            words[1:3] = ["cat", "sat"]  # guaranteed adjacency
+        docs.append({"id": str(i), "body": " ".join(words)})
+
+    e_win = _engine(tmp_path, "win", phrase_windowed=True)
+    e_ref = _engine(tmp_path, "ref", phrase_windowed=False)
+    try:
+        cid_w = _seed(e_win, docs)
+        cid_r = _seed(e_ref, docs)
+        rd_w = e_win.read_side._reader(cid_w)
+        rd_r = e_ref.read_side._reader(cid_r)
+        rd_w.cfg._test_force_fast_path = True
+        rd_r.cfg._test_force_fast_path = True
+        # prove the windowed cache actually engages
+        sfid = next(
+            fid for fid, f in rd_w.fields.items() if f.type.name == "STRING"
+        )
+        win = rd_w._device.phrase_windowed_arrays(
+            rd_w._string[sfid].committed, rd_w.capacity
+        )
+        assert win[0] is not None, "windowed meta unavailable on this corpus"
+
+        def compare(term):
+            p = SearchParams.from_json({"term": term, "limit": 40})
+            r_w = e_win.read_side.search(cid_w, p, READ)
+            r_r = e_ref.read_side.search(cid_r, p, READ)
+            assert [h.id for h in r_w.hits] == [h.id for h in r_r.hits], term
+            np.testing.assert_allclose(
+                [h.score for h in r_w.hits],
+                [h.score for h in r_r.hits],
+                rtol=2e-6,
+            )
+
+        for term in ("cat sat", "sat mat", "dog ran tree"):
+            compare(term)  # fused single-dispatch path
+
+        # a live uncommitted doc disqualifies the fused path — the same
+        # queries now exercise the multi-dispatch committed scan (where
+        # the windowed kernel also runs) + host window merge
+        for e, cid in ((e_win, cid_w), (e_ref, cid_r)):
+            e.write_side.write(
+                cid, [{"id": "live", "body": "cat sat sky"}], WRITE
+            )
+            e.flush()
+        for term in ("cat sat", "sat mat"):
+            compare(term)
+    finally:
+        e_win.close()
+        e_ref.close()

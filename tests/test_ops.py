@@ -246,3 +246,92 @@ def test_rrf_fuse_topk_matches_dense_argsort():
         assert list(di) == list(ci), trial
         assert np.allclose(dv, cv, atol=1e-7), trial
         assert int(cnt) == int(np.sum((ft > 0) | (vec > 0))), trial
+
+
+def test_phrase_windowed_matches_docmajor():
+    """The windowed phrase kernel (Pallas window binning + page one-hot
+    matmul, ops/bm25.phrase_boost_docmajor_windowed) must reproduce
+    phrase_boost_docmajor exactly: random corpora across doc-length
+    regimes (tiny docs stress the window widths, a giant doc spans
+    multiple blocks), multi-term spans, stem/original duplicate
+    positions, PAD tail in every block shape."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from orama_core_tpu.ops import bm25 as b
+
+    for seed, lo_len, hi_len, n_docs in [
+        (1, 3, 12, 800),      # mid docs, several blocks
+        (2, 2, 6, 1200),      # short docs: wide doc windows
+        (3, 40, 90, 120),     # long docs: narrow windows
+    ]:
+        rng = np.random.default_rng(seed)
+        entries = []
+        for d in range(n_docs):
+            for p in range(int(rng.integers(lo_len, hi_len + 1))):
+                o = int(rng.integers(0, 12))
+                entries.append((d, p, o))
+                if rng.random() < 0.4:
+                    entries.append((d, p, int(rng.integers(12, 25))))
+        if seed == 3:
+            # one giant doc spanning multiple 2048-position blocks
+            for p in range(5000):
+                entries.append((n_docs, p, int(rng.integers(0, 25))))
+            n_docs += 1
+        pos_doc = np.asarray([e[0] for e in entries], np.int64)
+        positions = np.asarray([e[1] for e in entries], np.int64)
+        pos_term = np.asarray([e[2] for e in entries], np.int32)
+
+        spans = np.zeros((4, 2), np.int32)
+        spans[0] = (2, 5)
+        spans[1] = (7, 8)
+        spans[2] = (13, 16)
+
+        pp = len(entries)
+        pp_pad = -(-pp // b._PH_PB) * b._PH_PB
+        order = np.lexsort((positions, pos_doc))
+        d_col = np.full(pp_pad, b.PAD_DOC, np.int32)
+        p_col = np.zeros(pp_pad, np.int32)
+        t_col = np.zeros(pp_pad, np.int32)
+        d_col[:pp] = pos_doc[order]
+        p_col[:pp] = positions[order]
+        t_col[:pp] = pos_term[order]
+        counts = np.bincount(pos_doc, minlength=n_docs)
+        bounds = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(counts, out=bounds[1:])
+
+        meta = b.phrase_window_meta(bounds, pp, pp_pad)
+        assert meta is not None, seed
+        w_base, W, wsub = meta
+
+        ref = np.asarray(
+            b.phrase_boost_docmajor(
+                jnp.asarray(d_col), jnp.asarray(p_col), jnp.asarray(t_col),
+                jnp.asarray(bounds, jnp.int32), jnp.asarray(spans),
+                jnp.float32(2.0), n_docs=n_docs,
+            )
+        )
+        got = np.asarray(
+            b.phrase_boost_docmajor_windowed(
+                jnp.asarray(d_col), jnp.asarray(p_col), jnp.asarray(t_col),
+                jnp.asarray(w_base), jnp.asarray(spans), jnp.float32(2.0),
+                n_docs=n_docs, W=W, wsub=wsub, interpret=True,
+            )
+        )
+        bad = np.nonzero(got != ref)[0]
+        assert bad.size == 0, (seed, bad[:10], got[bad[:5]], ref[bad[:5]])
+
+
+def test_phrase_window_meta_degenerate_fallback():
+    """Corpora of one-token docs make every block span ~2048 docs — the
+    meta helper must signal fallback (None) instead of emitting windows
+    the kernel's VMEM budget cannot hold."""
+    import numpy as np
+
+    from orama_core_tpu.ops import bm25 as b
+
+    n_docs = 6000  # one position each
+    bounds = np.arange(n_docs + 1, dtype=np.int64)
+    pp = n_docs
+    pp_pad = -(-pp // b._PH_PB) * b._PH_PB
+    assert b.phrase_window_meta(bounds, pp, pp_pad) is None
