@@ -79,7 +79,7 @@ def main():
         np.random.default_rng(1).zipf(1.3, pp_real).clip(1, 50_000) - 1
     ).astype(np.int32)
 
-    PB = b._PH_PB
+    PB = b._PH_PB * b._PH_GRP
     pp_pad = -(-pp_real // PB) * PB
     d_col = np.full(pp_pad, b.PAD_DOC, np.int32)
     p_col = np.zeros(pp_pad, np.int32)

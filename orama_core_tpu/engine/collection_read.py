@@ -1960,17 +1960,26 @@ class CollectionReader:
                 )
         # batched one-dispatch fused program (ops/hybrid.py): when the
         # whole batch is expressible as static-shape groups, serving is
-        # one dispatch per posting-bucket group + one host sync
+        # one dispatch per posting-bucket group + one host sync. The
+        # batch kernel handles one committed string field and no live
+        # windows — wider shapes fall through to the per-mode batch paths
         helig = self._hybrid_fused_eligible(p0)
-        if helig is not None and all(
-            not p.facets
-            and p.limit <= 1024
-            and p.vector is None
-            and (p0.mode == SearchModeKind.VECTOR or p.term.strip())
-            for p in params_list
+        if (
+            helig is not None
+            and len(helig[1]) <= 1
+            and not helig[4]
+            and all(
+                not p.facets
+                and p.limit <= 1024
+                and p.vector is None
+                and (p0.mode == SearchModeKind.VECTOR or p.term.strip())
+                for p in params_list
+            )
         ):
+            mode, sfids, vfid, nf, _live = helig
             return self._search_batch_hybrid_fused(
-                params_list, ai_service, *helig
+                params_list, ai_service, mode,
+                sfids[0] if sfids else None, vfid, nf,
             )
         filter_mask = self._filter_mask(p0.where)
         # pad the batch dimension to a bucket: every distinct B is a separate
@@ -2874,15 +2883,23 @@ class CollectionReader:
 
     # -- fused hybrid (one dispatch per query; ops/hybrid.py) -----------------
 
+    # host-merge budget for live freshness windows on the fused path:
+    # beyond this many window entries the multi-dispatch path serves the
+    # query (the host merge is O(window) Python per query)
+    _FUSED_WINDOW_CAP = 2048
+
     def _hybrid_fused_eligible(self, params: SearchParams):
         """One-dispatch serving applies when the whole query is expressible
-        as a single static-shape program (ops/hybrid.py): committed-only
-        segments, no facets, and a filter that is at most one number
-        predicate. Covers all three modes — hybrid (one string + one
-        vector field), fulltext (one string field), and filtered vector
-        (one vector field; the unfiltered case belongs to the Pallas fast
-        path). Returns (mode, string_fid, vector_fid, (filter_fid,
-        NumberFilter)|None) or None."""
+        as a single static-shape program (ops/hybrid.py): no facets, a
+        filter that is at most one number predicate, and freshness windows
+        small enough to host-merge (<= _FUSED_WINDOW_CAP entries — they
+        ride the program as padded scatter pairs). Covers all three modes
+        — hybrid (string fields + one vector field), fulltext (any number
+        of string fields, per the reference's per-field loop
+        collection.rs:903-955), and filtered vector (one vector field;
+        the unfiltered case belongs to the Pallas fast path). Returns
+        (mode, string_fids tuple, vector_fid, (filter_fid, NumberFilter)
+        | None, windows_live bool) or None."""
         if params.facets or params.limit > 1024:
             return None
         mode = {
@@ -2892,22 +2909,36 @@ class CollectionReader:
         }[params.mode]
         if mode != "vector" and not params.term.strip():
             return None
-        sfid = vfid = None
+        sfids: Tuple[int, ...] = ()
+        vfid = None
+        live = False
         if mode != "vector":
-            sfids = [
-                fid for fid, f in self.fields.items()
-                if f.type == ValueType.STRING
-            ]
-            if len(sfids) != 1:
+            if params.properties is None:
+                cand = [
+                    fid for fid, f in self.fields.items()
+                    if f.type == ValueType.STRING
+                ]
+            else:
+                cand = []
+                for name in params.properties:
+                    fid = self.field_by_name.get(name)
+                    if fid is None or self.fields[fid].type != ValueType.STRING:
+                        return None  # let the normal path raise ValueError
+                    cand.append(fid)
+            window = 0
+            keep = []
+            for fid in cand:
+                sf = self._string[fid]
+                window += len(sf.uncommitted)
+                if not sf.uncommitted.is_empty:
+                    live = True
+                if sf.committed.n_terms or not sf.uncommitted.is_empty:
+                    keep.append(fid)
+            if not keep or window > self._FUSED_WINDOW_CAP:
                 return None
-            if params.properties is not None and params.properties != [
-                self.fields[sfids[0]].name
-            ]:
-                return None
-            sf = self._string[sfids[0]]
-            if sf.committed.n_terms == 0 or not sf.uncommitted.is_empty:
-                return None
-            sfid = sfids[0]
+            if not any(self._string[fid].committed.n_terms for fid in keep):
+                return None  # nothing committed: the window path is cheap
+            sfids = tuple(keep)
         if mode != "fulltext":
             if self.cfg.vector_index != "exact":
                 return None
@@ -2918,8 +2949,12 @@ class CollectionReader:
             if len(vfids) != 1:
                 return None
             vf = self._vector[vfids[0]]
-            if vf.committed.is_empty or not vf.uncommitted.is_empty:
+            if vf.committed.is_empty:
                 return None
+            if not vf.uncommitted.is_empty:
+                if len(vf.uncommitted.entries) > self._FUSED_WINDOW_CAP:
+                    return None
+                live = True
             vfid = vfids[0]
         nf = None
         if params.where:
@@ -2935,109 +2970,103 @@ class CollectionReader:
             ):
                 return None
             nf = (fid, filt)
-        return mode, sfid, vfid, nf
+        return mode, sfids, vfid, nf, live
 
-    def _search_hybrid_fused(
-        self,
-        params: SearchParams,
-        ai_service,
-        mode: str,
-        sfid: Optional[int],
-        vfid: Optional[int],
-        nf,
-    ) -> Tuple[List[Tuple[int, float]], int, None]:
-        from ..ops import hybrid as hybrid_ops
+    def _fused_string_field(self, fid: int, params: SearchParams, cap: int):
+        """Per-field device bundle for the fused program: (fargs, fstat,
+        window_out) — fargs/fstat as _field_fulltext_score expects,
+        window_out the field's host-scored freshness-window contributions
+        (empty dict when the window is empty). ``fargs`` is None when the
+        field has no committed postings (window-only field)."""
+        from ..ops.bm25 import (
+            BLOCK,
+            DENSE_SEL_BUCKETS,
+            aligned_blocks_needed,
+            build_block_plan,
+            build_block_plan_aligned,
+            pad_dense_sel,
+            split_spans_dense,
+        )
 
-        cap = self.capacity
-        phrase = False
-        field_boost = 1.0
-        gi_avgdl = gi_n = 1.0
-        if sfid is not None:
-            f = self.fields[sfid]
-            locale = f.locale or self.default_locale
-            tokens, stems = query_expansion(get_parser(locale), params.term)
-            committed = self._string[sfid].committed
-            gi = committed.global_info()  # windows are empty by eligibility
-            gi_avgdl, gi_n = gi.avgdl, gi.total_documents
-            token_spans, n_surf = expanded_spans(
-                committed.term_dict, tokens, stems
+        f = self.fields[fid]
+        locale = f.locale or self.default_locale
+        tokens, stems = query_expansion(get_parser(locale), params.term)
+        sf = self._string[fid]
+        committed = sf.committed
+        gi = committed.global_info() + sf.uncommitted.global_info()
+        field_boost = float(params.boost.get(f.name, 1.0))
+
+        window_out: Dict[int, float] = {}
+        if not sf.uncommitted.is_empty:
+            # unmasked, deletes kept: the in-trace alive/filter mask
+            # multiplies the merged scores — identical to the host-side
+            # skip because the mask is {0,1} per doc
+            sf.uncommitted.search(
+                tokens, field_boost, gi, None, None, window_out,
+                exact_tokens=stems,
             )
-            phrase = len(tokens) > 1
-            field_boost = float(params.boost.get(f.name, 1.0))
+        if committed.n_terms == 0:
+            return None, None, window_out
 
-            ts_host = committed.term_starts
-            from ..ops.bm25 import (
-                BLOCK,
-                DENSE_SEL_BUCKETS,
-                aligned_blocks_needed,
-                build_block_plan,
-                build_block_plan_aligned,
-                pad_dense_sel,
-                split_spans_dense,
+        token_spans, n_surf = expanded_spans(
+            committed.term_dict, tokens, stems
+        )
+        phrase = len(tokens) > 1
+        ts_host = committed.term_starts
+
+        # Zipf-head terms score via precomputed dense rows (weighted
+        # row-sum inside the fused program) instead of the scatter;
+        # light terms keep the blocked scan. Exact — see ops/bm25.py.
+        # Mesh mode keeps the scan (rows would replicate per device);
+        # live windows keep it too (rows embed avgdl, which moves with
+        # every window insert).
+        dense_rows = None
+        d_sel = d_w = None
+        if self._device._mesh is None and sf.uncommitted.is_empty:
+            dense_rows, row_by_term = self._device.dense_term_rows(
+                committed, cap, gi.avgdl
             )
-
-            # Zipf-head terms score via precomputed dense rows (weighted
-            # row-sum inside the fused program) instead of the scatter;
-            # light terms keep the blocked scan. Exact — see ops/bm25.py.
-            # Mesh mode keeps the scan (rows would replicate per device).
-            dense_rows = None
-            d_sel = d_w = None
-            if self._device._mesh is None:
-                dense_rows, row_by_term = self._device.dense_term_rows(
-                    committed, cap, gi_avgdl
+            if dense_rows is not None:
+                p_lo, p_len, sel, wsel = split_spans_dense(
+                    token_spans, ts_host, row_by_term,
+                    committed.term_df(), gi.total_documents,
                 )
-                if dense_rows is not None:
-                    p_lo, p_len, sel, wsel = split_spans_dense(
-                        token_spans, ts_host, row_by_term,
-                        committed.term_df(), gi_n,
-                    )
-                    if sel and len(sel) <= DENSE_SEL_BUCKETS[-1]:
-                        sel_a, w_a = pad_dense_sel(sel, wsel)
-                        d_sel = jnp.asarray(sel_a)
-                        d_w = jnp.asarray(w_a)
-                    else:
-                        dense_rows = None  # none selected / over bucket
-            if dense_rows is None:
-                p_lo = [int(ts_host[lo]) for lo, hi in token_spans]
-                p_len = [
-                    int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans
-                ]
+                if sel and len(sel) <= DENSE_SEL_BUCKETS[-1]:
+                    sel_a, w_a = pad_dense_sel(sel, wsel)
+                    d_sel = jnp.asarray(sel_a)
+                    d_w = jnp.asarray(w_a)
+                else:
+                    dense_rows = None  # none selected / over bucket
+        if dense_rows is None:
+            p_lo = [int(ts_host[lo]) for lo, hi in token_spans]
+            p_len = [
+                int(ts_host[hi] - ts_host[lo]) for lo, hi in token_spans
+            ]
 
-            # Pallas block-gather scan: 10.5 vs 15.2 ms per 1M-posting
-            # scan on v5e when iterations run inside one program (the
-            # earlier "parity" 25.4-vs-22.0 reading was per-dispatch relay
-            # noise; benchmarks/bm25_scan_bench.py) — default on TPU
-            bm25_pallas = self.cfg.bm25_pallas and (
-                jax.default_backend() == "tpu"
-                or getattr(self.cfg, "_test_force_fast_path", False)
+        # Pallas block-gather scan: 10.5 vs 15.2 ms per 1M-posting
+        # scan on v5e when iterations run inside one program (the
+        # earlier "parity" 25.4-vs-22.0 reading was per-dispatch relay
+        # noise; benchmarks/bm25_scan_bench.py) — default on TPU
+        bm25_pallas = self.cfg.bm25_pallas and (
+            jax.default_backend() == "tpu"
+            or getattr(self.cfg, "_test_force_fast_path", False)
+        )
+        if bm25_pallas:
+            need = aligned_blocks_needed(p_len)
+            nb = bucket_pad(max(need, 1), bm25_ops.PLAN_BUCKETS)
+            sb_a, lo_a, hi_a = build_block_plan_aligned(p_lo, p_len, nb)
+            ba_idx, ba_lo, ba_hi = (
+                jnp.asarray(sb_a), jnp.asarray(lo_a), jnp.asarray(hi_a)
             )
-            if bm25_pallas:
-                need = aligned_blocks_needed(p_len)
-                nb = bucket_pad(max(need, 1), bm25_ops.PLAN_BUCKETS)
-                sb_a, lo_a, hi_a = build_block_plan_aligned(p_lo, p_len, nb)
-                ba_idx, ba_lo, ba_hi = (
-                    jnp.asarray(sb_a), jnp.asarray(lo_a), jnp.asarray(hi_a)
-                )
-                b_starts = b_valid = np.zeros(1, np.int32)
-            else:
-                need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
-                nb = bucket_pad(max(need, 1), bm25_ops.PLAN_BUCKETS)
-                b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
-                ba_idx = ba_lo = ba_hi = jnp.zeros(1, jnp.int32)
-            (
-                d_docs, d_tf, d_ni, d_plens, _d_pos, _d_posdocs, _ts, _ps,
-            ) = self._device.string_arrays(committed)
-        else:
-            nb = 1
-            bm25_pallas = False
             b_starts = b_valid = np.zeros(1, np.int32)
-            z = jnp.zeros(1, jnp.int32)
-            zf = jnp.zeros(1, jnp.float32)
-            ba_idx = ba_lo = ba_hi = z
-            d_docs = z
-            d_tf = d_ni = d_plens = zf
-            dense_rows = None
-            d_sel = d_w = None
+        else:
+            need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
+            nb = bucket_pad(max(need, 1), bm25_ops.PLAN_BUCKETS)
+            b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
+            ba_idx = ba_lo = ba_hi = jnp.zeros(1, jnp.int32)
+        (
+            d_docs, d_tf, d_ni, d_plens, _d_pos, _d_posdocs, _ts, _ps,
+        ) = self._device.string_arrays(committed)
 
         ph_windowed = False
         ph_W = ph_wsub = 0
@@ -3075,6 +3104,55 @@ class CollectionReader:
             ph_docs = ph_poss = ph_terms = ph_bounds = ph_wbase = z
             ph_spans = jnp.zeros((1, 2), jnp.int32)
 
+        use_dense = dense_rows is not None
+        if not use_dense:
+            dense_rows = jnp.zeros((1, 1), jnp.float32)
+            d_sel = jnp.zeros(1, jnp.int32)
+            d_w = jnp.zeros(1, jnp.float32)
+        fargs = (
+            d_docs, d_tf, d_ni, d_plens,
+            jnp.asarray(b_starts), jnp.asarray(b_valid),
+            ba_idx, ba_lo, ba_hi,
+            jnp.float32(1.0 if phrase else field_boost),
+            jnp.float32(gi.avgdl), jnp.float32(gi.total_documents),
+            dense_rows, d_sel, d_w,
+            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans,
+            jnp.float32(field_boost),
+        )
+        fstat = (nb, phrase, use_dense, ph_windowed, ph_W, ph_wsub)
+        return fargs, fstat, window_out
+
+    def _search_hybrid_fused(
+        self,
+        params: SearchParams,
+        ai_service,
+        mode: str,
+        sfids: Tuple[int, ...],
+        vfid: Optional[int],
+        nf,
+        live: bool = False,
+    ) -> Tuple[List[Tuple[int, float]], int, None]:
+        from ..ops import hybrid as hybrid_ops
+
+        cap = self.capacity
+        fields = []
+        field_statics = []
+        u_ft_out: Dict[int, float] = {}
+        for fid in sfids:
+            fargs, fstat, window_out = self._fused_string_field(
+                fid, params, cap
+            )
+            if fargs is not None:
+                fields.append(fargs)
+                field_statics.append(fstat)
+            for doc, s in window_out.items():
+                u_ft_out[doc] = u_ft_out.get(doc, 0.0) + s
+        bm25_pallas = self.cfg.bm25_pallas and (
+            jax.default_backend() == "tpu"
+            or getattr(self.cfg, "_test_force_fast_path", False)
+        )
+
+        u_vec_out: Dict[int, float] = {}
         if vfid is not None:
             vf = self._vector[vfid]
             raw_vec = params.vector if mode == "vector" else None
@@ -3090,11 +3168,30 @@ class CollectionReader:
                 self.fields[vfid].model, params.term, ai_service, raw_vec
             )
             q_dev = jnp.asarray(qn, jnp.float32)
+            if not vf.uncommitted.is_empty:
+                vf.uncommitted.search(qn, None, None, u_vec_out)
         else:
             vecs = jnp.zeros((1, 1), jnp.float32)
             vec_docs = jnp.zeros(1, jnp.int32)
             vec_valid = jnp.zeros(1, jnp.float32)
             q_dev = jnp.zeros(1, jnp.float32)
+
+        u_ft = bool(u_ft_out)
+        u_vec = bool(u_vec_out)
+        if u_ft:
+            u_ft_idx, u_ft_vals = self._padded_scatter(
+                list(u_ft_out.keys()), list(u_ft_out.values())
+            )
+        else:
+            u_ft_idx = jnp.zeros(1, jnp.int32)
+            u_ft_vals = jnp.zeros(1, jnp.float32)
+        if u_vec:
+            u_vec_idx, u_vec_vals = self._padded_scatter(
+                list(u_vec_out.keys()), list(u_vec_out.values())
+            )
+        else:
+            u_vec_idx = jnp.zeros(1, jnp.int32)
+            u_vec_vals = jnp.zeros(1, jnp.float32)
 
         alive = self._alive_mask_device()
         masked = bool(params.where) or bool(self.deleted)
@@ -3123,30 +3220,20 @@ class CollectionReader:
             lx = hx = jnp.array(True)
 
         k = min(bucket_pad(params.limit, (16, 128, 1024)), cap)
-        use_dense = dense_rows is not None
-        if not use_dense:
-            dense_rows = jnp.zeros((1, 1), jnp.float32)
-            d_sel = jnp.zeros(1, jnp.int32)
-            d_w = jnp.zeros(1, jnp.float32)
         vals, idx, count = jax.device_get(
-            hybrid_ops.hybrid_fused_topk(
-                d_docs, d_tf, d_ni, d_plens,
-                jnp.asarray(b_starts), jnp.asarray(b_valid),
-                ba_idx, ba_lo, ba_hi,
-                jnp.float32(1.0 if phrase else field_boost),
-                jnp.float32(gi_avgdl), jnp.float32(gi_n),
-                dense_rows, d_sel, d_w,
-                ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans,
-                jnp.float32(field_boost),
+            hybrid_ops.hybrid_fused_topk_mf(
+                tuple(fields),
+                u_ft_idx, u_ft_vals, u_vec_idx, u_vec_vals,
                 vecs, vec_docs, vec_valid, q_dev,
                 alive, nvals, ndocs, nvalid, lo, hi, lx, hx,
-                n_docs=cap, n_blocks=nb, k=k,
+                n_docs=cap, k=k,
                 fusion=(
                     "minmax" if params.fusion == HybridFusion.MINMAX else "rrf"
                 ),
-                phrase=phrase, nf=kind, masked=masked, mode=mode,
-                bm25_pallas=bm25_pallas, dense=use_dense,
-                ph_windowed=ph_windowed, ph_W=ph_W, ph_wsub=ph_wsub,
+                nf=kind, masked=masked, mode=mode,
+                bm25_pallas=bm25_pallas,
+                field_statics=tuple(field_statics),
+                u_ft=u_ft, u_vec=u_vec,
                 interpret=jax.default_backend() != "tpu",
             )
         )

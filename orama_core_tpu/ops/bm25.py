@@ -623,7 +623,7 @@ def phrase_window_meta(doc_bounds, pp: int, pp_pad: int):
     (W > _PH_W_CAP or Wsub > _PH_WSUB_CAP)."""
     import numpy as np
 
-    if pp_pad % _PH_PB != 0 or pp <= 0:
+    if pp_pad % (_PH_PB * _PH_GRP) != 0 or pp <= 0:
         return None
     nb = pp_pad // _PH_PB
 
@@ -660,44 +660,49 @@ def phrase_window_meta(doc_bounds, pp: int, pp_pad: int):
     return w_base, W, wsub
 
 
+# stream blocks handled per Pallas grid step: the output tile becomes a
+# legal (8, 2W) block (sublane 8, lane 128k) without any sublane/lane
+# reshape — Mosaic rejects shape casts that merge sublanes into lanes
+# ("infer-vector-layout: unsupported shape cast"), so every kernel value
+# is built in its final 3D layout from broadcasted iotas.
+_PH_GRP = 8
+
+
 def _phrase_window_kernel(W: int, wsub: int):
     def kernel(wb_ref, docs_ref, any_ref, seq_ref, any_out, seq_out):
         i = pl.program_id(0)
-        wb = wb_ref[i]
-        d = docs_ref[0]                      # (SUB, SUBLEN) int32
-        rel = d - wb                         # valid values in [0, 2W)
-        off = jnp.min(rel, axis=1)           # (SUB,) sorted => first = min
-        # stage 1: bin each sub-run into its [off, off+wsub) doc window.
-        # Pad elements have rel huge => tgt >= wsub (or the whole sub-run
-        # is pad: tgt == 0 but contribs are 0) — they never contribute.
-        tgt = rel - off[:, None]             # (SUB, SUBLEN)
-        wi = jax.lax.broadcasted_iota(
+        wi3 = jax.lax.broadcasted_iota(
             jnp.int32, (_PH_SUB, wsub, _PH_SUBLEN), 1
         )
-        eq3 = tgt[:, None, :] == wi          # (SUB, wsub, SUBLEN)
-        mini_a = jnp.sum(
-            jnp.where(eq3, any_ref[0][:, None, :], 0.0), axis=2
-        )                                    # (SUB, wsub)
-        mini_s = jnp.sum(
-            jnp.where(eq3, seq_ref[0][:, None, :], 0.0), axis=2
-        )
-        # stage 2: shift sub-run windows into the block's 2W window.
-        # off for all-pad sub-runs is huge; the + wi2 wraps, never matching
-        # v in [0, 2W).
-        wi2 = jax.lax.broadcasted_iota(jnp.int32, (_PH_SUB, wsub), 1)
-        tgt2 = (off[:, None] + wi2).reshape(_PH_SUB * wsub, 1)
-        vi = jax.lax.broadcasted_iota(
-            jnp.int32, (_PH_SUB * wsub, 2 * W), 1
-        )
-        eq2 = tgt2 == vi                     # (SUB*wsub, 2W)
-        # outputs are blocked (1, 8, 2W/8) — Mosaic requires the last two
-        # block dims be (8k, 128k) or equal the array dims
-        any_out[0] = jnp.sum(
-            jnp.where(eq2, mini_a.reshape(_PH_SUB * wsub, 1), 0.0), axis=0
-        ).reshape(8, (2 * W) // 8)
-        seq_out[0] = jnp.sum(
-            jnp.where(eq2, mini_s.reshape(_PH_SUB * wsub, 1), 0.0), axis=0
-        ).reshape(8, (2 * W) // 8)
+        wi2 = jax.lax.broadcasted_iota(jnp.int32, (_PH_SUB, wsub, 2 * W), 1)
+        vi2 = jax.lax.broadcasted_iota(jnp.int32, (_PH_SUB, wsub, 2 * W), 2)
+        for j in range(_PH_GRP):             # static unroll
+            wb = wb_ref[i * _PH_GRP + j]
+            rel3 = (docs_ref[j] - wb)[:, None, :]   # (SUB, 1, SUBLEN)
+            # sorted stream => first doc of the sub-run is the min
+            off3 = jnp.min(rel3, axis=2, keepdims=True)  # (SUB, 1, 1)
+            # stage 1: bin each sub-run into its [off, off+wsub) window.
+            # Pad elements have rel huge => rel-off >= wsub (or the whole
+            # sub-run is pad: rel-off == 0 but contribs are 0).
+            eq3 = (rel3 - off3) == wi3       # (SUB, wsub, SUBLEN)
+            mini_a = jnp.sum(
+                jnp.where(eq3, any_ref[j][:, None, :], 0.0),
+                axis=2, keepdims=True,
+            )                                # (SUB, wsub, 1)
+            mini_s = jnp.sum(
+                jnp.where(eq3, seq_ref[j][:, None, :], 0.0),
+                axis=2, keepdims=True,
+            )
+            # stage 2: shift sub-run windows into the block's 2W window:
+            # target lane v = off + w  <=>  v - w == off. off for all-pad
+            # sub-runs is huge and never matches v in [0, 2W).
+            eq2 = (vi2 - wi2) == off3        # (SUB, wsub, 2W)
+            any_out[j, :] = jnp.sum(
+                jnp.where(eq2, mini_a, 0.0), axis=(0, 1)
+            )
+            seq_out[j, :] = jnp.sum(
+                jnp.where(eq2, mini_s, 0.0), axis=(0, 1)
+            )
 
     return kernel
 
@@ -723,7 +728,9 @@ def phrase_boost_docmajor_windowed(
     from jax.experimental.pallas import tpu as _pltpu
 
     pp = docs.shape[0]
-    assert pp % _PH_PB == 0, "pad the phrase stream to a _PH_PB multiple"
+    assert pp % (_PH_PB * _PH_GRP) == 0, (
+        "pad the phrase stream to a _PH_PB*_PH_GRP multiple"
+    )
     nb = pp // _PH_PB
     anyc, seqc = _phrase_group_flags(docs, poss, terms, spans)
 
@@ -736,28 +743,26 @@ def phrase_boost_docmajor_windowed(
 
     grid_spec = _pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nb // _PH_GRP,),
         in_specs=[
-            pl.BlockSpec((1, _PH_SUB, _PH_SUBLEN), plane),
-            pl.BlockSpec((1, _PH_SUB, _PH_SUBLEN), plane),
-            pl.BlockSpec((1, _PH_SUB, _PH_SUBLEN), plane),
+            pl.BlockSpec((_PH_GRP, _PH_SUB, _PH_SUBLEN), plane),
+            pl.BlockSpec((_PH_GRP, _PH_SUB, _PH_SUBLEN), plane),
+            pl.BlockSpec((_PH_GRP, _PH_SUB, _PH_SUBLEN), plane),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, (2 * W) // 8), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((1, 8, (2 * W) // 8), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((_PH_GRP, 2 * W), lambda i, wb: (i, 0)),
+            pl.BlockSpec((_PH_GRP, 2 * W), lambda i, wb: (i, 0)),
         ],
     )
     win_a, win_s = pl.pallas_call(
         _phrase_window_kernel(W, wsub),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nb, 8, (2 * W) // 8), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 8, (2 * W) // 8), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 2 * W), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 2 * W), jnp.float32),
         ],
         interpret=interpret,
     )(w_base, d3, a3, s3)
-    win_a = win_a.reshape(nb, 2 * W)
-    win_s = win_s.reshape(nb, 2 * W)
 
     # stage 3: page combine. Each block's 2W window covers exactly pages
     # (w_base/W, w_base/W + 1); rows are page-aligned by construction, so

@@ -292,3 +292,92 @@ def test_phrase_windowed_engine_parity(tmp_path):
     finally:
         e_win.close()
         e_ref.close()
+
+
+def test_multifield_live_window_fused_parity(tmp_path):
+    """Title+body collections with a live freshness window — the
+    reference's default multi-field shape (collection.rs:903-955) — must
+    serve through the ONE-dispatch fused program (hybrid_fused_topk_mf)
+    with scores identical to the multi-dispatch chain, across fulltext /
+    hybrid / filtered modes, boosts, and phrase terms."""
+    import jax
+    import numpy as np
+
+    from orama_core_tpu.ops import topk as topk_ops
+
+    engine = _engine(tmp_path, "mf")
+    try:
+        rng = np.random.default_rng(3)
+        vocab = ["solar", "wind", "panel", "turbine", "cake", "flour",
+                 "quantum", "laser"]
+        docs = []
+        for i in range(80):
+            docs.append({
+                "id": str(i),
+                "title": " ".join(rng.choice(vocab, size=3)),
+                "body": " ".join(rng.choice(vocab, size=10)),
+                "price": float(i % 10),
+            })
+        cid = _seed(engine, docs)
+        # live window on both string fields + the vector field
+        engine.write_side.write(cid, [
+            # no "price": the number filter leg requires an empty number
+            # window (eligibility keeps filters committed-only)
+            {"id": "w1", "title": "solar wind", "body": "solar panel wind"},
+            {"id": "w2", "title": "cake", "body": "flour cake quantum"},
+        ], WRITE)
+        engine.flush()
+
+        reader = engine.read_side._reader(cid)
+        ai = engine.read_side.ai
+        for body in (
+            {"term": "solar", "mode": "fulltext"},
+            {"term": "solar wind", "mode": "fulltext"},     # phrase
+            {"term": "cake", "mode": "fulltext",
+             "boost": {"title": 3.0}},
+            {"term": "solar panel", "mode": "hybrid"},
+            {"term": "quantum", "mode": "hybrid",
+             "where": {"price": {"lte": 5}}},
+            {"term": "wind", "mode": "fulltext",
+             "properties": ["title"]},
+        ):
+            p = SearchParams.from_json(dict(body, limit=64))
+            helig = reader._hybrid_fused_eligible(p)
+            assert helig is not None, body
+            mode, sfids, vfid, nf, live = helig
+            assert live, body
+            if "properties" not in body and mode != "vector":
+                assert len(sfids) == 2, body
+            ranked_f, count_f, _ = reader._search_hybrid_fused(
+                p, ai, *helig
+            )
+            scores = reader.search_scores(p, ai)
+            vals, idx, count = jax.device_get(
+                topk_ops.topk_with_count(scores, 64)
+            )
+            ranked = [
+                (int(d), float(s)) for d, s in zip(idx, vals) if s > 0.0
+            ]
+            assert count_f == int(count), body
+            assert [d for d, _ in ranked_f] == [d for d, _ in ranked], body
+            np.testing.assert_allclose(
+                [s for _, s in ranked_f], [s for _, s in ranked],
+                rtol=2e-5, err_msg=str(body),
+            )
+
+        # end-to-end: the serving layer actually takes the fused path
+        calls = []
+        orig = reader._search_hybrid_fused
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        reader._search_hybrid_fused = spy
+        res = engine.read_side.search(
+            cid, SearchParams.from_json({"term": "solar wind"}), READ
+        )
+        assert calls and res.count > 0
+        assert any(h.id == "w1" for h in res.hits)  # window doc surfaced
+    finally:
+        engine.close()

@@ -485,11 +485,24 @@ def test_hybrid_fused_single_dispatch_parity(tmp_path):
              "facets": {"price": {"ranges": [{"from": 0, "to": 9}]}}}
         )
         assert reader._hybrid_fused_eligible(p) is None
-        e.write_side.write("c", [{"id": "9", "body": "fresh", "price": 9}], "wk")
+        e.write_side.write("c", [{"id": "9", "body": "fresh solar", "price": 9}], "wk")
         e.flush()
         p = SearchParams.from_json({"term": "solar", "mode": "hybrid"})
-        assert reader._hybrid_fused_eligible(p) is None  # live window
-        r = e.read_side.search("c", p, "rk")  # falls back, still correct
+        # live windows are fused-served since r4: host-merged scatter pairs
+        # ride the one-dispatch program (parity vs the multi-dispatch chain)
+        helig = reader._hybrid_fused_eligible(p)
+        assert helig is not None and helig[4] is True
+        ranked_f, count_f, _ = reader._search_hybrid_fused(p, ai, *helig)
+        scores = reader.search_scores(p, ai)
+        vals, idx, count = jax.device_get(
+            topk_ops.topk_with_count(scores, min(p.limit, reader.capacity))
+        )
+        ranked = [(int(d), float(s)) for d, s in zip(idx, vals) if s > 0.0]
+        assert count_f == int(count)
+        assert [d for d, _ in ranked_f] == [d for d, _ in ranked]
+        for (_, s1), (_, s2) in zip(ranked_f, ranked):
+            assert abs(s1 - s2) < 1e-5
+        r = e.read_side.search("c", p, "rk")
         assert r.count >= 1
     finally:
         e.close()

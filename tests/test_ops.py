@@ -288,7 +288,7 @@ def test_phrase_windowed_matches_docmajor():
         spans[2] = (13, 16)
 
         pp = len(entries)
-        pp_pad = -(-pp // b._PH_PB) * b._PH_PB
+        pp_pad = -(-pp // (b._PH_PB * b._PH_GRP)) * (b._PH_PB * b._PH_GRP)
         order = np.lexsort((positions, pos_doc))
         d_col = np.full(pp_pad, b.PAD_DOC, np.int32)
         p_col = np.zeros(pp_pad, np.int32)
@@ -333,5 +333,5 @@ def test_phrase_window_meta_degenerate_fallback():
     n_docs = 6000  # one position each
     bounds = np.arange(n_docs + 1, dtype=np.int64)
     pp = n_docs
-    pp_pad = -(-pp // b._PH_PB) * b._PH_PB
+    pp_pad = -(-pp // (b._PH_PB * b._PH_GRP)) * (b._PH_PB * b._PH_GRP)
     assert b.phrase_window_meta(bounds, pp, pp_pad) is None
