@@ -36,9 +36,26 @@ def _field_fulltext_score(
 ):
     """One string field's dense BM25 scores inside a fused trace: blocked
     posting scan (XLA or Pallas) + optional dense Zipf-head rows +
-    optional phrase multiplier. ``fargs`` is the per-field array bundle
-    (see hybrid_fused_topk's parameter comments), ``fstat`` the per-field
-    statics (n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub)."""
+    optional phrase multiplier. ``fstat`` is the per-field statics
+    (n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub); ``fargs`` the
+    per-field array bundle:
+
+      post_docs/tf/ni/lens      committed postings (cache: string_arrays)
+      b_starts, b_valid         int32[n_blocks] unaligned plan (XLA scan)
+      ba_idx, ba_lo, ba_hi      int32[n_blocks] aligned plan (Pallas scan)
+      bm25_boost                f32[] (1.0 when phrase: boost rides the
+                                phrase kernel instead)
+      avgdl, nfd                f32[] shared global info (committed +
+                                uncommitted, collection.rs:930-951)
+      dense_rows, d_sel, d_w    Zipf-head dense g rows + selection
+                                (cache: dense_term_rows; dummies unless
+                                dense — see ops/bm25.py dense section)
+      ph_docs/poss/terms        doc-major position stream (cache:
+                                phrase_docmajor/windowed_arrays)
+      ph_bounds                 per-doc CSR (cumsum reduction only)
+      ph_wbase                  per-block window base (windowed only)
+      ph_spans, ph_boost        matched term-id ranges + user boost
+    """
     (
         post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
         ba_idx, ba_lo, ba_hi, bm25_boost, avgdl, nfd,
@@ -180,109 +197,6 @@ def hybrid_fused_topk_mf(
     count = jnp.sum(fused > 0).astype(jnp.int32)
     return vals, idx.astype(jnp.int32), count
 
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_docs", "n_blocks", "k", "fusion", "phrase", "nf", "masked",
-        "mode", "bm25_pallas", "dense", "ph_windowed", "ph_W",
-        "ph_wsub", "interpret",
-    ),
-)
-def hybrid_fused_topk(
-    # committed postings (device cache: string_arrays)
-    post_docs, post_tf, post_ni, post_lens,
-    b_starts, b_valid,          # int32[n_blocks] unaligned plan (XLA path)
-    ba_idx, ba_lo, ba_hi,       # int32[n_blocks] aligned plan (Pallas path)
-    bm25_boost,                 # f32[] (1.0 when phrase: boost rides the kernel)
-    avgdl, nfd,                 # f32[] global info
-    # dense Zipf-head term rows (device cache: dense_term_rows; dummies
-    # when dense=False): rows f32[H, n_docs], sel int32[S], w f32[S] —
-    # heavy terms score as boost * sum_s w[s] * rows[sel[s]] (a weighted
-    # dense row-sum at HBM bandwidth) instead of the per-posting scatter.
-    # See ops/bm25.py "dense term rows" section for the derivation.
-    dense_rows, d_sel, d_w,
-    # phrase stream (device cache: phrase_docmajor_arrays /
-    # phrase_windowed_arrays; dummies when phrase=False — unused args are
-    # dropped by XLA). ph_wbase is the windowed reduction's per-block
-    # window base (dummy unless ph_windowed).
-    ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans, ph_boost,
-    # committed vectors (device cache: vector_arrays)
-    vecs, vec_docs, vec_valid, query,
-    # masks/filters
-    alive_mask,
-    nf_vals, nf_docs, nf_valid,   # number filter columns (dummies if nf=none)
-    nf_lo, nf_hi, nf_lx, nf_hx,   # f32[]/bool[] bounds
-    *,
-    n_docs: int,
-    n_blocks: int,
-    k: int,
-    fusion: str,       # "rrf" | "minmax"
-    phrase: bool,
-    nf: str,           # "none" | "range" | "eq"
-    masked: bool,      # multiply ft by the mask (where-filters or deletes)
-    mode: str = "hybrid",  # "hybrid" | "fulltext" | "vector"
-    bm25_pallas: bool = False,  # Pallas block-gather scan (TPU)
-    dense: bool = False,  # heavy terms via precomputed dense rows
-    ph_windowed: bool = False,  # windowed phrase reduction (TPU)
-    ph_W: int = 0,       # static block window width (ph_windowed)
-    ph_wsub: int = 0,    # static sub-run window width (ph_windowed)
-    interpret: bool = False,
-):
-    if nf == "range":
-        m = filter_ops.number_range_mask(
-            nf_vals, nf_docs, nf_valid, nf_lo, nf_hi, nf_lx, nf_hx,
-            n_docs=n_docs,
-        )
-        mask = filter_ops.combine_masks(alive_mask, m)
-    elif nf == "eq":
-        m = filter_ops.number_eq_mask(
-            nf_vals, nf_docs, nf_valid, nf_lo, n_docs=n_docs
-        )
-        mask = filter_ops.combine_masks(alive_mask, m)
-    else:
-        mask = alive_mask
-    if mode != "vector":
-        fargs = (
-            post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
-            ba_idx, ba_lo, ba_hi, bm25_boost, avgdl, nfd,
-            dense_rows, d_sel, d_w,
-            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans,
-            ph_boost,
-        )
-        fstat = (n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub)
-        ft = _field_fulltext_score(
-            fargs, fstat, n_docs=n_docs, bm25_pallas=bm25_pallas,
-            interpret=interpret,
-        )
-        if masked:
-            ft = ft * mask
-    if mode != "fulltext":
-        # a [P, D] x [D] matvec lowers to a slow VPU walk on TPU (~27 ms
-        # at 1M x 384); pad the query to 8 MXU lanes and take lane 0 —
-        # same HBM traffic, MXU-tiled (~5x faster)
-        q8 = jnp.zeros((8, query.shape[0]), query.dtype).at[0].set(query)
-        sims8 = jnp.dot(
-            vecs, q8.T.astype(vecs.dtype), preferred_element_type=jnp.float32
-        )                                                   # [P, 8]
-        sims = jnp.maximum(sims8[:, 0], 0.0) * vec_valid
-        vec = (
-            jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs) * mask
-        )
-    if mode == "fulltext":
-        fused = ft
-    elif mode == "vector":
-        fused = vec
-    else:
-        if fusion == "rrf":
-            # candidate-exact RRF: no dense argsorts (31.6 -> ~5 ms at 1M)
-            from .fusion import rrf_candidate_count, rrf_fuse_topk
-
-            return rrf_fuse_topk(ft, vec, k, rrf_candidate_count(k))
-        fused = minmax_fuse(ft, vec)
-    vals, idx = jax.lax.top_k(fused, k)
-    count = jnp.sum(fused > 0).astype(jnp.int32)
-    return vals, idx.astype(jnp.int32), count
 
 
 @functools.partial(
