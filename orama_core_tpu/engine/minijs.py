@@ -20,9 +20,15 @@ Supported subset (everything a realistic embedding-selection hook uses):
     binary `+ - * / % == != === !== < <= > >= && || ??`, assignment
     `= += -= *= /= %=`, `++`/`--` (prefix and postfix)
   - methods: string toLowerCase/toUpperCase/trim/includes/startsWith/endsWith/
-    split/slice/concat/replace; array includes/filter/map/join/slice/concat/
-    flat/indexOf/push/length; Object.keys/values/entries, Array.isArray,
-    JSON.stringify/parse, String(), Number(), Boolean()
+    split/slice/concat/replace/match/search; array includes/filter/map/join/
+    slice/concat/flat/indexOf/push/length; number toFixed/toString;
+    Object.keys/values/entries, Array.isArray, JSON.stringify/parse,
+    String(), Number(), Boolean(), Math.min/max/abs/floor/ceil/round/...
+  - classes: `class Name [extends Base] { constructor/methods/static/get }`,
+    `new`, `this` (lexical in arrows), `super(...)` / `super.m(...)`
+  - regex literals `/pat/gims` with .test/.exec/.source/.flags, and
+    regex-aware string match/replace/replaceAll/split/search. Pattern
+    syntax is Python `re` (identical over the practical JS subset).
 
 Anything outside the subset raises MiniJsError — callers fall back to the
 other hook tiers (engine/hooks.py). Step/recursion budgets raise
@@ -78,6 +84,7 @@ _KEYWORDS = {
     "function", "return", "if", "else", "const", "let", "var", "true",
     "false", "null", "undefined", "typeof", "for", "while", "do", "break",
     "continue", "try", "catch", "finally", "throw", "of", "in",
+    "class", "new", "this",
 }
 
 
@@ -140,6 +147,48 @@ def _scan_template(src: str, i: int) -> Tuple[str, int]:
     raise MiniJsError("unterminated template literal")
 
 
+def _scan_regex(src: str, i: int) -> Tuple[str, int]:
+    """src[i] is '/' starting a regex literal; return (raw /pat/flags,
+    index past the flags), honoring escapes and character classes."""
+    j = i + 1
+    in_class = False
+    while j < len(src):
+        c = src[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "/" and not in_class:
+            k = j + 1
+            while k < len(src) and src[k] in "gimsuy":
+                k += 1
+            return src[i:k], k
+        elif c == "\n":
+            break
+        j += 1
+    raise MiniJsError("unterminated regex literal")
+
+
+# a '/' is a division only when the previous token can END a value;
+# otherwise it opens a regex literal (the standard lexer heuristic)
+_VALUE_END_PUNCT = {")", "]", "++", "--"}
+_VALUE_END_KW = {"this", "true", "false", "null", "undefined"}
+
+
+def _regex_position(out: List[Tuple[str, str]]) -> bool:
+    if not out:
+        return True
+    k, t = out[-1]
+    if k in ("num", "str", "tmpl", "name", "regex"):
+        return False
+    if k == "kw":
+        return t not in _VALUE_END_KW
+    return t not in _VALUE_END_PUNCT
+
+
 def _tokenize(src: str) -> List[Tuple[str, str]]:
     out: List[Tuple[str, str]] = []
     i = 0
@@ -149,6 +198,12 @@ def _tokenize(src: str) -> List[Tuple[str, str]]:
             # nested `${`...`}` would end a regex-matched token early
             raw, i = _scan_template(src, i)
             out.append(("tmpl", raw))
+            continue
+        if src[i] == "/" and src[i + 1 : i + 2] not in ("/", "*") and (
+            _regex_position(out)
+        ):
+            raw, i = _scan_regex(src, i)
+            out.append(("regex", raw))
             continue
         m = _TOKEN_RE.match(src, i)
         if m is None:
@@ -215,14 +270,23 @@ class _Parser:
         k, t = self.peek()
         if t == "function":
             return self.parse_function_decl()
+        if t == "class":
+            return self.parse_class()
         if t in ("const", "let", "var"):
             self.next()
-            _, name = self.next()
-            init = _UNDEFINED
-            if self.eat("="):
-                init = self.parse_expression()
+            decls = []
+            while True:
+                _, name = self.next()
+                init = _UNDEFINED
+                if self.eat("="):
+                    init = self.parse_expression()
+                decls.append((name, init))
+                if not self.eat(","):
+                    break
             self.eat(";")
-            return ("decl", name, init)
+            if len(decls) == 1:
+                return ("decl", decls[0][0], decls[0][1])
+            return ("decls", decls)
         if t == "return":
             self.next()
             if self.at(";") or self.at("}"):
@@ -325,6 +389,49 @@ class _Parser:
         update = None if self.at(")") else self.parse_expression()
         self.expect(")")
         return ("for", init, cond, update, self.parse_statement())
+
+    def parse_class(self) -> Any:
+        """class Name [extends Base] { constructor/methods/static/get }.
+        Members become ("classdecl", name, base_expr|None, ctor|None,
+        methods, statics, getters) — method values are plain closure
+        bodies (params, body)."""
+        self.expect("class")
+        _, name = self.next()
+        base = None
+        if self.at("extends"):
+            self.next()
+            base = self.parse_postfix(self.parse_primary())
+        self.expect("{")
+        ctor = None
+        methods: Dict[str, Any] = {}
+        statics: Dict[str, Any] = {}
+        getters: Dict[str, Any] = {}
+        while not self.eat("}"):
+            if self.eat(";"):
+                continue
+            is_static = False
+            if self.at("static"):
+                self.next()
+                is_static = True
+            is_getter = False
+            if self.at("get") and self.toks[self.i + 1][1] != "(":
+                self.next()
+                is_getter = True
+            _, mname = self.next()
+            params = self.parse_params()
+            self.expect("{")
+            body = []
+            while not self.eat("}"):
+                body.append(self.parse_statement())
+            if mname == "constructor" and not is_static and not is_getter:
+                ctor = (params, body)
+            elif is_getter:
+                getters[mname] = (params, body)
+            elif is_static:
+                statics[mname] = (params, body)
+            else:
+                methods[mname] = (params, body)
+        return ("classdecl", name, base, ctor, methods, statics, getters)
 
     def parse_function_decl(self) -> Any:
         self.expect("function")
@@ -435,6 +542,8 @@ class _Parser:
             return ("lit", _unescape(t[1:-1]))
         if k == "tmpl":
             return self.parse_template(t)  # token carries the inner text
+        if k == "regex":
+            return ("regexlit", t)
         if k == "kw":
             if t == "true":
                 return ("lit", True)
@@ -444,6 +553,20 @@ class _Parser:
                 return ("lit", None)
             if t == "undefined":
                 return ("lit", _UNDEFINED)
+            if t == "this":
+                return ("this",)
+            if t == "new":
+                # new Ctor(.member)*(args)
+                target = self.parse_primary()
+                while self.eat("."):
+                    _, nm = self.next()
+                    target = ("member", target, ("lit", nm), False)
+                args = []
+                if self.eat("("):
+                    while not self.eat(")"):
+                        args.append(self.parse_expression())
+                        self.eat(",")
+                return ("new", target, args)
             raise MiniJsError(f"unexpected keyword {t!r}")
         if k == "name":
             # arrow fn:  name => expr
@@ -543,6 +666,91 @@ def _unescape(s: str) -> str:
 # --- evaluator ------------------------------------------------------------------
 
 
+class _JsClass:
+    """A class declaration's runtime value: methods are (params, body)
+    pairs closed over ``env``; lookup walks the parent chain."""
+
+    def __init__(self, name, parent, ctor, methods, statics, getters, env):
+        self.name = name
+        self.parent = parent          # _JsClass | None
+        self.ctor = ctor              # (params, body) | None
+        self.methods = methods
+        self.statics = statics
+        self.getters = getters
+        self.env = env
+
+    def find_method(self, name):
+        c = self
+        while c is not None:
+            m = c.methods.get(name)
+            if m is not None:
+                return m, c
+            c = c.parent
+        return None, None
+
+    def find_getter(self, name):
+        c = self
+        while c is not None:
+            g = c.getters.get(name)
+            if g is not None:
+                return g, c
+            c = c.parent
+        return None, None
+
+    def find_ctor(self):
+        c = self
+        while c is not None:
+            if c.ctor is not None:
+                return c.ctor, c
+            c = c.parent
+        return None, None
+
+
+class _JsObject(dict):
+    """A class instance: a plain JS object (dict) plus a class pointer —
+    dict subclassing keeps every existing object path (member access,
+    assignment, JSON.stringify, _strip_undefined) working unchanged."""
+
+    __slots__ = ("cls",)
+
+
+class _JsRegex:
+    """A /pattern/flags literal. Pattern syntax is Python ``re`` (the
+    practical JS subset is identical); i/m/s translate to flags, g drives
+    match/replace globality, u/y accepted and ignored."""
+
+    def __init__(self, raw: str) -> None:
+        body, _, flags = raw.rpartition("/")
+        self.source = body[1:]
+        self.flags_js = flags
+        self.g = "g" in flags
+        f = 0
+        if "i" in flags:
+            f |= re.IGNORECASE
+        if "m" in flags:
+            f |= re.MULTILINE
+        if "s" in flags:
+            f |= re.DOTALL
+        try:
+            self.rx = re.compile(self.source, f)
+        except re.error as ex:
+            raise MiniJsError(f"bad regex literal: {ex}")
+
+    @staticmethod
+    def _match_array(m: "re.Match") -> List[Any]:
+        return [m.group(0)] + [
+            (g if g is not None else _UNDEFINED) for g in m.groups()
+        ]
+
+    def repl_py(self, repl: str) -> str:
+        """JS $-replacement -> Python re template ($1..$9, $&, $$)."""
+        out = repl.replace("\\", "\\\\")
+        out = out.replace("$$", "\x00DOLLAR\x00")
+        out = re.sub(r"\$(\d)", r"\\\1", out)
+        out = out.replace("$&", "\\g<0>")
+        return out.replace("\x00DOLLAR\x00", "$")
+
+
 class _Env:
     __slots__ = ("vars", "parent")
 
@@ -617,6 +825,27 @@ def _js_str(v: Any) -> str:
     return str(v)
 
 
+import math as _math
+
+_MATH_FNS: Dict[str, Callable] = {
+    "min": lambda *a: min(a) if a else float("inf"),
+    "max": lambda *a: max(a) if a else float("-inf"),
+    "abs": abs,
+    "floor": lambda x: int(_math.floor(x)),
+    "ceil": lambda x: int(_math.ceil(x)),
+    "round": lambda x: int(_math.floor(x + 0.5)),  # JS half-up, not banker's
+    "trunc": lambda x: int(x),
+    "sqrt": _math.sqrt,
+    "pow": lambda a, b: a ** b,
+    "log": _math.log,
+    "log2": _math.log2,
+    "log10": _math.log10,
+    "exp": _math.exp,
+    "sign": lambda x: (x > 0) - (x < 0),
+    "hypot": _math.hypot,
+}
+
+
 class _Interp:
     MAX_STEPS = 200_000
     MAX_DEPTH = 64
@@ -640,6 +869,13 @@ class _Interp:
         op = s[0]
         if op == "decl":
             env.set(s[1], self.eval(s[2], env) if s[2] is not _UNDEFINED else _UNDEFINED)
+        elif op == "decls":
+            for name, init in s[1]:
+                env.set(
+                    name,
+                    self.eval(init, env) if init is not _UNDEFINED
+                    else _UNDEFINED,
+                )
         elif op == "return":
             raise _Return(self.eval(s[1], env))
         elif op == "if":
@@ -653,6 +889,16 @@ class _Interp:
             self.eval(s[1], env)
         elif op == "funcdecl":
             env.set(s[1], ("closure", s[2], s[3], env))
+        elif op == "classdecl":
+            _, name, base_e, ctor, methods, statics, getters = s
+            parent = None
+            if base_e is not None:
+                parent = self.eval(base_e, env)
+                if not isinstance(parent, _JsClass):
+                    raise MiniJsError("extends target is not a class")
+            env.set(name, _JsClass(
+                name, parent, ctor, methods, statics, getters, env
+            ))
         elif op == "while":
             while _truthy(self.eval(s[1], env)):
                 self.tick()
@@ -811,6 +1057,25 @@ class _Interp:
             return self.eval_call(e, env)
         if op == "arrow":
             return ("closure", e[1], e[2], env)
+        if op == "this":
+            return env.get("this")
+        if op == "regexlit":
+            return _JsRegex(e[1])
+        if op == "new":
+            cls = self.eval(e[1], env)
+            if not isinstance(cls, _JsClass):
+                raise MiniJsError("new target is not a class")
+            inst = _JsObject()
+            inst.cls = cls
+            args = [self.eval(a, env) for a in e[2]]
+            found = cls.find_ctor()
+            if found[0] is not None:
+                (params, body), owner = found
+                self._call_body(
+                    params, body, owner.env, args,
+                    this=inst, superclass=owner.parent,
+                )
+            return inst
         raise MiniJsError(f"unsupported expression {op}")
 
     @staticmethod
@@ -912,6 +1177,32 @@ class _Interp:
                 return _UNDEFINED
             raise MiniJsError("member access on null/undefined")
         key = self.eval(e[2], env)
+        if isinstance(obj, _JsClass):
+            m = obj.statics.get(key)
+            if m is not None:
+                return ("boundm", None, m, obj)
+            return _UNDEFINED
+        if isinstance(obj, _JsRegex):
+            if key == "source":
+                return obj.source
+            if key == "flags":
+                return obj.flags_js
+            if key == "global":
+                return obj.g
+            return ("method", obj, key)
+        if isinstance(obj, _JsObject):
+            if key in obj:
+                return obj[key]
+            m, owner = obj.cls.find_method(key)
+            if m is not None:
+                return ("boundm", obj, m, owner)
+            g, gowner = obj.cls.find_getter(key)
+            if g is not None:
+                return self._call_body(
+                    g[0], g[1], gowner.env, [],
+                    this=obj, superclass=gowner.parent,
+                )
+            return _UNDEFINED
         if isinstance(obj, dict):
             return obj.get(key, _UNDEFINED)
         if isinstance(obj, list):
@@ -924,6 +1215,8 @@ class _Interp:
         if isinstance(obj, str):
             if key == "length":
                 return len(obj)
+            return ("method", obj, key)
+        if isinstance(obj, (int, float)) and not isinstance(obj, bool):
             return ("method", obj, key)
         raise MiniJsError(f"cannot access {key!r} on {type(obj).__name__}")
 
@@ -951,6 +1244,39 @@ class _Interp:
                 return json.loads(args[0])
             if base == "Array" and key == "isArray":
                 return isinstance(args[0], list)
+            if base == "Math":
+                fn = _MATH_FNS.get(key)
+                if fn is None:
+                    raise MiniJsError(f"unsupported Math.{key}")
+                try:
+                    return fn(*[self._num(a) for a in args])
+                except (ValueError, OverflowError, TypeError) as ex:
+                    raise MiniJsError(f"Math.{key}: {ex}")
+            if base == "super":
+                # super.m(...) — parent method with the current `this`
+                sup = env.get("__superclass__")
+                if not isinstance(sup, _JsClass):
+                    raise MiniJsError("super outside a subclass method")
+                m, owner = sup.find_method(key)
+                if m is None:
+                    raise MiniJsError(f"no super method {key}")
+                return self._call_body(
+                    m[0], m[1], owner.env, args,
+                    this=env.get("this"), superclass=owner.parent,
+                )
+        if callee[0] == "name" and callee[1] == "super":
+            # super(...) — parent constructor on the current `this`
+            sup = env.get("__superclass__")
+            if not isinstance(sup, _JsClass):
+                raise MiniJsError("super outside a subclass method")
+            found = sup.find_ctor()
+            if found[0] is not None:
+                (params, body), owner = found
+                self._call_body(
+                    params, body, owner.env, args,
+                    this=env.get("this"), superclass=owner.parent,
+                )
+            return _UNDEFINED
         if callee[0] == "name" and callee[1] in ("String", "Number", "Boolean"):
             (v,) = args or [_UNDEFINED]
             if callee[1] == "String":
@@ -963,19 +1289,33 @@ class _Interp:
             return self.call_closure(target, args)
         if isinstance(target, tuple) and target and target[0] == "method":
             return self.call_method(target[1], target[2], args)
+        if isinstance(target, tuple) and target and target[0] == "boundm":
+            _, this_v, (params, body), owner = target
+            return self._call_body(
+                params, body, owner.env, args,
+                this=this_v, superclass=owner.parent,
+            )
         raise MiniJsError("not callable")
 
     def call_closure(self, closure: Tuple, args: List[Any]) -> Any:
+        _, params, body, defenv = closure
+        return self._call_body(params, body, defenv, args)
+
+    def _call_body(
+        self, params, body, defenv, args, this=None, superclass=None
+    ):
         self.depth += 1
         if self.depth > self.MAX_DEPTH:
             self.depth -= 1
             # budget violations are MiniJsFatal: a user-level try/catch
             # must not swallow the recursion kill and restart the recursion
             raise MiniJsFatal("call depth exhausted (runaway recursion)")
-        _, params, body, defenv = closure
         env = _Env(defenv)
         for i, p in enumerate(params):
             env.set(p, args[i] if i < len(args) else _UNDEFINED)
+        if this is not None:
+            env.set("this", this)
+            env.set("__superclass__", superclass)
         try:
             self.run_block(body, env)
             return _UNDEFINED
@@ -994,11 +1334,32 @@ class _Interp:
                 "includes": lambda: args[0] in obj,
                 "startsWith": lambda: obj.startswith(args[0]),
                 "endsWith": lambda: obj.endswith(args[0]),
-                "split": lambda: obj.split(args[0]) if args else [obj],
+                "split": lambda: (
+                    args[0].rx.split(obj)
+                    if args and isinstance(args[0], _JsRegex)
+                    else obj.split(args[0]) if args else [obj]
+                ),
                 "slice": lambda: obj[_slice(args, len(obj))],
                 "concat": lambda: obj + "".join(_js_str(a) for a in args),
-                "replace": lambda: obj.replace(args[0], args[1], 1),
-                "replaceAll": lambda: obj.replace(args[0], args[1]),
+                "replace": lambda: (
+                    args[0].rx.sub(
+                        args[0].repl_py(args[1]), obj,
+                        count=0 if args[0].g else 1,
+                    )
+                    if isinstance(args[0], _JsRegex)
+                    else obj.replace(args[0], args[1], 1)
+                ),
+                "replaceAll": lambda: (
+                    args[0].rx.sub(args[0].repl_py(args[1]), obj)
+                    if isinstance(args[0], _JsRegex)
+                    else obj.replace(args[0], args[1])
+                ),
+                "match": lambda: _str_match(obj, args[0]),
+                "search": lambda: (
+                    (lambda m: m.start() if m else -1)(args[0].rx.search(obj))
+                    if isinstance(args[0], _JsRegex)
+                    else obj.find(args[0])
+                ),
                 "indexOf": lambda: obj.find(args[0]),
                 "charAt": lambda: obj[int(args[0])] if 0 <= int(args[0]) < len(obj) else "",
             }
@@ -1029,12 +1390,40 @@ class _Interp:
                     _truthy(self.call_closure(args[0], [x])) for x in obj
                 ),
             }
+        elif isinstance(obj, _JsRegex):
+            table = {
+                "test": lambda: obj.rx.search(args[0]) is not None,
+                "exec": lambda: (
+                    (lambda m: _JsRegex._match_array(m) if m else None)(
+                        obj.rx.search(args[0])
+                    )
+                ),
+            }
+        elif isinstance(obj, (int, float)) and not isinstance(obj, bool):
+            table = {
+                "toFixed": lambda: (
+                    f"{float(obj):.{int(args[0]) if args else 0}f}"
+                ),
+                "toString": lambda: _js_str(obj),
+            }
         else:
             raise MiniJsError(f"no methods on {type(obj).__name__}")
         fn = table.get(name)
         if fn is None:
             raise MiniJsError(f"unsupported method .{name}()")
         return fn()
+
+
+def _str_match(s: str, pat: Any) -> Any:
+    """JS String.match: with g, all full-match strings (or null); without,
+    an exec-style array for the first match (or null)."""
+    if not isinstance(pat, _JsRegex):
+        pat = _JsRegex(f"/{re.escape(str(pat))}/")
+    if pat.g:
+        out = [m.group(0) for m in pat.rx.finditer(s)]
+        return out or None
+    m = pat.rx.search(s)
+    return _JsRegex._match_array(m) if m else None
 
 
 def _slice(args: List[Any], n: int):

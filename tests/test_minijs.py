@@ -446,3 +446,135 @@ def test_hook_cannot_mutate_stored_document(tmp_path):
     doc = {"title": "original", "tags": ["a"]}
     assert rt.eval("c", "selectEmbeddingProperties", doc) == ["title"]
     assert doc == {"title": "original", "tags": ["a"]}
+
+
+# --- round 4 surface: classes, this/new/super, regex literals, Math ---------
+
+
+def _run(code, fn="h", doc=None):
+    from orama_core_tpu.engine.minijs import run_hook
+
+    return run_hook(code, fn, doc if doc is not None else {})
+
+
+def test_class_constructor_methods_this():
+    code = """
+    class Scorer {
+      constructor(base) { this.base = base; this.hits = 0; }
+      bump(n) { this.hits += n; return this.hits; }
+      total() { return this.base + this.hits; }
+    }
+    function h(doc) {
+      const s = new Scorer(10);
+      s.bump(2); s.bump(3);
+      return { total: s.total(), hits: s.hits };
+    }
+    """
+    assert _run(code) == {"total": 15, "hits": 5}
+
+
+def test_class_static_getter_extends_super():
+    code = """
+    class Base {
+      constructor(x) { this.x = x; }
+      label() { return "base:" + this.x; }
+      static kind() { return "B"; }
+      get doubled() { return this.x * 2; }
+    }
+    class Child extends Base {
+      constructor(x, y) { super(x); this.y = y; }
+      label() { return super.label() + "/child:" + this.y; }
+    }
+    function h(doc) {
+      const c = new Child(3, 4);
+      return [c.label(), Base.kind(), c.doubled, c.x + c.y];
+    }
+    """
+    assert _run(code) == ["base:3/child:4", "B", 6, 7]
+
+
+def test_arrow_captures_lexical_this():
+    code = """
+    class Acc {
+      constructor() { this.total = 0; }
+      addAll(xs) { xs.map((v) => { this.total += v; return v; }); return this.total; }
+    }
+    function h(doc) { return new Acc().addAll([1, 2, 3]); }
+    """
+    assert _run(code) == 6
+
+
+def test_regex_literals_and_string_methods():
+    code = """
+    function h(doc) {
+      const re = /([a-z]+)-(\\d+)/i;
+      const m = re.exec("Item-42 extra");
+      return {
+        test: /\\d+/.test(doc.s),
+        none: /zz+/.test(doc.s),
+        group: m[2],
+        replaced: doc.s.replace(/o/g, "0"),
+        first: doc.s.replace(/o/, "0"),
+        split: "a1b22c".split(/\\d+/),
+        search: doc.s.search(/w/),
+        matched: doc.s.match(/o/g),
+        source: re.source,
+      };
+    }
+    """
+    out = _run(code, doc={"s": "hello world 7"})
+    assert out == {
+        "test": True, "none": False, "group": "42",
+        "replaced": "hell0 w0rld 7", "first": "hell0 world 7",
+        "split": ["a", "b", "c"], "search": 6, "matched": ["o", "o"],
+        "source": "([a-z]+)-(\\d+)",
+    }
+
+
+def test_regex_vs_division_disambiguation():
+    code = """
+    function h(doc) {
+      const a = 10, b = 4;
+      const div = a / b / 2;           // division chain
+      const re = /x\\//;                // regex containing an escaped slash
+      return [div, re.test("ax/b"), (a) / b];
+    }
+    """
+    assert _run(code) == [1.25, True, 2.5]
+
+
+def test_math_and_number_methods():
+    code = """
+    function h(doc) {
+      return [
+        Math.min(3, 1, 2), Math.max(3, 1, 2), Math.abs(-5),
+        Math.floor(2.7), Math.ceil(2.1), Math.round(2.5),
+        Math.sqrt(16), Math.pow(2, 10), Math.sign(-3),
+        (3.14159).toFixed(2), (7).toString(),
+      ];
+    }
+    """
+    assert _run(code) == [1, 3, 5, 2, 3, 3, 4.0, 1024, -1, "3.14", "7"]
+
+
+def test_class_instance_is_json_shaped():
+    code = """
+    class P { constructor(n) { this.name = n; this.tags = ["a"]; } }
+    function h(doc) { return JSON.stringify(new P("x")); }
+    """
+    import json
+
+    assert json.loads(_run(code)) == {"name": "x", "tags": ["a"]}
+
+
+def test_budgets_still_fatal_through_methods():
+    import pytest
+
+    from orama_core_tpu.engine.minijs import MiniJsFatal
+
+    code = """
+    class L { go() { return this.go(); } }
+    function h(doc) { try { return new L().go(); } catch (e) { return "swallowed"; } }
+    """
+    with pytest.raises(MiniJsFatal):
+        _run(code)
