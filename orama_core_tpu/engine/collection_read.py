@@ -2973,11 +2973,22 @@ class CollectionReader:
         return mode, sfids, vfid, nf, live
 
     def _fused_string_field(self, fid: int, params: SearchParams, cap: int):
-        """Per-field device bundle for the fused program: (fargs, fstat,
-        window_out) — fargs/fstat as _field_fulltext_score expects,
+        """Per-field pieces for the packed fused program: (fdev, ihost,
+        fhost, fstat, window_out).
+
+        fdev  device-cached arrays (post_docs/tf/ni/lens, dense rows,
+              phrase streams — None prunes absent features from the jit
+              signature); fdev is None when the field has no committed
+              postings (window-only field)
+        ihost per-query int32 numpy parts, in the kernel's unpack order
+              (block plan, phrase spans, dense selection)
+        fhost per-query float32 numpy parts ([bm25_boost, avgdl, nfd,
+              ph_boost], dense weights)
+        fstat (n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub, n_sp,
+              n_dsel)
         window_out the field's host-scored freshness-window contributions
-        (empty dict when the window is empty). ``fargs`` is None when the
-        field has no committed postings (window-only field)."""
+              (empty dict when the window is empty)
+        """
         from ..ops.bm25 import (
             BLOCK,
             DENSE_SEL_BUCKETS,
@@ -3006,7 +3017,7 @@ class CollectionReader:
                 exact_tokens=stems,
             )
         if committed.n_terms == 0:
-            return None, None, window_out
+            return None, None, None, None, window_out
 
         token_spans, n_surf = expanded_spans(
             committed.term_dict, tokens, stems
@@ -3032,9 +3043,7 @@ class CollectionReader:
                     committed.term_df(), gi.total_documents,
                 )
                 if sel and len(sel) <= DENSE_SEL_BUCKETS[-1]:
-                    sel_a, w_a = pad_dense_sel(sel, wsel)
-                    d_sel = jnp.asarray(sel_a)
-                    d_w = jnp.asarray(w_a)
+                    d_sel, d_w = pad_dense_sel(sel, wsel)
                 else:
                     dense_rows = None  # none selected / over bucket
         if dense_rows is None:
@@ -3051,28 +3060,25 @@ class CollectionReader:
             jax.default_backend() == "tpu"
             or getattr(self.cfg, "_test_force_fast_path", False)
         )
+        ihost: List[np.ndarray] = []
         if bm25_pallas:
             need = aligned_blocks_needed(p_len)
             nb = bucket_pad(max(need, 1), bm25_ops.PLAN_BUCKETS)
             sb_a, lo_a, hi_a = build_block_plan_aligned(p_lo, p_len, nb)
-            ba_idx, ba_lo, ba_hi = (
-                jnp.asarray(sb_a), jnp.asarray(lo_a), jnp.asarray(hi_a)
-            )
-            b_starts = b_valid = np.zeros(1, np.int32)
+            ihost += [sb_a, lo_a, hi_a]
         else:
             need = sum((ln + BLOCK - 1) // BLOCK for ln in p_len)
             nb = bucket_pad(max(need, 1), bm25_ops.PLAN_BUCKETS)
             b_starts, b_valid = build_block_plan(p_lo, p_len, nb)
-            ba_idx = ba_lo = ba_hi = jnp.zeros(1, jnp.int32)
+            ihost += [b_starts, b_valid]
         (
             d_docs, d_tf, d_ni, d_plens, _d_pos, _d_posdocs, _ts, _ps,
         ) = self._device.string_arrays(committed)
 
         ph_windowed = False
-        ph_W = ph_wsub = 0
+        ph_W = ph_wsub = n_sp = 0
+        ph_docs = ph_poss = ph_terms = ph_bounds = ph_wbase = None
         if phrase:
-            z = jnp.zeros(1, jnp.int32)
-            ph_bounds = ph_wbase = z
             # windowed reduction when the commit's window meta allows it
             # (same gate as the multi-dispatch path)
             if self.cfg.phrase_windowed and (
@@ -3098,29 +3104,38 @@ class CollectionReader:
             spans_a = np.zeros((n_sp, 2), np.int32)
             for si, (lo, hi) in enumerate(ph_only[:32]):
                 spans_a[si] = (lo, hi)
-            ph_spans = jnp.asarray(spans_a)
-        else:
-            z = jnp.zeros(1, jnp.int32)
-            ph_docs = ph_poss = ph_terms = ph_bounds = ph_wbase = z
-            ph_spans = jnp.zeros((1, 2), jnp.int32)
+            ihost.append(spans_a.reshape(-1))
 
         use_dense = dense_rows is not None
-        if not use_dense:
-            dense_rows = jnp.zeros((1, 1), jnp.float32)
-            d_sel = jnp.zeros(1, jnp.int32)
-            d_w = jnp.zeros(1, jnp.float32)
-        fargs = (
+        n_dsel = 0
+        fhost = [np.asarray(
+            [1.0 if phrase else field_boost, gi.avgdl, gi.total_documents,
+             field_boost],
+            np.float32,
+        )]
+        if use_dense:
+            n_dsel = len(d_sel)
+            ihost.append(d_sel)
+            fhost.append(d_w)
+        fdev = (
             d_docs, d_tf, d_ni, d_plens,
-            jnp.asarray(b_starts), jnp.asarray(b_valid),
-            ba_idx, ba_lo, ba_hi,
-            jnp.float32(1.0 if phrase else field_boost),
-            jnp.float32(gi.avgdl), jnp.float32(gi.total_documents),
-            dense_rows, d_sel, d_w,
-            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans,
-            jnp.float32(field_boost),
+            dense_rows if use_dense else None,
+            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase,
         )
-        fstat = (nb, phrase, use_dense, ph_windowed, ph_W, ph_wsub)
-        return fargs, fstat, window_out
+        fstat = (nb, phrase, use_dense, ph_windowed, ph_W, ph_wsub,
+                 n_sp, n_dsel)
+        return fdev, ihost, fhost, fstat, window_out
+
+    def _padded_scatter_np(
+        self, docs: Sequence[int], vals: Sequence[float]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(docs)
+        n_pad = bucket_pad(max(n, 1), self.cfg.posting_bucket_steps)
+        idx = np.zeros(n_pad, np.int32)
+        idx[:n] = docs
+        v = np.zeros(n_pad, np.float32)
+        v[:n] = vals
+        return idx, v
 
     def _search_hybrid_fused(
         self,
@@ -3137,22 +3152,27 @@ class CollectionReader:
         cap = self.capacity
         fields = []
         field_statics = []
+        int_parts: List[np.ndarray] = []
+        flt_parts: List[np.ndarray] = []
         u_ft_out: Dict[int, float] = {}
         for fid in sfids:
-            fargs, fstat, window_out = self._fused_string_field(
+            fdev, ihost, fhost, fstat, window_out = self._fused_string_field(
                 fid, params, cap
             )
-            if fargs is not None:
-                fields.append(fargs)
+            if fdev is not None:
+                fields.append(fdev)
                 field_statics.append(fstat)
-            for doc, s in window_out.items():
-                u_ft_out[doc] = u_ft_out.get(doc, 0.0) + s
+                int_parts += ihost
+                flt_parts += fhost
+            for doc, sc in window_out.items():
+                u_ft_out[doc] = u_ft_out.get(doc, 0.0) + sc
         bm25_pallas = self.cfg.bm25_pallas and (
             jax.default_backend() == "tpu"
             or getattr(self.cfg, "_test_force_fast_path", False)
         )
 
         u_vec_out: Dict[int, float] = {}
+        qn = None
         if vfid is not None:
             vf = self._vector[vfid]
             raw_vec = params.vector if mode == "vector" else None
@@ -3167,34 +3187,15 @@ class CollectionReader:
             qn = self._resolve_query_vec(
                 self.fields[vfid].model, params.term, ai_service, raw_vec
             )
-            q_dev = jnp.asarray(qn, jnp.float32)
             if not vf.uncommitted.is_empty:
                 vf.uncommitted.search(qn, None, None, u_vec_out)
         else:
-            vecs = jnp.zeros((1, 1), jnp.float32)
-            vec_docs = jnp.zeros(1, jnp.int32)
-            vec_valid = jnp.zeros(1, jnp.float32)
-            q_dev = jnp.zeros(1, jnp.float32)
-
-        u_ft = bool(u_ft_out)
-        u_vec = bool(u_vec_out)
-        if u_ft:
-            u_ft_idx, u_ft_vals = self._padded_scatter(
-                list(u_ft_out.keys()), list(u_ft_out.values())
-            )
-        else:
-            u_ft_idx = jnp.zeros(1, jnp.int32)
-            u_ft_vals = jnp.zeros(1, jnp.float32)
-        if u_vec:
-            u_vec_idx, u_vec_vals = self._padded_scatter(
-                list(u_vec_out.keys()), list(u_vec_out.values())
-            )
-        else:
-            u_vec_idx = jnp.zeros(1, jnp.int32)
-            u_vec_vals = jnp.zeros(1, jnp.float32)
+            vecs = vec_docs = vec_valid = None
 
         alive = self._alive_mask_device()
         masked = bool(params.where) or bool(self.deleted)
+        nfb = np.zeros(4, np.float32)
+        nfb[2] = nfb[3] = 1.0
         if nf is not None:
             nfid, filt = nf
             nvals, ndocs, nvalid = self._device.number_arrays(
@@ -3202,30 +3203,64 @@ class CollectionReader:
             )
             if filt.op == "eq":
                 kind = "eq"
-                lo = hi = jnp.float32(filt.value)
-                lx = hx = jnp.array(True)
+                nfb[0] = nfb[1] = filt.value
             else:
                 kind = "range"
                 lo_, hi_, lx_, hx_ = self._number[nfid].committed.filter_bounds(
                     filt
                 )
-                lo, hi = jnp.float32(lo_), jnp.float32(hi_)
-                lx, hx = jnp.array(lx_), jnp.array(hx_)
+                nfb[:] = [lo_, hi_, 1.0 if lx_ else 0.0, 1.0 if hx_ else 0.0]
         else:
             kind = "none"
             zf = jnp.zeros(1, jnp.float32)
             nvals, nvalid = zf, jnp.zeros(1, bool)
             ndocs = jnp.zeros(1, jnp.int32)
-            lo = hi = jnp.float32(0.0)
-            lx = hx = jnp.array(True)
+
+        u_ft_n = u_vec_n = 0
+        if u_ft_out:
+            u_idx, u_vals = self._padded_scatter_np(
+                list(u_ft_out.keys()), list(u_ft_out.values())
+            )
+            u_ft_n = len(u_idx)
+        if u_vec_out:
+            v_idx, v_vals = self._padded_scatter_np(
+                list(u_vec_out.keys()), list(u_vec_out.values())
+            )
+            u_vec_n = len(v_idx)
+
+        # pack every per-query small array into ONE int32 + ONE float32
+        # upload (the kernel's staging layout) — through the relay each
+        # separate transfer costs ~1.3 ms and the unpacked layout shipped
+        # ~30 of them (measured 12 ms/query of pure host->device latency)
+        if u_ft_n:
+            int_parts.append(u_idx)
+        if u_vec_n:
+            int_parts.append(v_idx)
+        flt_parts.append(nfb)
+        qdim = 0
+        if qn is not None:
+            qdim = len(qn)
+            flt_parts.append(np.asarray(qn, np.float32))
+        if u_ft_n:
+            flt_parts.append(u_vals)
+        if u_vec_n:
+            flt_parts.append(v_vals)
+        ints = (
+            np.concatenate([np.asarray(a, np.int32).reshape(-1)
+                            for a in int_parts])
+            if int_parts else np.zeros(1, np.int32)
+        )
+        flts = np.concatenate(
+            [np.asarray(a, np.float32).reshape(-1) for a in flt_parts]
+        )
 
         k = min(bucket_pad(params.limit, (16, 128, 1024)), cap)
         vals, idx, count = jax.device_get(
             hybrid_ops.hybrid_fused_topk_mf(
+                jnp.asarray(ints), jnp.asarray(flts),
                 tuple(fields),
-                u_ft_idx, u_ft_vals, u_vec_idx, u_vec_vals,
-                vecs, vec_docs, vec_valid, q_dev,
-                alive, nvals, ndocs, nvalid, lo, hi, lx, hx,
+                vecs, vec_docs, vec_valid,
+                alive, nvals, ndocs, nvalid,
                 n_docs=cap, k=k,
                 fusion=(
                     "minmax" if params.fusion == HybridFusion.MINMAX else "rrf"
@@ -3233,7 +3268,7 @@ class CollectionReader:
                 nf=kind, masked=masked, mode=mode,
                 bm25_pallas=bm25_pallas,
                 field_statics=tuple(field_statics),
-                u_ft=u_ft, u_vec=u_vec,
+                u_ft_n=u_ft_n, u_vec_n=u_vec_n, qdim=qdim,
                 interpret=jax.default_backend() != "tpu",
             )
         )

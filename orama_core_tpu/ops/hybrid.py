@@ -103,29 +103,28 @@ def _field_fulltext_score(
     jax.jit,
     static_argnames=(
         "n_docs", "k", "fusion", "nf", "masked", "mode", "bm25_pallas",
-        "field_statics", "u_ft", "u_vec", "interpret",
+        "field_statics", "u_ft_n", "u_vec_n", "qdim", "interpret",
     ),
 )
 def hybrid_fused_topk_mf(
-    # tuple of per-field array bundles — each laid out exactly like
-    # hybrid_fused_topk's leading args (_field_fulltext_score's fargs);
-    # empty tuple when mode == "vector"
+    # packed per-query staging: every SMALL host-built array (block plans,
+    # phrase spans, dense selections, scalars, the query vector, window
+    # scatter pairs) rides in ONE int32 + ONE float32 buffer, unpacked
+    # in-trace at static offsets. Through a remote-device relay each
+    # host->device transfer costs ~1.3 ms; the unpacked layout shipped
+    # ~30 small arrays per query (~40 ms of pure transfer), the packed
+    # one ships 2.
+    ints, flts,
+    # tuple of per-field DEVICE-CACHED arrays (no per-query transfers):
+    # (post_docs, post_tf, post_ni, post_lens, dense_rows|None,
+    #  ph_docs|None, ph_poss|None, ph_terms|None, ph_bounds|None,
+    #  ph_wbase|None) — None prunes the subtree from the jit signature
     fields,
-    # live freshness-window contributions, host-merged across fields
-    # (padded scatter pairs; dummies unless u_ft/u_vec). String window
-    # scores already include boost + idf (no phrase in the window —
-    # uncommitted/string.rs:124-193); vector window scores are summed
-    # relu-cosines. Both are added UNMASKED and masked in-trace, which
-    # distributes identically to the multi-dispatch path's host-side
-    # mask skip.
-    u_ft_idx, u_ft_vals,
-    u_vec_idx, u_vec_vals,
-    # committed vectors (device cache: vector_arrays)
-    vecs, vec_docs, vec_valid, query,
-    # masks/filters
+    # committed vectors (device cache: vector_arrays; None in fulltext)
+    vecs, vec_docs, vec_valid,
+    # masks/filters (device-resident)
     alive_mask,
     nf_vals, nf_docs, nf_valid,
-    nf_lo, nf_hi, nf_lx, nf_hx,
     *,
     n_docs: int,
     k: int,
@@ -134,20 +133,87 @@ def hybrid_fused_topk_mf(
     masked: bool,      # multiply by the mask (where-filters or deletes)
     mode: str,         # "hybrid" | "fulltext" | "vector"
     bm25_pallas: bool,
-    # tuple of per-field statics (n_blocks, phrase, dense, ph_windowed,
-    # ph_W, ph_wsub), parallel to ``fields``
+    # tuple of per-field statics, parallel to ``fields``:
+    # (n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub, n_sp, n_dsel)
     field_statics,
-    u_ft: bool,        # string freshness window present
-    u_vec: bool,       # vector freshness window present
+    u_ft_n: int,       # string freshness-window scatter length (0 = none)
+    u_vec_n: int,      # vector freshness-window scatter length (0 = none)
+    qdim: int,         # query vector length in flts (0 in fulltext)
     interpret: bool = False,
 ):
     """Multi-string-field fused serving with live freshness windows: the
     whole query — per-field BM25 (+dense rows, +phrase) summed across
     fields, host-scattered window contributions, filter mask, vector
-    matmul, fusion, top-k — in ONE dispatch. Bit-identical to the
-    multi-dispatch chain (search_fulltext's per-field loop +
-    _scatter_add_scores window merge; the reference's per-field loop is
-    collection.rs:903-955)."""
+    matmul, fusion, top-k — in ONE dispatch + TWO small uploads.
+    Bit-identical to the multi-dispatch chain (search_fulltext's
+    per-field loop + _scatter_add_scores window merge; the reference's
+    per-field loop is collection.rs:903-955).
+
+    Staging layout (all lengths static via field_statics/u_*_n/qdim):
+      ints: per field [plan: 3*nb aligned (Pallas) | 2*nb unaligned],
+            [spans n_sp*2 if phrase], [d_sel n_dsel if dense];
+            then [u_ft_idx u_ft_n], [u_vec_idx u_vec_n]
+      flts: per field [bm25_boost, avgdl, nfd, ph_boost],
+            [d_w n_dsel if dense];
+            then [nf_lo, nf_hi, nf_lx, nf_hx], [query qdim],
+            [u_ft_vals u_ft_n], [u_vec_vals u_vec_n]
+
+    Window-merge semantics: string window scores already include boost +
+    idf (no phrase in the window — uncommitted/string.rs:124-193); vector
+    window scores are summed relu-cosines. Both are added UNMASKED and
+    masked in-trace, which distributes identically to the multi-dispatch
+    path's host-side mask skip."""
+    ic = [0]
+    fc = [0]
+
+    def take_i(n):
+        v = jax.lax.slice(ints, (ic[0],), (ic[0] + n,))
+        ic[0] += n
+        return v
+
+    def take_f(n):
+        v = jax.lax.slice(flts, (fc[0],), (fc[0] + n,))
+        fc[0] += n
+        return v
+
+    z1 = jnp.zeros(1, jnp.int32)
+    per_field = []
+    for (fdev, fstat) in zip(fields, field_statics):
+        nb, phrase, dense, ph_windowed, ph_W, ph_wsub, n_sp, n_dsel = fstat
+        (post_docs, post_tf, post_ni, post_lens, dense_rows,
+         ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase) = fdev
+        if bm25_pallas:
+            ba_idx, ba_lo, ba_hi = take_i(nb), take_i(nb), take_i(nb)
+            b_starts = b_valid = z1
+        else:
+            b_starts, b_valid = take_i(nb), take_i(nb)
+            ba_idx = ba_lo = ba_hi = z1
+        ph_spans = (
+            take_i(n_sp * 2).reshape(n_sp, 2)
+            if phrase else jnp.zeros((1, 2), jnp.int32)
+        )
+        d_sel = take_i(n_dsel) if dense else z1
+        per_field.append((
+            post_docs, post_tf, post_ni, post_lens,
+            b_starts, b_valid, ba_idx, ba_lo, ba_hi,
+            dense_rows, d_sel, ph_spans,
+            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase,
+        ))
+    u_ft_idx = take_i(u_ft_n) if u_ft_n else None
+    u_vec_idx = take_i(u_vec_n) if u_vec_n else None
+
+    flt_field = []
+    for fstat in field_statics:
+        dense, n_dsel = fstat[2], fstat[7]
+        scalars = take_f(4)
+        d_w = take_f(n_dsel) if dense else jnp.zeros(1, jnp.float32)
+        flt_field.append((scalars, d_w))
+    nfb = take_f(4)
+    nf_lo, nf_hi, nf_lx, nf_hx = nfb[0], nfb[1], nfb[2] > 0, nfb[3] > 0
+    query = take_f(qdim) if qdim else None
+    u_ft_vals = take_f(u_ft_n) if u_ft_n else None
+    u_vec_vals = take_f(u_vec_n) if u_vec_n else None
+
     if nf == "range":
         m = filter_ops.number_range_mask(
             nf_vals, nf_docs, nf_valid, nf_lo, nf_hi, nf_lx, nf_hx,
@@ -163,23 +229,40 @@ def hybrid_fused_topk_mf(
         mask = alive_mask
     if mode != "vector":
         ft = jnp.zeros((n_docs,), jnp.float32)
-        for fargs, fstat in zip(fields, field_statics):
-            ft = ft + _field_fulltext_score(
-                fargs, fstat, n_docs=n_docs, bm25_pallas=bm25_pallas,
-                interpret=interpret,
+        for pf, fstat, (scalars, d_w) in zip(
+            per_field, field_statics, flt_field
+        ):
+            nb, phrase, dense, ph_windowed, ph_W, ph_wsub, n_sp, n_dsel = (
+                fstat
             )
-        if u_ft:
+            (post_docs, post_tf, post_ni, post_lens,
+             b_starts, b_valid, ba_idx, ba_lo, ba_hi,
+             dense_rows, d_sel, ph_spans,
+             ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase) = pf
+            fargs = (
+                post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
+                ba_idx, ba_lo, ba_hi,
+                scalars[0], scalars[1], scalars[2],
+                dense_rows, d_sel, d_w,
+                ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans,
+                scalars[3],
+            )
+            ft = ft + _field_fulltext_score(
+                fargs, (nb, phrase, dense, ph_windowed, ph_W, ph_wsub),
+                n_docs=n_docs, bm25_pallas=bm25_pallas, interpret=interpret,
+            )
+        if u_ft_n:
             ft = ft.at[u_ft_idx].add(u_ft_vals)
         if masked:
             ft = ft * mask
     if mode != "fulltext":
-        q8 = jnp.zeros((8, query.shape[0]), query.dtype).at[0].set(query)
+        q8 = jnp.zeros((8, qdim), jnp.float32).at[0].set(query)
         sims8 = jnp.dot(
             vecs, q8.T.astype(vecs.dtype), preferred_element_type=jnp.float32
         )                                                   # [P, 8]
         sims = jnp.maximum(sims8[:, 0], 0.0) * vec_valid
         vec = jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs)
-        if u_vec:
+        if u_vec_n:
             vec = vec.at[u_vec_idx].add(u_vec_vals)
         vec = vec * mask
     if mode == "fulltext":
@@ -196,7 +279,6 @@ def hybrid_fused_topk_mf(
     vals, idx = jax.lax.top_k(fused, k)
     count = jnp.sum(fused > 0).astype(jnp.int32)
     return vals, idx.astype(jnp.int32), count
-
 
 
 @functools.partial(
