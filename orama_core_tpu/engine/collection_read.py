@@ -1968,6 +1968,8 @@ class CollectionReader:
             helig is not None
             and len(helig[1]) <= 1
             and not helig[4]
+            and len(helig[3]) <= 1
+            and all(k in ("range", "eq") for k, _f, _p in helig[3])
             and all(
                 not p.facets
                 and p.limit <= 1024
@@ -1976,7 +1978,8 @@ class CollectionReader:
                 for p in params_list
             )
         ):
-            mode, sfids, vfid, nf, _live = helig
+            mode, sfids, vfid, filts, _live = helig
+            nf = (filts[0][1], filts[0][2]) if filts else None
             return self._search_batch_hybrid_fused(
                 params_list, ai_service, mode,
                 sfids[0] if sfids else None, vfid, nf,
@@ -2956,21 +2959,30 @@ class CollectionReader:
                     return None
                 live = True
             vfid = vfids[0]
-        nf = None
-        if params.where:
-            if len(params.where) != 1:
-                return None
-            ((fname, filt),) = params.where.items()
+        filts = []
+        for fname, filt in (params.where or {}).items():
             fid = self.field_by_name.get(fname)
-            if (
-                fid is None
-                or not isinstance(filt, NumberFilter)
-                or self.fields[fid].type != ValueType.NUMBER
-                or not self._number[fid].uncommitted.is_empty
-            ):
-                return None
-            nf = (fid, filt)
-        return mode, sfids, vfid, nf, live
+            if fid is None:
+                return None  # let the normal path raise the user error
+            ftype = self.fields[fid].type
+            if isinstance(filt, NumberFilter) and ftype == ValueType.NUMBER:
+                if not self._number[fid].uncommitted.is_empty:
+                    return None
+                filts.append(
+                    ("eq" if filt.op == "eq" else "range", fid, filt)
+                )
+            elif isinstance(filt, BoolFilter) and ftype == ValueType.BOOL:
+                if not self._bool[fid].uncommitted.is_empty:
+                    return None
+                filts.append(("bool", fid, filt))
+            elif isinstance(filt, StringFilter) and ftype == ValueType.STRING:
+                kf = self._keyword[fid]
+                if not kf.uncommitted.is_empty:
+                    return None
+                filts.append(("keyword", fid, filt))
+            else:
+                return None  # mistyped: the normal path raises
+        return mode, sfids, vfid, tuple(filts), live
 
     def _fused_string_field(self, fid: int, params: SearchParams, cap: int):
         """Per-field pieces for the packed fused program: (fdev, ihost,
@@ -3144,7 +3156,7 @@ class CollectionReader:
         mode: str,
         sfids: Tuple[int, ...],
         vfid: Optional[int],
-        nf,
+        filts: Tuple = (),
         live: bool = False,
     ) -> Tuple[List[Tuple[int, float]], int, None]:
         from ..ops import hybrid as hybrid_ops
@@ -3194,27 +3206,56 @@ class CollectionReader:
 
         alive = self._alive_mask_device()
         masked = bool(params.where) or bool(self.deleted)
-        nfb = np.zeros(4, np.float32)
-        nfb[2] = nfb[3] = 1.0
-        if nf is not None:
-            nfid, filt = nf
-            nvals, ndocs, nvalid = self._device.number_arrays(
-                self._number[nfid].committed
-            )
-            if filt.op == "eq":
-                kind = "eq"
-                nfb[0] = nfb[1] = filt.value
-            else:
-                kind = "range"
-                lo_, hi_, lx_, hx_ = self._number[nfid].committed.filter_bounds(
-                    filt
+        # filters: device-cached columns + packed params per predicate
+        filter_statics: List[Tuple[str, int]] = []
+        filter_cols: List[Tuple] = []
+        filter_flts: List[np.ndarray] = []
+        for kind, ffid, filt in filts:
+            if kind in ("range", "eq"):
+                cols = self._device.number_arrays(
+                    self._number[ffid].committed
                 )
-                nfb[:] = [lo_, hi_, 1.0 if lx_ else 0.0, 1.0 if hx_ else 0.0]
-        else:
-            kind = "none"
-            zf = jnp.zeros(1, jnp.float32)
-            nvals, nvalid = zf, jnp.zeros(1, bool)
-            ndocs = jnp.zeros(1, jnp.int32)
+                fp = np.zeros(4, np.float32)
+                if kind == "eq":
+                    fp[0] = fp[1] = filt.value
+                else:
+                    lo_, hi_, lx_, hx_ = (
+                        self._number[ffid].committed.filter_bounds(filt)
+                    )
+                    fp[:] = [
+                        lo_, hi_, 1.0 if lx_ else 0.0, 1.0 if hx_ else 0.0,
+                    ]
+                filter_statics.append((kind, 0))
+            elif kind == "bool":
+                cols = self._device.bool_arrays(
+                    self._bool[ffid].committed, cap
+                )
+                fp = np.asarray([1.0 if filt.value else 0.0], np.float32)
+                filter_statics.append(("bool", 0))
+            else:  # keyword value-set
+                kf = self._keyword[ffid]
+                wanted_vals = (
+                    (filt.value,) if filt.op == "eq" else filt.value
+                )
+                wanted_ids = [
+                    kf.committed.id_of(v)
+                    for v in wanted_vals
+                    if kf.committed.id_of(v) is not None
+                ]
+                n_w = bucket_pad(max(len(wanted_ids), 1), (4, 16, 64))
+                fp = np.full(n_w, -1.0, np.float32)
+                fp[: len(wanted_ids)] = wanted_ids
+                if kf.committed.is_empty:
+                    # no interned column: nothing can match — an all -1
+                    # wanted set against a dummy column yields zeros
+                    z = jnp.zeros(1, jnp.float32)
+                    cols = (z, jnp.zeros(1, jnp.int32),
+                            jnp.zeros(1, bool))
+                else:
+                    cols = self._device.keyword_arrays(kf.committed)
+                filter_statics.append(("keyword", n_w))
+            filter_cols.append(tuple(cols))
+            filter_flts.append(fp)
 
         u_ft_n = u_vec_n = 0
         if u_ft_out:
@@ -3236,7 +3277,7 @@ class CollectionReader:
             int_parts.append(u_idx)
         if u_vec_n:
             int_parts.append(v_idx)
-        flt_parts.append(nfb)
+        flt_parts += filter_flts
         qdim = 0
         if qn is not None:
             qdim = len(qn)
@@ -3260,12 +3301,12 @@ class CollectionReader:
                 jnp.asarray(ints), jnp.asarray(flts),
                 tuple(fields),
                 vecs, vec_docs, vec_valid,
-                alive, nvals, ndocs, nvalid,
+                alive, tuple(filter_cols),
                 n_docs=cap, k=k,
                 fusion=(
                     "minmax" if params.fusion == HybridFusion.MINMAX else "rrf"
                 ),
-                nf=kind, masked=masked, mode=mode,
+                filters=tuple(filter_statics), masked=masked, mode=mode,
                 bm25_pallas=bm25_pallas,
                 field_statics=tuple(field_statics),
                 u_ft_n=u_ft_n, u_vec_n=u_vec_n, qdim=qdim,

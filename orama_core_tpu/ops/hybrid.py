@@ -102,8 +102,9 @@ def _field_fulltext_score(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_docs", "k", "fusion", "nf", "masked", "mode", "bm25_pallas",
-        "field_statics", "u_ft_n", "u_vec_n", "qdim", "interpret",
+        "n_docs", "k", "fusion", "filters", "masked", "mode",
+        "bm25_pallas", "field_statics", "u_ft_n", "u_vec_n", "qdim",
+        "interpret",
     ),
 )
 def hybrid_fused_topk_mf(
@@ -122,14 +123,18 @@ def hybrid_fused_topk_mf(
     fields,
     # committed vectors (device cache: vector_arrays; None in fulltext)
     vecs, vec_docs, vec_valid,
-    # masks/filters (device-resident)
+    # masks/filters (device-resident): alive mask + one device tuple per
+    # filter — (vals, docs, valid) for number, (true_mask, has_mask) for
+    # bool, (ids, docs, valid) for keyword
     alive_mask,
-    nf_vals, nf_docs, nf_valid,
+    filter_cols,
     *,
     n_docs: int,
     k: int,
     fusion: str,       # "rrf" | "minmax"
-    nf: str,           # "none" | "range" | "eq"
+    # tuple of (kind, n_wanted) per filter — kind in
+    # ("range", "eq", "bool", "keyword"); n_wanted only for keyword
+    filters,
     masked: bool,      # multiply by the mask (where-filters or deletes)
     mode: str,         # "hybrid" | "fulltext" | "vector"
     bm25_pallas: bool,
@@ -155,8 +160,9 @@ def hybrid_fused_topk_mf(
             then [u_ft_idx u_ft_n], [u_vec_idx u_vec_n]
       flts: per field [bm25_boost, avgdl, nfd, ph_boost],
             [d_w n_dsel if dense];
-            then [nf_lo, nf_hi, nf_lx, nf_hx], [query qdim],
-            [u_ft_vals u_ft_n], [u_vec_vals u_vec_n]
+            then per filter [lo, hi, lx, hx] (range/eq) | [want] (bool)
+            | [wanted ids n_wanted, pad -1] (keyword);
+            then [query qdim], [u_ft_vals u_ft_n], [u_vec_vals u_vec_n]
 
     Window-merge semantics: string window scores already include boost +
     idf (no phrase in the window — uncommitted/string.rs:124-193); vector
@@ -208,25 +214,39 @@ def hybrid_fused_topk_mf(
         scalars = take_f(4)
         d_w = take_f(n_dsel) if dense else jnp.zeros(1, jnp.float32)
         flt_field.append((scalars, d_w))
-    nfb = take_f(4)
-    nf_lo, nf_hi, nf_lx, nf_hx = nfb[0], nfb[1], nfb[2] > 0, nfb[3] > 0
+    filter_params = []
+    for kind, n_wanted in filters:
+        if kind in ("range", "eq"):
+            filter_params.append(take_f(4))
+        elif kind == "bool":
+            filter_params.append(take_f(1))
+        else:  # keyword
+            filter_params.append(take_f(n_wanted))
     query = take_f(qdim) if qdim else None
     u_ft_vals = take_f(u_ft_n) if u_ft_n else None
     u_vec_vals = take_f(u_vec_n) if u_vec_n else None
 
-    if nf == "range":
-        m = filter_ops.number_range_mask(
-            nf_vals, nf_docs, nf_valid, nf_lo, nf_hi, nf_lx, nf_hx,
-            n_docs=n_docs,
-        )
-        mask = filter_ops.combine_masks(alive_mask, m)
-    elif nf == "eq":
-        m = filter_ops.number_eq_mask(
-            nf_vals, nf_docs, nf_valid, nf_lo, n_docs=n_docs
-        )
-        mask = filter_ops.combine_masks(alive_mask, m)
-    else:
-        mask = alive_mask
+    mask = alive_mask
+    for (kind, _nw), cols, fp in zip(filters, filter_cols, filter_params):
+        if kind == "range":
+            m = filter_ops.number_range_mask(
+                cols[0], cols[1], cols[2],
+                fp[0], fp[1], fp[2] > 0, fp[3] > 0, n_docs=n_docs,
+            )
+        elif kind == "eq":
+            m = filter_ops.number_eq_mask(
+                cols[0], cols[1], cols[2], fp[0], n_docs=n_docs
+            )
+        elif kind == "bool":
+            true_mask, has_mask = cols
+            m = jnp.where(
+                fp[0] > 0, true_mask, has_mask * (1.0 - true_mask)
+            )
+        else:  # keyword value-set
+            m = filter_ops.value_set_mask(
+                cols[0], cols[1], cols[2], fp, n_docs=n_docs
+            )
+        mask = filter_ops.combine_masks(mask, m)
     if mode != "vector":
         ft = jnp.zeros((n_docs,), jnp.float32)
         for pf, fstat, (scalars, d_w) in zip(

@@ -381,3 +381,71 @@ def test_multifield_live_window_fused_parity(tmp_path):
         assert any(h.id == "w1" for h in res.hits)  # window doc surfaced
     finally:
         engine.close()
+
+
+def test_fused_filter_kinds_parity(tmp_path):
+    """Bool, keyword (eq/in), and multi-predicate filters are fused-
+    eligible (committed-only) and must score identically to the
+    multi-dispatch mask chain."""
+    import jax
+    import numpy as np
+
+    from orama_core_tpu.ops import topk as topk_ops
+
+    engine = _engine(tmp_path, "filt")
+    try:
+        rng = np.random.default_rng(5)
+        vocab = ["solar", "wind", "panel", "cake"]
+        colors = ["red", "green", "blue"]
+        docs = []
+        for i in range(60):
+            docs.append({
+                "id": str(i),
+                "body": " ".join(rng.choice(vocab, size=8)),
+                "price": float(i % 10),
+                "in_stock": bool(i % 3),
+                "color": colors[i % 3],
+            })
+        cid = _seed(engine, docs)
+        reader = engine.read_side._reader(cid)
+        ai = engine.read_side.ai
+        for where in (
+            {"in_stock": True},
+            {"in_stock": False},
+            {"color": "red"},
+            {"color": {"in": ["green", "blue"]}},
+            {"color": "no-such-color"},
+            {"price": {"between": [3, 7]}},
+            {"price": {"lt": 8}, "in_stock": True, "color": "blue"},
+        ):
+            p = SearchParams.from_json(
+                {"term": "solar", "where": where, "limit": 64}
+            )
+            helig = reader._hybrid_fused_eligible(p)
+            assert helig is not None, where
+            assert len(helig[3]) == len(where), where
+            ranked_f, count_f, _ = reader._search_hybrid_fused(p, ai, *helig)
+            scores = reader.search_scores(p, ai)
+            vals, idx, count = jax.device_get(
+                topk_ops.topk_with_count(scores, 64)
+            )
+            ranked = [
+                (int(d), float(s)) for d, s in zip(idx, vals) if s > 0.0
+            ]
+            assert count_f == int(count), where
+            assert [d for d, _ in ranked_f] == [d for d, _ in ranked], where
+            np.testing.assert_allclose(
+                [s for _, s in ranked_f], [s for _, s in ranked],
+                rtol=2e-5, err_msg=str(where),
+            )
+        # a live uncommitted value on a filtered field falls back
+        engine.write_side.write(
+            cid, [{"id": "w", "body": "solar", "in_stock": True}], WRITE
+        )
+        engine.flush()
+        p = SearchParams.from_json({"term": "solar", "where": {"in_stock": True}})
+        assert reader._hybrid_fused_eligible(p) is None
+        r = engine.read_side.search(cid, p, READ)  # multi-dispatch, correct
+        assert r.count >= 1
+    finally:
+        engine.close()
