@@ -356,7 +356,7 @@ class _DeviceCache:
         (phrase_window_meta -> None)."""
 
         def build():
-            from ..ops.bm25 import phrase_window_meta
+            from ..ops.bm25 import phrase_static_bits, phrase_window_meta
 
             d_dev, p_dev, t_dev, _bounds = self.phrase_docmajor_arrays(
                 s, cap
@@ -370,9 +370,12 @@ class _DeviceCache:
             np.cumsum(counts[:cap], out=bounds[1:])
             meta = phrase_window_meta(bounds, pp, pp_pad)
             if meta is None:
-                return (None, None, None, None, 0, 0)
+                return (None, None, None, None, 0, 0, None)
             w_base, W, wsub = meta
-            return (d_dev, p_dev, t_dev, jnp.asarray(w_base), W, wsub)
+            # commit-static group-structure bits: query-time flags then
+            # read only ``terms`` + this byte stream (ops/bm25.py)
+            bits = phrase_static_bits(d_dev, p_dev)
+            return (d_dev, p_dev, t_dev, jnp.asarray(w_base), W, wsub, bits)
 
         return self._get(s, ("phrase_win", cap), build)
 
@@ -1480,7 +1483,7 @@ class CollectionReader:
                             if ph_win[0] is None:
                                 ph_win = None
                         if ph_win is not None:
-                            dw, pw, tw, wb, ph_W, ph_wsub = ph_win
+                            dw, pw, tw, wb, ph_W, ph_wsub, pbits = ph_win
                             boost_by_doc = (
                                 bm25_ops.phrase_boost_docmajor_windowed(
                                     dw, pw, tw, wb, jnp.asarray(spans_a),
@@ -1489,6 +1492,7 @@ class CollectionReader:
                                     interpret=(
                                         jax.default_backend() != "tpu"
                                     ),
+                                    bits=pbits,
                                 )
                             )
                         else:
@@ -3090,6 +3094,7 @@ class CollectionReader:
         ph_windowed = False
         ph_W = ph_wsub = n_sp = 0
         ph_docs = ph_poss = ph_terms = ph_bounds = ph_wbase = None
+        ph_bits = None
         if phrase:
             # windowed reduction when the commit's window meta allows it
             # (same gate as the multi-dispatch path)
@@ -3100,7 +3105,8 @@ class CollectionReader:
                 win = self._device.phrase_windowed_arrays(committed, cap)
                 if win[0] is not None:
                     (
-                        ph_docs, ph_poss, ph_terms, ph_wbase, ph_W, ph_wsub,
+                        ph_docs, _pw, ph_terms, ph_wbase, ph_W, ph_wsub,
+                        ph_bits,
                     ) = win
                     ph_windowed = True
             if not ph_windowed:
@@ -3132,7 +3138,7 @@ class CollectionReader:
         fdev = (
             d_docs, d_tf, d_ni, d_plens,
             dense_rows if use_dense else None,
-            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase,
+            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_bits,
         )
         fstat = (nb, phrase, use_dense, ph_windowed, ph_W, ph_wsub,
                  n_sp, n_dsel)

@@ -54,13 +54,15 @@ def _field_fulltext_score(
                                 phrase_docmajor/windowed_arrays)
       ph_bounds                 per-doc CSR (cumsum reduction only)
       ph_wbase                  per-block window base (windowed only)
+      ph_bits                   commit-static group bits (windowed only)
       ph_spans, ph_boost        matched term-id ranges + user boost
     """
     (
         post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
         ba_idx, ba_lo, ba_hi, bm25_boost, avgdl, nfd,
         dense_rows, d_sel, d_w,
-        ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans, ph_boost,
+        ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_bits,
+        ph_spans, ph_boost,
     ) = fargs
     n_blocks, phrase, dense, ph_windowed, ph_W, ph_wsub = fstat
     if bm25_pallas:
@@ -89,7 +91,7 @@ def _field_fulltext_score(
             ft = ft * bm25_ops.phrase_boost_docmajor_windowed(
                 ph_docs, ph_poss, ph_terms, ph_wbase, ph_spans,
                 ph_boost, n_docs=n_docs, W=ph_W, wsub=ph_wsub,
-                interpret=interpret,
+                interpret=interpret, bits=ph_bits,
             )
         else:
             ft = ft * bm25_ops.phrase_boost_docmajor(
@@ -119,7 +121,8 @@ def hybrid_fused_topk_mf(
     # tuple of per-field DEVICE-CACHED arrays (no per-query transfers):
     # (post_docs, post_tf, post_ni, post_lens, dense_rows|None,
     #  ph_docs|None, ph_poss|None, ph_terms|None, ph_bounds|None,
-    #  ph_wbase|None) — None prunes the subtree from the jit signature
+    #  ph_wbase|None, ph_bits|None) — None prunes the subtree from the
+    # jit signature
     fields,
     # committed vectors (device cache: vector_arrays; None in fulltext)
     vecs, vec_docs, vec_valid,
@@ -187,7 +190,7 @@ def hybrid_fused_topk_mf(
     for (fdev, fstat) in zip(fields, field_statics):
         nb, phrase, dense, ph_windowed, ph_W, ph_wsub, n_sp, n_dsel = fstat
         (post_docs, post_tf, post_ni, post_lens, dense_rows,
-         ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase) = fdev
+         ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_bits) = fdev
         if bm25_pallas:
             ba_idx, ba_lo, ba_hi = take_i(nb), take_i(nb), take_i(nb)
             b_starts = b_valid = z1
@@ -203,7 +206,7 @@ def hybrid_fused_topk_mf(
             post_docs, post_tf, post_ni, post_lens,
             b_starts, b_valid, ba_idx, ba_lo, ba_hi,
             dense_rows, d_sel, ph_spans,
-            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase,
+            ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_bits,
         ))
     u_ft_idx = take_i(u_ft_n) if u_ft_n else None
     u_vec_idx = take_i(u_vec_n) if u_vec_n else None
@@ -258,14 +261,14 @@ def hybrid_fused_topk_mf(
             (post_docs, post_tf, post_ni, post_lens,
              b_starts, b_valid, ba_idx, ba_lo, ba_hi,
              dense_rows, d_sel, ph_spans,
-             ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase) = pf
+             ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_bits) = pf
             fargs = (
                 post_docs, post_tf, post_ni, post_lens, b_starts, b_valid,
                 ba_idx, ba_lo, ba_hi,
                 scalars[0], scalars[1], scalars[2],
                 dense_rows, d_sel, d_w,
-                ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_spans,
-                scalars[3],
+                ph_docs, ph_poss, ph_terms, ph_bounds, ph_wbase, ph_bits,
+                ph_spans, scalars[3],
             )
             ft = ft + _field_fulltext_score(
                 fargs, (nb, phrase, dense, ph_windowed, ph_W, ph_wsub),

@@ -321,6 +321,18 @@ def test_phrase_windowed_matches_docmajor():
         bad = np.nonzero(got != ref)[0]
         assert bad.size == 0, (seed, bad[:10], got[bad[:5]], ref[bad[:5]])
 
+        # commit-static bits variant: identical again
+        bits = b.phrase_static_bits(jnp.asarray(d_col), jnp.asarray(p_col))
+        got2 = np.asarray(
+            b.phrase_boost_docmajor_windowed(
+                jnp.asarray(d_col), jnp.asarray(p_col), jnp.asarray(t_col),
+                jnp.asarray(w_base), jnp.asarray(spans), jnp.float32(2.0),
+                n_docs=n_docs, W=W, wsub=wsub, interpret=True, bits=bits,
+            )
+        )
+        bad2 = np.nonzero(got2 != ref)[0]
+        assert bad2.size == 0, (seed, bad2[:10])
+
 
 def test_phrase_window_meta_degenerate_fallback():
     """Corpora of one-token docs make every block span ~2048 docs — the
