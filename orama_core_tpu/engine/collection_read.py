@@ -1971,7 +1971,7 @@ class CollectionReader:
         if (
             helig is not None
             and len(helig[1]) <= 1
-            and not helig[4]
+            and not helig[5]
             and len(helig[3]) <= 1
             and all(k in ("range", "eq") for k, _f, _p in helig[3])
             and all(
@@ -1982,7 +1982,7 @@ class CollectionReader:
                 for p in params_list
             )
         ):
-            mode, sfids, vfid, filts, _live = helig
+            mode, sfids, vfid, filts, _facs, _live = helig
             nf = (filts[0][1], filts[0][2]) if filts else None
             return self._search_batch_hybrid_fused(
                 params_list, ai_service, mode,
@@ -2897,17 +2897,18 @@ class CollectionReader:
 
     def _hybrid_fused_eligible(self, params: SearchParams):
         """One-dispatch serving applies when the whole query is expressible
-        as a single static-shape program (ops/hybrid.py): no facets, a
-        filter that is at most one number predicate, and freshness windows
-        small enough to host-merge (<= _FUSED_WINDOW_CAP entries — they
-        ride the program as padded scatter pairs). Covers all three modes
-        — hybrid (string fields + one vector field), fulltext (any number
-        of string fields, per the reference's per-field loop
-        collection.rs:903-955), and filtered vector (one vector field;
-        the unfiltered case belongs to the Pallas fast path). Returns
-        (mode, string_fids tuple, vector_fid, (filter_fid, NumberFilter)
-        | None, windows_live bool) or None."""
-        if params.facets or params.limit > 1024:
+        as a single static-shape program (ops/hybrid.py): any mix of
+        committed-only filter predicates, committed-only facets (counted
+        in-trace as segment reductions over the matched mask), and
+        freshness windows small enough to host-merge (<= _FUSED_WINDOW_CAP
+        entries — they ride the program as padded scatter pairs). Covers
+        all three modes — hybrid (string fields + one vector field),
+        fulltext (any number of string fields, per the reference's
+        per-field loop collection.rs:903-955), and filtered vector (one
+        vector field; the unfiltered case belongs to the Pallas fast
+        path). Returns (mode, string_fids tuple, vector_fid, filts tuple,
+        facs tuple, windows_live bool) or None."""
+        if params.limit > 1024:
             return None
         mode = {
             SearchModeKind.HYBRID: "hybrid",
@@ -2986,7 +2987,37 @@ class CollectionReader:
                 filts.append(("keyword", fid, filt))
             else:
                 return None  # mistyped: the normal path raises
-        return mode, sfids, vfid, tuple(filts), live
+        facs = []
+        for fname, fdef in (params.facets or {}).items():
+            fid = self.field_by_name.get(fname)
+            if fid is None:
+                return None  # the normal path raises the user error
+            ftype = self.fields[fid].type
+            if (
+                isinstance(fdef, NumberFacetDefinition)
+                and ftype == ValueType.NUMBER
+            ):
+                if not self._number[fid].uncommitted.is_empty:
+                    return None
+                facs.append(("number", fid, fname, fdef))
+            elif (
+                isinstance(fdef, StringFacetDefinition)
+                and ftype == ValueType.STRING
+            ):
+                kf = self._keyword[fid]
+                if not kf.uncommitted.is_empty or kf.committed.is_empty:
+                    return None
+                facs.append(("keyword", fid, fname, fdef))
+            elif (
+                isinstance(fdef, BoolFacetDefinition)
+                and ftype == ValueType.BOOL
+            ):
+                if not self._bool[fid].uncommitted.is_empty:
+                    return None
+                facs.append(("bool", fid, fname, fdef))
+            else:
+                return None  # facet/field type mismatch: normal path raises
+        return mode, sfids, vfid, tuple(filts), tuple(facs), live
 
     def _fused_string_field(self, fid: int, params: SearchParams, cap: int):
         """Per-field pieces for the packed fused program: (fdev, ihost,
@@ -3163,8 +3194,9 @@ class CollectionReader:
         sfids: Tuple[int, ...],
         vfid: Optional[int],
         filts: Tuple = (),
+        facs: Tuple = (),
         live: bool = False,
-    ) -> Tuple[List[Tuple[int, float]], int, None]:
+    ) -> Tuple[List[Tuple[int, float]], int, Optional[Dict[str, FacetResult]]]:
         from ..ops import hybrid as hybrid_ops
 
         cap = self.capacity
@@ -3263,6 +3295,37 @@ class CollectionReader:
             filter_cols.append(tuple(cols))
             filter_flts.append(fp)
 
+        # facets: device-cached columns + packed range bounds (number);
+        # counted in-trace over the matched mask (compute_facets parity)
+        facet_statics: List[Tuple[str, int]] = []
+        facet_cols: List[Tuple] = []
+        facet_flts: List[np.ndarray] = []
+        for kind, ffid, _fname, fdef in facs:
+            if kind == "number":
+                cols = self._device.number_arrays(
+                    self._number[ffid].committed
+                )
+                r_real = len(fdef.ranges)
+                r_pad = bucket_pad(max(r_real, 1), (4, 16))
+                # pad ranges are [+inf, -inf]: empty, count 0, dropped
+                # host-side (keeps the program shape stable across defs)
+                lows = np.full(r_pad, 3.4e38, np.float32)
+                highs = np.full(r_pad, -3.4e38, np.float32)
+                lows[:r_real] = [float(r.low) for r in fdef.ranges]
+                highs[:r_real] = [float(r.high) for r in fdef.ranges]
+                facet_flts += [lows, highs]
+                facet_statics.append(("number", r_pad))
+            elif kind == "keyword":
+                kf = self._keyword[ffid]
+                cols = self._device.keyword_arrays(kf.committed)
+                facet_statics.append(("keyword", kf.committed.n_values))
+            else:  # bool
+                cols = self._device.bool_arrays(
+                    self._bool[ffid].committed, cap
+                )
+                facet_statics.append(("bool", 0))
+            facet_cols.append(tuple(cols))
+
         u_ft_n = u_vec_n = 0
         if u_ft_out:
             u_idx, u_vals = self._padded_scatter_np(
@@ -3284,6 +3347,7 @@ class CollectionReader:
         if u_vec_n:
             int_parts.append(v_idx)
         flt_parts += filter_flts
+        flt_parts += facet_flts
         qdim = 0
         if qn is not None:
             qdim = len(qn)
@@ -3302,17 +3366,18 @@ class CollectionReader:
         )
 
         k = min(bucket_pad(params.limit, (16, 128, 1024)), cap)
-        vals, idx, count = jax.device_get(
+        vals, idx, count, fouts = jax.device_get(
             hybrid_ops.hybrid_fused_topk_mf(
                 jnp.asarray(ints), jnp.asarray(flts),
                 tuple(fields),
                 vecs, vec_docs, vec_valid,
-                alive, tuple(filter_cols),
+                alive, tuple(filter_cols), tuple(facet_cols),
                 n_docs=cap, k=k,
                 fusion=(
                     "minmax" if params.fusion == HybridFusion.MINMAX else "rrf"
                 ),
-                filters=tuple(filter_statics), masked=masked, mode=mode,
+                filters=tuple(filter_statics),
+                facets=tuple(facet_statics), masked=masked, mode=mode,
                 bm25_pallas=bm25_pallas,
                 field_statics=tuple(field_statics),
                 u_ft_n=u_ft_n, u_vec_n=u_vec_n, qdim=qdim,
@@ -3324,7 +3389,41 @@ class CollectionReader:
             for d, s in zip(idx[: params.limit], vals[: params.limit])
             if s > 0.0
         ]
-        return ranked, int(count), None
+        facets_out: Optional[Dict[str, FacetResult]] = None
+        if facs:
+            # host-side assembly mirrors compute_facets exactly
+            facets_out = {}
+            for (kind, ffid, fname, fdef), counts in zip(facs, fouts):
+                if kind == "number":
+                    values = {
+                        r.key: int(c) for r, c in zip(fdef.ranges, counts)
+                    }
+                    facets_out[fname] = FacetResult(
+                        count=len(values), values=values
+                    )
+                elif kind == "keyword":
+                    kf = self._keyword[ffid]
+                    agg = {
+                        kf.committed.values[vid]: int(c)
+                        for vid, c in enumerate(counts)
+                        if c > 0
+                    }
+                    top = sorted(
+                        agg.items(), key=lambda kv: (-kv[1], kv[0])
+                    )[: fdef.limit]
+                    facets_out[fname] = FacetResult(
+                        count=len(agg), values=dict(top)
+                    )
+                else:  # bool
+                    values = {}
+                    if fdef.true:
+                        values["true"] = int(counts[0])
+                    if fdef.false:
+                        values["false"] = int(counts[1])
+                    facets_out[fname] = FacetResult(
+                        count=len(values), values=values
+                    )
+        return ranked, int(count), facets_out
 
     def _search_batch_hybrid_fused(
         self,

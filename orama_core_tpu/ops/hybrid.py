@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import bm25 as bm25_ops
+from . import facets as facet_ops
 from . import filters as filter_ops
 from . import vector as vector_ops
 from .fusion import minmax_fuse, rrf_fuse
@@ -104,7 +105,7 @@ def _field_fulltext_score(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_docs", "k", "fusion", "filters", "masked", "mode",
+        "n_docs", "k", "fusion", "filters", "facets", "masked", "mode",
         "bm25_pallas", "field_statics", "u_ft_n", "u_vec_n", "qdim",
         "interpret",
     ),
@@ -131,6 +132,10 @@ def hybrid_fused_topk_mf(
     # bool, (ids, docs, valid) for keyword
     alive_mask,
     filter_cols,
+    # facet device columns, parallel to the ``facets`` static: (vals,
+    # docs, valid) for number, (ids, docs, valid) for keyword,
+    # (true_mask, has_mask) for bool — all commit-static device caches
+    facet_cols=(),
     *,
     n_docs: int,
     k: int,
@@ -138,6 +143,9 @@ def hybrid_fused_topk_mf(
     # tuple of (kind, n_wanted) per filter — kind in
     # ("range", "eq", "bool", "keyword"); n_wanted only for keyword
     filters,
+    # tuple of (kind, n) per facet — ("number", n_ranges_padded) |
+    # ("keyword", n_values) | ("bool", 0); counts ride the return value
+    facets=(),
     masked: bool,      # multiply by the mask (where-filters or deletes)
     mode: str,         # "hybrid" | "fulltext" | "vector"
     bm25_pallas: bool,
@@ -165,7 +173,18 @@ def hybrid_fused_topk_mf(
             [d_w n_dsel if dense];
             then per filter [lo, hi, lx, hx] (range/eq) | [want] (bool)
             | [wanted ids n_wanted, pad -1] (keyword);
+            then per number facet [lows n, highs n] (pad ranges are
+            [+inf, -inf] so they count zero and drop host-side);
             then [query qdim], [u_ft_vals u_ft_n], [u_vec_vals u_vec_n]
+
+    Facets (the reference recomputes filters per facet,
+    collection.rs:1004-1126; here they are segment reductions over the
+    in-trace matched mask): the 4th return element is one int32 count
+    array per ``facets`` entry — [n_ranges] (number), [n_values]
+    (keyword), [2] = (true, false) (bool). The matched mask is
+    (ft > 0) | (vec > 0) on the post-mask scores, exactly
+    facet_ops.matched_mask of the multi-dispatch path's dense scores in
+    every mode/fusion (RRF and minmax both zero unmatched docs).
 
     Window-merge semantics: string window scores already include boost +
     idf (no phrase in the window — uncommitted/string.rs:124-193); vector
@@ -225,6 +244,11 @@ def hybrid_fused_topk_mf(
             filter_params.append(take_f(1))
         else:  # keyword
             filter_params.append(take_f(n_wanted))
+    facet_params = []
+    for kind, n in facets:
+        facet_params.append(
+            (take_f(n), take_f(n)) if kind == "number" else None
+        )
     query = take_f(qdim) if qdim else None
     u_ft_vals = take_f(u_ft_n) if u_ft_n else None
     u_vec_vals = take_f(u_vec_n) if u_vec_n else None
@@ -288,20 +312,47 @@ def hybrid_fused_topk_mf(
         if u_vec_n:
             vec = vec.at[u_vec_idx].add(u_vec_vals)
         vec = vec * mask
+    def facet_counts(matched):
+        outs = []
+        for (kind, n), cols, fp in zip(facets, facet_cols, facet_params):
+            if kind == "number":
+                outs.append(facet_ops.number_facet_counts(
+                    cols[0], cols[1], cols[2], fp[0], fp[1], matched,
+                    n_docs=n_docs,
+                ))
+            elif kind == "keyword":
+                outs.append(facet_ops.keyword_facet_counts(
+                    cols[0], cols[1], cols[2], matched, n_values=n
+                ))
+            else:  # bool
+                outs.append(facet_ops.bool_facet_counts(
+                    cols[0], cols[1], matched
+                ))
+        return tuple(outs)
+
     if mode == "fulltext":
         fused = ft
+        matched = (ft > 0)
     elif mode == "vector":
         fused = vec
+        matched = (vec > 0)
     else:
+        matched = (ft > 0) | (vec > 0)
         if fusion == "rrf":
             # candidate-exact RRF: no dense argsorts (31.6 -> ~5 ms at 1M)
             from .fusion import rrf_candidate_count, rrf_fuse_topk
 
-            return rrf_fuse_topk(ft, vec, k, rrf_candidate_count(k))
+            vals, idx, count = rrf_fuse_topk(
+                ft, vec, k, rrf_candidate_count(k)
+            )
+            return vals, idx, count, facet_counts(matched.astype(jnp.float32))
         fused = minmax_fuse(ft, vec)
     vals, idx = jax.lax.top_k(fused, k)
     count = jnp.sum(fused > 0).astype(jnp.int32)
-    return vals, idx.astype(jnp.int32), count
+    return (
+        vals, idx.astype(jnp.int32), count,
+        facet_counts(matched.astype(jnp.float32)),
+    )
 
 
 @functools.partial(

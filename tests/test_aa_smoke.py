@@ -344,7 +344,7 @@ def test_multifield_live_window_fused_parity(tmp_path):
             p = SearchParams.from_json(dict(body, limit=64))
             helig = reader._hybrid_fused_eligible(p)
             assert helig is not None, body
-            mode, sfids, vfid, nf, live = helig
+            mode, sfids, vfid, nf, _facs, live = helig
             assert live, body
             if "properties" not in body and mode != "vector":
                 assert len(sfids) == 2, body

@@ -479,19 +479,21 @@ def test_hybrid_fused_single_dispatch_parity(tmp_path):
             assert [d for d, _ in ranked_f] == [d for d, _ in ranked], body
             for (_, s1), (_, s2) in zip(ranked_f, ranked):
                 assert abs(s1 - s2) < 1e-6, body
-        # ineligibility: facets, uncommitted window, multi-filter
+        # committed-only facets are fused-eligible since r4 (counted
+        # in-trace); deep parity lives in tests/test_fused_facets.py
         p = SearchParams.from_json(
             {"term": "solar", "mode": "hybrid",
              "facets": {"price": {"ranges": [{"from": 0, "to": 9}]}}}
         )
-        assert reader._hybrid_fused_eligible(p) is None
+        helig = reader._hybrid_fused_eligible(p)
+        assert helig is not None and len(helig[4]) == 1
         e.write_side.write("c", [{"id": "9", "body": "fresh solar", "price": 9}], "wk")
         e.flush()
         p = SearchParams.from_json({"term": "solar", "mode": "hybrid"})
         # live windows are fused-served since r4: host-merged scatter pairs
         # ride the one-dispatch program (parity vs the multi-dispatch chain)
         helig = reader._hybrid_fused_eligible(p)
-        assert helig is not None and helig[4] is True
+        assert helig is not None and helig[5] is True
         ranked_f, count_f, _ = reader._search_hybrid_fused(p, ai, *helig)
         scores = reader.search_scores(p, ai)
         vals, idx, count = jax.device_get(
