@@ -159,6 +159,19 @@ def main() -> None:
     run("vector", "vector_qps")
     run("hybrid", "hybrid_rrf_qps")
     run("hybrid", "hybrid_filtered_qps", where={"in_stock": True})
+    # faceted serving: fused in-trace counting vs the multi-dispatch
+    # chain (scores program + per-facet reduction dispatches)
+    facets = {
+        "price": {"ranges": [{"to": 25}, {"from": 25, "to": 50},
+                             {"from": 50}]},
+        "in_stock": {"true": True, "false": True},
+    }
+    run("hybrid", "hybrid_faceted_qps", facets=facets)
+    reader = engine.read_side._reader("bench")
+    orig_elig = reader._hybrid_fused_eligible
+    reader._hybrid_fused_eligible = lambda p: None
+    run("hybrid", "hybrid_faceted_multidispatch_qps", facets=facets)
+    reader._hybrid_fused_eligible = orig_elig
 
     engine.close()
     print(json.dumps(report))
