@@ -29,6 +29,18 @@ Supported subset (everything a realistic embedding-selection hook uses):
   - regex literals `/pat/gims` with .test/.exec/.source/.flags, and
     regex-aware string match/replace/replaceAll/split/search. Pattern
     syntax is Python `re` (identical over the practical JS subset).
+  - generators: `function* g() { yield v; yield* iterable; }` with
+    .next()/.return(), for..of, and Array.from(g()). Evaluation is EAGER
+    (body runs at call time, yields buffered under the step budget) —
+    terminating generators behave exactly as in V8; two-way next(v)
+    communication and usable infinite streams are outside the subset
+    (see _JsGenerator).
+  - destructuring: object/array patterns (nested, renames, defaults,
+    holes, `...rest`) in const/let/var declarations, for..of/in heads,
+    and function parameters (incl. `param = default` and `...rest`
+    params); spread in array literals, object literals ({...src}), and
+    call arguments; object shorthand `{title}`. Patterns in arrow
+    parameter lists are not parsed (the node tier covers them).
 
 Anything outside the subset raises MiniJsError — callers fall back to the
 other hook tiers (engine/hooks.py). Step/recursion budgets raise
@@ -74,7 +86,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<name>[A-Za-z_$][A-Za-z0-9_$]*)
   | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
-  | (?P<punct>=>|\?\.|\?\?|===|!==|==|!=|<=|>=|&&|\|\||\+\+|--
+  | (?P<punct>\.\.\.|=>|\?\.|\?\?|===|!==|==|!=|<=|>=|&&|\|\||\+\+|--
              |\+=|-=|\*=|/=|%=|[-+*/%!<>=(){}\[\],.:;?])
     """,
     re.VERBOSE | re.DOTALL,
@@ -84,7 +96,7 @@ _KEYWORDS = {
     "function", "return", "if", "else", "const", "let", "var", "true",
     "false", "null", "undefined", "typeof", "for", "while", "do", "break",
     "continue", "try", "catch", "finally", "throw", "of", "in",
-    "class", "new", "this",
+    "class", "new", "this", "yield",
 }
 
 
@@ -275,15 +287,29 @@ class _Parser:
         if t in ("const", "let", "var"):
             self.next()
             decls = []
+            pats = []
             while True:
-                _, name = self.next()
-                init = _UNDEFINED
-                if self.eat("="):
-                    init = self.parse_expression()
-                decls.append((name, init))
+                if self.at("{") or self.at("["):
+                    tgt = self.parse_binding_target()
+                    self.expect("=")
+                    pats.append((len(decls), tgt))
+                    decls.append((None, self.parse_expression()))
+                else:
+                    _, name = self.next()
+                    init = _UNDEFINED
+                    if self.eat("="):
+                        init = self.parse_expression()
+                    decls.append((name, init))
                 if not self.eat(","):
                     break
             self.eat(";")
+            if pats:
+                entries = []
+                pat_at = dict(pats)
+                for i, (name, init) in enumerate(decls):
+                    tgt = pat_at.get(i, ("bname", name))
+                    entries.append((tgt, init))
+                return ("declp", entries)
             if len(decls) == 1:
                 return ("decl", decls[0][0], decls[0][1])
             return ("decls", decls)
@@ -365,6 +391,20 @@ class _Parser:
         k, t = self.peek()
         if t in ("const", "let", "var"):
             self.next()
+            if self.at("{") or self.at("["):
+                # for (const [k, v] of pairs) / (const {a} of objs)
+                tgt = self.parse_binding_target()
+                _, nt = self.next()
+                if nt not in ("of", "in"):
+                    raise MiniJsError(
+                        "destructuring for-head needs of/in"
+                    )
+                iterable = self.parse_expression()
+                self.expect(")")
+                body = self.parse_statement()
+                return (
+                    "forof" if nt == "of" else "forin", tgt, iterable, body
+                )
             _, name = self.next()
             nk, nt = self.peek()
             if nt in ("of", "in"):  # for (const x of xs) / (const k in o)
@@ -372,7 +412,10 @@ class _Parser:
                 iterable = self.parse_expression()
                 self.expect(")")
                 body = self.parse_statement()
-                return ("forof" if nt == "of" else "forin", name, iterable, body)
+                return (
+                    "forof" if nt == "of" else "forin",
+                    ("bname", name), iterable, body,
+                )
             init_e = _UNDEFINED
             if self.eat("="):
                 init_e = self.parse_expression()
@@ -435,32 +478,111 @@ class _Parser:
 
     def parse_function_decl(self) -> Any:
         self.expect("function")
+        is_gen = self.eat("*")
         _, name = self.next()
         params = self.parse_params()
         self.expect("{")
         body = []
         while not self.eat("}"):
             body.append(self.parse_statement())
-        return ("funcdecl", name, params, body)
+        return ("funcdecl", name, params, body, is_gen)
 
-    def parse_params(self) -> List[str]:
+    def parse_params(self) -> List[Any]:
+        """Parameter list entries: a plain name (str), ("rest", name) for
+        `...name`, or ("p", binding_target, default_expr|None) for
+        destructuring patterns and defaulted names."""
         self.expect("(")
-        params = []
+        params: List[Any] = []
         while not self.eat(")"):
-            k, t = self.next()
-            if k == "name":
-                params.append(t)
-            elif t == ",":
+            if self.eat(","):
                 continue
-            else:
+            if self.eat("..."):
+                _, rn = self.next()
+                params.append(("rest", rn))
+                continue
+            if self.at("{") or self.at("["):
+                tgt = self.parse_binding_target()
+                default = (
+                    self.parse_ternary() if self.eat("=") else None
+                )
+                params.append(("p", tgt, default))
+                continue
+            k, t = self.next()
+            if k != "name":
                 raise MiniJsError(f"bad parameter {t!r}")
+            if self.at("="):
+                self.next()
+                params.append(("p", ("bname", t), self.parse_ternary()))
+            else:
+                params.append(t)
         return params
+
+    def parse_binding_target(self) -> Any:
+        """A destructuring binding target: ("bname", name), or
+        ("opat", [(key, target, default), ...], rest_name|None), or
+        ("apat", [(target, default) | None hole, ...], rest_name|None).
+        Nested patterns and `= default` per entry are supported; defaults
+        parse as ternary-level expressions (no bare commas)."""
+        if self.eat("{"):
+            entries = []
+            rest = None
+            while not self.eat("}"):
+                if self.eat(","):
+                    continue
+                if self.eat("..."):
+                    _, rest = self.next()
+                    continue
+                kk, key = self.next()
+                if kk == "str":
+                    key = _unescape(key[1:-1])
+                elif kk not in ("name", "kw", "num"):
+                    raise MiniJsError(f"bad destructuring key {key!r}")
+                target: Any = ("bname", key)
+                if self.eat(":"):
+                    target = self.parse_binding_target()
+                default = self.parse_ternary() if self.eat("=") else None
+                entries.append((key, target, default))
+            return ("opat", entries, rest)
+        if self.eat("["):
+            elems: List[Any] = []
+            rest = None
+            while True:
+                if self.eat("]"):
+                    break
+                if self.at(","):
+                    self.next()
+                    elems.append(None)  # elision hole
+                    continue
+                if self.eat("..."):
+                    _, rest = self.next()
+                    self.eat(",")
+                    continue
+                target = self.parse_binding_target()
+                default = self.parse_ternary() if self.eat("=") else None
+                elems.append((target, default))
+                if not self.eat(","):
+                    self.expect("]")
+                    break
+            return ("apat", elems, rest)
+        k, name = self.next()
+        if k != "name":
+            raise MiniJsError(f"bad binding target {name!r}")
+        return ("bname", name)
 
     # -- expressions ------------------------------------------------------------
 
     _ASSIGN_OPS = ("=", "+=", "-=", "*=", "/=", "%=")
 
     def parse_expression(self) -> Any:
+        if self.at("yield"):
+            self.next()
+            deleg = self.eat("*")
+            k, t = self.peek()
+            if k == "eof" or t in (";", ")", "}", ",", "]"):
+                arg = ("lit", _UNDEFINED)
+            else:
+                arg = self.parse_expression()
+            return ("yield", arg, deleg)
         left = self.parse_ternary()
         _, t = self.peek()
         if t in self._ASSIGN_OPS:
@@ -527,7 +649,10 @@ class _Parser:
             elif self.eat("("):
                 args = []
                 while not self.eat(")"):
-                    args.append(self.parse_expression())
+                    if self.eat("..."):
+                        args.append(("spread", self.parse_expression()))
+                    else:
+                        args.append(self.parse_expression())
                     self.eat(",")
                 e = ("call", e, args)
             else:
@@ -598,17 +723,30 @@ class _Parser:
         if t == "[":
             items = []
             while not self.eat("]"):
-                items.append(self.parse_expression())
+                if self.eat("..."):
+                    items.append(("spread", self.parse_expression()))
+                else:
+                    items.append(self.parse_expression())
                 self.eat(",")
             return ("array", items)
         if t == "{":
             pairs = []
             while not self.eat("}"):
+                if self.eat("..."):
+                    # {...obj} spread entry: None key marks a merge
+                    pairs.append((None, self.parse_expression()))
+                    self.eat(",")
+                    continue
                 kk, key = self.next()
                 if kk == "str":
                     key = _unescape(key[1:-1])
                 elif kk not in ("name", "num", "kw"):
                     raise MiniJsError(f"bad object key {key!r}")
+                if self.at(",") or self.at("}"):
+                    # shorthand {title} == {title: title}
+                    pairs.append((key, ("name", key)))
+                    self.eat(",")
+                    continue
                 self.expect(":")
                 pairs.append((key, self.parse_expression()))
                 self.eat(",")
@@ -751,6 +889,41 @@ class _JsRegex:
         return out.replace("\x00DOLLAR\x00", "$")
 
 
+class _JsGenerator:
+    """A generator object produced by calling a `function*`. Evaluation is
+    EAGER: the body runs to completion at call time (yields buffered,
+    bounded by the interpreter's step budget, so an infinite generator is
+    killed like an infinite loop), and the object replays the buffer via
+    .next() / for..of. This matches lazy V8 semantics for the practical
+    hook shapes (terminating generators consumed by iteration); two-way
+    communication (`const x = yield v` receiving next()'s argument) and
+    usable infinite streams are outside the subset."""
+
+    __slots__ = ("items", "ret", "cursor", "ret_taken")
+
+    def __init__(self, items: List[Any], ret: Any) -> None:
+        self.items = items
+        self.ret = ret
+        self.cursor = 0
+        self.ret_taken = False
+
+    def next_result(self) -> Dict[str, Any]:
+        if self.cursor < len(self.items):
+            v = self.items[self.cursor]
+            self.cursor += 1
+            return {"value": v, "done": False}
+        if not self.ret_taken:
+            self.ret_taken = True
+            return {"value": self.ret, "done": True}
+        return {"value": _UNDEFINED, "done": True}
+
+    def drain(self) -> List[Any]:
+        out = self.items[self.cursor:]
+        self.cursor = len(self.items)
+        self.ret_taken = True
+        return out
+
+
 class _Env:
     __slots__ = ("vars", "parent")
 
@@ -853,6 +1026,9 @@ class _Interp:
     def __init__(self) -> None:
         self.steps = 0
         self.depth = 0
+        # stack of yield buffers: one per generator body being (eagerly)
+        # evaluated — see _JsGenerator
+        self._gen_buf: List[List[Any]] = []
 
     def tick(self) -> None:
         self.steps += 1
@@ -869,6 +1045,13 @@ class _Interp:
         op = s[0]
         if op == "decl":
             env.set(s[1], self.eval(s[2], env) if s[2] is not _UNDEFINED else _UNDEFINED)
+        elif op == "declp":
+            for tgt, init in s[1]:
+                v = (
+                    self.eval(init, env)
+                    if init is not _UNDEFINED else _UNDEFINED
+                )
+                self.bind_pattern(tgt, v, env)
         elif op == "decls":
             for name, init in s[1]:
                 env.set(
@@ -888,7 +1071,7 @@ class _Interp:
         elif op == "expr":
             self.eval(s[1], env)
         elif op == "funcdecl":
-            env.set(s[1], ("closure", s[2], s[3], env))
+            env.set(s[1], ("closure", s[2], s[3], env, s[4]))
         elif op == "classdecl":
             _, name, base_e, ctor, methods, statics, getters = s
             parent = None
@@ -942,6 +1125,8 @@ class _Interp:
                     items: List[Any] = list(seq)
                 elif isinstance(seq, list):
                     items = list(seq)
+                elif isinstance(seq, _JsGenerator):
+                    items = seq.drain()
                 else:
                     raise MiniJsError("for..of needs an array or string")
             else:  # for..in yields keys (string indices for arrays, as JS)
@@ -954,7 +1139,7 @@ class _Interp:
             for item in items:
                 self.tick()
                 fenv = _Env(env)
-                fenv.set(name, item)
+                self.bind_pattern(name, item, fenv)
                 try:
                     self.run_stmt(body, fenv)
                 except _Break:
@@ -1004,9 +1189,24 @@ class _Interp:
         if op == "name":
             return env.get(e[1])
         if op == "array":
-            return [self.eval(x, env) for x in e[1]]
+            out: List[Any] = []
+            for x in e[1]:
+                if x[0] == "spread":
+                    out.extend(self._spread_items(self.eval(x[1], env)))
+                else:
+                    out.append(self.eval(x, env))
+            return out
         if op == "object":
-            return {k: self.eval(v, env) for k, v in e[1]}
+            o: Dict[str, Any] = {}
+            for k, v in e[1]:
+                if k is None:  # {...src} merge entry
+                    src = self.eval(v, env)
+                    if not isinstance(src, dict):
+                        raise MiniJsError("object spread needs an object")
+                    o.update(src)
+                else:
+                    o[k] = self.eval(v, env)
+            return o
         if op == "tostr":
             return _js_str(self.eval(e[1], env))
         if op == "ternary":
@@ -1056,11 +1256,27 @@ class _Interp:
         if op == "call":
             return self.eval_call(e, env)
         if op == "arrow":
-            return ("closure", e[1], e[2], env)
+            return ("closure", e[1], e[2], env, False)
         if op == "this":
             return env.get("this")
         if op == "regexlit":
             return _JsRegex(e[1])
+        if op == "yield":
+            if not self._gen_buf or self._gen_buf[-1] is None:
+                raise MiniJsError("yield outside a generator body")
+            v = self.eval(e[1], env)
+            if e[2]:  # yield* — delegate to an iterable
+                if isinstance(v, _JsGenerator):
+                    self._gen_buf[-1].extend(v.drain())
+                elif isinstance(v, (list, str)):
+                    self._gen_buf[-1].extend(list(v))
+                else:
+                    raise MiniJsError("yield* needs an iterable")
+            else:
+                self._gen_buf[-1].append(v)
+            # eager subset: yield-as-expression evaluates to undefined
+            # (next(v) two-way communication is outside the subset)
+            return _UNDEFINED
         if op == "new":
             cls = self.eval(e[1], env)
             if not isinstance(cls, _JsClass):
@@ -1182,6 +1398,8 @@ class _Interp:
             if m is not None:
                 return ("boundm", None, m, obj)
             return _UNDEFINED
+        if isinstance(obj, _JsGenerator):
+            return ("method", obj, key)
         if isinstance(obj, _JsRegex):
             if key == "source":
                 return obj.source
@@ -1221,9 +1439,21 @@ class _Interp:
         raise MiniJsError(f"cannot access {key!r} on {type(obj).__name__}")
 
     # method/function calls
+    def _spread_items(self, v: Any) -> List[Any]:
+        if isinstance(v, (list, str)):
+            return list(v)
+        if isinstance(v, _JsGenerator):
+            return v.drain()
+        raise MiniJsError("spread needs an iterable")
+
     def eval_call(self, e: Any, env: _Env) -> Any:
         callee = e[1]
-        args = [self.eval(a, env) for a in e[2]]
+        args = []
+        for a in e[2]:
+            if a[0] == "spread":
+                args.extend(self._spread_items(self.eval(a[1], env)))
+            else:
+                args.append(self.eval(a, env))
         # global builtins: Object.keys(x), JSON.stringify(x), ...
         if callee[0] == "member" and callee[1][0] == "name":
             base = callee[1][1]
@@ -1244,6 +1474,13 @@ class _Interp:
                 return json.loads(args[0])
             if base == "Array" and key == "isArray":
                 return isinstance(args[0], list)
+            if base == "Array" and key == "from":
+                src = args[0] if args else _UNDEFINED
+                if isinstance(src, _JsGenerator):
+                    return src.drain()
+                if isinstance(src, (list, str)):
+                    return list(src)
+                raise MiniJsError("Array.from needs an iterable")
             if base == "Math":
                 fn = _MATH_FNS.get(key)
                 if fn is None:
@@ -1297,12 +1534,63 @@ class _Interp:
             )
         raise MiniJsError("not callable")
 
+    def bind_pattern(self, tgt: Any, v: Any, env: _Env) -> None:
+        """Bind a destructuring target (parse_binding_target node) against
+        a value, recursing through nested patterns; defaults apply on
+        undefined (not null), rest entries collect the remainder — the V8
+        semantics over JSON-shaped values."""
+        kind = tgt[0]
+        if kind == "bname":
+            env.set(tgt[1], v)
+            return
+        if kind == "opat":
+            _, entries, rest = tgt
+            if not isinstance(v, dict):
+                raise MiniJsError("cannot destructure a non-object")
+            used = set()
+            for key, sub, default in entries:
+                used.add(key)
+                val = v.get(key, _UNDEFINED)
+                if val is _UNDEFINED and default is not None:
+                    val = self.eval(default, env)
+                self.bind_pattern(sub, val, env)
+            if rest is not None:
+                env.set(rest, {k: x for k, x in v.items() if k not in used})
+            return
+        # apat
+        _, elems, rest = tgt
+        if isinstance(v, str):
+            seq: List[Any] = list(v)
+        elif isinstance(v, list):
+            seq = v
+        elif isinstance(v, _JsGenerator):
+            seq = v.drain()
+        else:
+            raise MiniJsError("cannot destructure a non-iterable")
+        for i, ent in enumerate(elems):
+            if ent is None:  # elision hole
+                continue
+            sub, default = ent
+            val = seq[i] if i < len(seq) else _UNDEFINED
+            if val is _UNDEFINED and default is not None:
+                val = self.eval(default, env)
+            self.bind_pattern(sub, val, env)
+        if rest is not None:
+            env.set(rest, list(seq[len(elems):]))
+
     def call_closure(self, closure: Tuple, args: List[Any]) -> Any:
-        _, params, body, defenv = closure
-        return self._call_body(params, body, defenv, args)
+        _, params, body, defenv, is_gen = closure
+        if not is_gen:
+            return self._call_body(params, body, defenv, args)
+        # function*: eager evaluation — run the body now, buffering yields
+        # (the step budget bounds infinite generators like infinite loops)
+        buf: List[Any] = []
+        ret = self._call_body(params, body, defenv, args, gen_buf=buf)
+        return _JsGenerator(buf, ret)
 
     def _call_body(
-        self, params, body, defenv, args, this=None, superclass=None
+        self, params, body, defenv, args, this=None, superclass=None,
+        gen_buf=None,
     ):
         self.depth += 1
         if self.depth > self.MAX_DEPTH:
@@ -1311,21 +1599,48 @@ class _Interp:
             # must not swallow the recursion kill and restart the recursion
             raise MiniJsFatal("call depth exhausted (runaway recursion)")
         env = _Env(defenv)
-        for i, p in enumerate(params):
-            env.set(p, args[i] if i < len(args) else _UNDEFINED)
+        ai = 0
+        for p in params:
+            if isinstance(p, str):
+                env.set(p, args[ai] if ai < len(args) else _UNDEFINED)
+                ai += 1
+            elif p[0] == "rest":
+                env.set(p[1], list(args[ai:]))
+                ai = len(args)
+            else:  # ("p", target, default)
+                _, tgt, default = p
+                v = args[ai] if ai < len(args) else _UNDEFINED
+                ai += 1
+                if v is _UNDEFINED and default is not None:
+                    v = self.eval(default, env)
+                self.bind_pattern(tgt, v, env)
         if this is not None:
             env.set("this", this)
             env.set("__superclass__", superclass)
+        # every function body gets its own yield frame (None for
+        # non-generators), so yield inside a nested plain function or
+        # method cannot leak into an enclosing generator's buffer —
+        # matching V8, where that is a SyntaxError
+        self._gen_buf.append(gen_buf)
         try:
             self.run_block(body, env)
             return _UNDEFINED
         except _Return as r:
             return r.value
         finally:
+            self._gen_buf.pop()
             self.depth -= 1
 
     def call_method(self, obj: Any, name: str, args: List[Any]) -> Any:
         self.tick()
+        if isinstance(obj, _JsGenerator):
+            if name == "next":
+                return obj.next_result()
+            if name == "return":
+                obj.drain()
+                return {"value": args[0] if args else _UNDEFINED,
+                        "done": True}
+            raise MiniJsError(f"unsupported generator method {name!r}")
         if isinstance(obj, str):
             table: Dict[str, Callable] = {
                 "toLowerCase": lambda: obj.lower(),

@@ -578,3 +578,132 @@ def test_budgets_still_fatal_through_methods():
     """
     with pytest.raises(MiniJsFatal):
         _run(code)
+
+
+def test_generators_basic_and_for_of():
+    code = """
+    function* parts(doc) { yield doc.title; yield* doc.tags; }
+    function h(doc) {
+      const out = [];
+      for (const p of parts(doc)) out.push(p);
+      return out;
+    }
+    """
+    assert _run(code, doc={"title": "t", "tags": ["a", "b"]}) == [
+        "t", "a", "b",
+    ]
+
+
+def test_generator_next_protocol_and_return_value():
+    code = """
+    function* g() { yield 1; yield 2; return 9; }
+    function h(doc) {
+      const it = g();
+      const a = it.next(); const b = it.next();
+      const c = it.next(); const d = it.next();
+      return [a.value, a.done, b.value, b.done, c.value, c.done, d.done];
+    }
+    """
+    assert _run(code) == [1, False, 2, False, 9, True, True]
+
+
+def test_generator_delegation_and_array_from():
+    code = """
+    function* inner() { yield "x"; yield "y"; }
+    function* outer() { yield* inner(); yield* [1, 2]; yield* "ab"; }
+    function h(doc) { return Array.from(outer()); }
+    """
+    assert _run(code) == ["x", "y", 1, 2, "a", "b"]
+
+
+def test_yield_outside_generator_raises():
+    with pytest.raises(MiniJsError):
+        _run("function h(d) { yield 1; return 0; }")
+    # nested plain function inside a generator: V8 SyntaxError analog
+    with pytest.raises(MiniJsError):
+        _run(
+            """
+            function* g(cb) { cb(); yield 1; }
+            function h(d) {
+              function bad() { yield 2; }
+              return Array.from(g(bad));
+            }
+            """
+        )
+
+
+def test_infinite_generator_hits_step_budget():
+    from orama_core_tpu.engine.minijs import MiniJsFatal
+
+    code = """
+    function* g() { while (true) yield 1; }
+    function h(doc) { try { g(); } catch (e) { return "swallowed"; } }
+    """
+    with pytest.raises(MiniJsFatal):
+        _run(code)
+
+
+def test_destructuring_declarations():
+    code = """
+    function h(d) {
+      const {title, body: bb, missing = 'dflt', ...rest} = d;
+      const [a, , c, ...more] = d.tags;
+      const {meta: {lang, n = 9}} = d;
+      return [title, bb, missing, Object.keys(rest), a, c, more, lang, n];
+    }
+    """
+    doc = {
+        "title": "t", "body": "b", "tags": ["x", "y", "z", "w"],
+        "meta": {"lang": "en"}, "extra": 1,
+    }
+    assert _run(code, doc=doc) == [
+        "t", "b", "dflt", ["tags", "meta", "extra"], "x", "z", ["w"],
+        "en", 9,
+    ]
+
+
+def test_destructuring_for_of_and_params():
+    code = """
+    function pick({title, tags: [first]}, suffix = '!', ...extras) {
+      return title + first + suffix + extras.length;
+    }
+    function h(d) {
+      const out = [];
+      for (const [k, v] of Object.entries(d.meta)) out.push(k + '=' + v);
+      out.push(pick(d, '?', 1, 2));
+      out.push(pick(d));
+      return out;
+    }
+    """
+    doc = {"title": "t", "tags": ["x"], "meta": {"a": 1, "b": 2}}
+    assert _run(code, doc=doc) == ["a=1", "b=2", "tx?2", "tx!0"]
+
+
+def test_spread_and_object_shorthand():
+    code = """
+    function* g() { yield 1; yield 2; }
+    function f(a, b, c) { return a + b + c; }
+    function h(d) {
+      const arr = [...d.tags, 'z', ...'ab', ...g()];
+      const merged = {...d.meta, extra: true};
+      const {title} = d;
+      const short = {title, n: Math.max(...[3, 7, 5])};
+      return [arr, merged, short, f(...d.tags, '!')];
+    }
+    """
+    doc = {"title": "t", "tags": ["x", "y"], "meta": {"lang": "en"}}
+    assert _run(code, doc=doc) == [
+        ["x", "y", "z", "a", "b", 1, 2],
+        {"lang": "en", "extra": True},
+        {"title": "t", "n": 7},
+        "xy!",
+    ]
+
+
+def test_destructuring_type_errors():
+    with pytest.raises(MiniJsError):
+        _run("function h(d) { const {a} = null; return 0; }")
+    with pytest.raises(MiniJsError):
+        _run("function h(d) { const [a] = 5; return 0; }")
+    with pytest.raises(MiniJsError):
+        _run("function h(d) { return [...5]; }")
