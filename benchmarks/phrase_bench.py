@@ -124,6 +124,12 @@ def main():
             interpret=interp, bits=bits_dev,
         )
 
+    def f_windowed_segsum(d, p, t, wb, sp):
+        return b.phrase_boost_docmajor_windowed(
+            d, p, t, wb, sp, boost, n_docs=n_docs, W=W, wsub=wsub,
+            interpret=interp, bits=bits_dev, combine="segsum",
+        )
+
     results = {"W": W, "wsub": wsub, "positions": pp_real, "docs": n_docs}
     ref = None
     R = args.iters
@@ -131,6 +137,8 @@ def main():
         ("cumsum", f_cumsum, (d_dev, p_dev, t_dev, bounds_dev, spans_dev)),
         ("windowed", f_windowed, (d_dev, p_dev, t_dev, wb_dev, spans_dev)),
         ("windowed_bits", f_windowed_bits,
+         (d_dev, p_dev, t_dev, wb_dev, spans_dev)),
+        ("windowed_bits_segsum", f_windowed_segsum,
          (d_dev, p_dev, t_dev, wb_dev, spans_dev)),
     ):
         t0 = time.time()

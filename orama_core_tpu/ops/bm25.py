@@ -766,7 +766,7 @@ def _phrase_window_kernel(W: int, wsub: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_docs", "W", "wsub", "interpret")
+    jax.jit, static_argnames=("n_docs", "W", "wsub", "interpret", "combine")
 )
 def phrase_boost_docmajor_windowed(
     docs: jax.Array,        # int32[PPpad] sorted by (doc, pos); pad = PAD_DOC
@@ -780,6 +780,7 @@ def phrase_boost_docmajor_windowed(
     wsub: int,
     interpret: bool = False,
     bits: Optional[jax.Array] = None,  # commit-static phrase_static_bits
+    combine: str = "onehot",  # page combine: "onehot" matmul | "segsum"
 ) -> jax.Array:
     """Windowed phrase boost: same contract (and bit-identical result) as
     phrase_boost_docmajor, with the per-doc assembly done by the Pallas
@@ -844,33 +845,43 @@ def phrase_boost_docmajor_windowed(
     tgt_rows = (row_pages * 2 + chan).reshape(nb * 4)
     flat = rows.reshape(nb * 4, W)
 
-    chunk = 2048
-    n_rows = nb * 4
-    pad_rows = -(-n_rows // chunk) * chunk
-    if pad_rows != n_rows:
-        tgt_rows = jnp.concatenate(
-            [tgt_rows, jnp.full((pad_rows - n_rows,), 2 * n_pages, jnp.int32)]
-        )
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((pad_rows - n_rows, W), jnp.float32)]
-        )
-    page_ids = jnp.arange(2 * n_pages + 1, dtype=jnp.int32)
+    if combine == "segsum":
+        # the target pages are commit-static AND nondecreasing in stream
+        # order (w_base is monotone over the doc-major stream), so the
+        # combine is a row-wise segment reduction — no (chunk, n_pages)
+        # one-hot materialization, no MXU pass over mostly-zero rows
+        out_pages = jax.ops.segment_sum(
+            flat, tgt_rows, num_segments=2 * n_pages + 1
+        )                                    # (2*n_pages+1, W)
+    else:
+        chunk = 2048
+        n_rows = nb * 4
+        pad_rows = -(-n_rows // chunk) * chunk
+        if pad_rows != n_rows:
+            tgt_rows = jnp.concatenate(
+                [tgt_rows,
+                 jnp.full((pad_rows - n_rows,), 2 * n_pages, jnp.int32)]
+            )
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad_rows - n_rows, W), jnp.float32)]
+            )
+        page_ids = jnp.arange(2 * n_pages + 1, dtype=jnp.int32)
 
-    def chunk_sum(args):
-        tr, fr = args
-        oh = (tr[:, None] == page_ids[None, :]).astype(jnp.float32)
-        return jnp.einsum(
-            "cp,cw->pw", oh, fr, preferred_element_type=jnp.float32
-        )
+        def chunk_sum(args):
+            tr, fr = args
+            oh = (tr[:, None] == page_ids[None, :]).astype(jnp.float32)
+            return jnp.einsum(
+                "cp,cw->pw", oh, fr, preferred_element_type=jnp.float32
+            )
 
-    parts = jax.lax.map(
-        chunk_sum,
-        (
-            tgt_rows.reshape(-1, chunk),
-            flat.reshape(-1, chunk, W),
-        ),
-    )
-    out_pages = jnp.sum(parts, axis=0)       # (2*n_pages+1, W)
+        parts = jax.lax.map(
+            chunk_sum,
+            (
+                tgt_rows.reshape(-1, chunk),
+                flat.reshape(-1, chunk, W),
+            ),
+        )
+        out_pages = jnp.sum(parts, axis=0)   # (2*n_pages+1, W)
     anyorder = out_pages[0::2, :][:n_pages].reshape(-1)[:n_docs]
     seq = out_pages[1::2, :][:n_pages].reshape(-1)[:n_docs]
     return jnp.where(

@@ -333,6 +333,18 @@ def test_phrase_windowed_matches_docmajor():
         bad2 = np.nonzero(got2 != ref)[0]
         assert bad2.size == 0, (seed, bad2[:10])
 
+        # segment-sum page combine: identical again
+        got3 = np.asarray(
+            b.phrase_boost_docmajor_windowed(
+                jnp.asarray(d_col), jnp.asarray(p_col), jnp.asarray(t_col),
+                jnp.asarray(w_base), jnp.asarray(spans), jnp.float32(2.0),
+                n_docs=n_docs, W=W, wsub=wsub, interpret=True, bits=bits,
+                combine="segsum",
+            )
+        )
+        bad3 = np.nonzero(got3 != ref)[0]
+        assert bad3.size == 0, (seed, bad3[:10])
+
 
 def test_phrase_window_meta_degenerate_fallback():
     """Corpora of one-token docs make every block span ~2048 docs — the
