@@ -780,7 +780,10 @@ def phrase_boost_docmajor_windowed(
     wsub: int,
     interpret: bool = False,
     bits: Optional[jax.Array] = None,  # commit-static phrase_static_bits
-    combine: str = "onehot",  # page combine: "onehot" matmul | "segsum"
+    # page combine: "segsum" (default — the row-wise segment reduction
+    # measured 10.1 vs 11.1 ms for the chunked one-hot matmul at 19M
+    # positions on v5e, bit-exact) | "onehot" (kept for comparison)
+    combine: str = "segsum",
 ) -> jax.Array:
     """Windowed phrase boost: same contract (and bit-identical result) as
     phrase_boost_docmajor, with the per-doc assembly done by the Pallas
