@@ -39,8 +39,12 @@ Supported subset (everything a realistic embedding-selection hook uses):
     holes, `...rest`) in const/let/var declarations, for..of/in heads,
     and function parameters (incl. `param = default` and `...rest`
     params); spread in array literals, object literals ({...src}), and
-    call arguments; object shorthand `{title}`. Patterns in arrow
-    parameter lists are not parsed (the node tier covers them).
+    call arguments; object shorthand `{title}` and computed keys
+    `{[expr]: v}`. Patterns in arrow parameter lists are not parsed
+    (the node tier covers them).
+  - switch/case/default with JS fallthrough + strict-equality matching;
+    the `in` operator; bitwise `& | ^ ~ << >> >>>` with ToInt32
+    wrapping; exponentiation `**` (right-associative).
 
 Anything outside the subset raises MiniJsError — callers fall back to the
 other hook tiers (engine/hooks.py). Step/recursion budgets raise
@@ -87,7 +91,7 @@ _TOKEN_RE = re.compile(
   | (?P<name>[A-Za-z_$][A-Za-z0-9_$]*)
   | (?P<str>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
   | (?P<punct>\.\.\.|=>|\?\.|\?\?|===|!==|==|!=|<=|>=|&&|\|\||\+\+|--
-             |\+=|-=|\*=|/=|%=|[-+*/%!<>=(){}\[\],.:;?])
+             |\+=|-=|\*=|/=|%=|\*\*|<<|>>>|>>|[-+*/%!<>=(){}\[\],.:;?&|^~])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -96,7 +100,7 @@ _KEYWORDS = {
     "function", "return", "if", "else", "const", "let", "var", "true",
     "false", "null", "undefined", "typeof", "for", "while", "do", "break",
     "continue", "try", "catch", "finally", "throw", "of", "in",
-    "class", "new", "this", "yield",
+    "class", "new", "this", "yield", "switch", "case", "default",
 }
 
 
@@ -237,9 +241,12 @@ def _tokenize(src: str) -> List[Tuple[str, str]]:
 
 _BINARY_PREC = {
     "??": 1, "||": 2, "&&": 3,
+    "|": 4, "^": 5, "&": 6,
     "==": 7, "!=": 7, "===": 7, "!==": 7,
-    "<": 8, "<=": 8, ">": 8, ">=": 8,
-    "+": 9, "-": 9, "*": 10, "/": 10, "%": 10,
+    "<": 8, "<=": 8, ">": 8, ">=": 8, "in": 8,
+    "<<": 9, ">>": 9, ">>>": 9,
+    "+": 10, "-": 10, "*": 11, "/": 11, "%": 11,
+    "**": 12,  # right-associative (special-cased in parse_binary)
 }
 
 
@@ -313,6 +320,28 @@ class _Parser:
             if len(decls) == 1:
                 return ("decl", decls[0][0], decls[0][1])
             return ("decls", decls)
+        if t == "switch":
+            self.next()
+            self.expect("(")
+            disc = self.parse_expression()
+            self.expect(")")
+            self.expect("{")
+            cases = []  # (test_expr | None for default, [stmts])
+            while not self.eat("}"):
+                if self.eat("case"):
+                    test = self.parse_expression()
+                    self.expect(":")
+                else:
+                    self.expect("default")
+                    self.expect(":")
+                    test = None
+                body = []
+                while not (
+                    self.at("case") or self.at("default") or self.at("}")
+                ):
+                    body.append(self.parse_statement())
+                cases.append((test, body))
+            return ("switch", disc, cases)
         if t == "return":
             self.next()
             if self.at(";") or self.at("}"):
@@ -610,12 +639,13 @@ class _Parser:
             if prec is None or prec < min_prec:
                 return left
             self.next()
-            right = self.parse_binary(prec + 1)
+            # ** is right-associative: recurse at the same level
+            right = self.parse_binary(prec if t == "**" else prec + 1)
             left = ("bin", t, left, right)
 
     def parse_unary(self) -> Any:
         k, t = self.peek()
-        if t in ("!", "-", "+"):
+        if t in ("!", "-", "+", "~"):
             self.next()
             return ("unary", t, self.parse_unary())
         if t in ("++", "--"):
@@ -735,6 +765,15 @@ class _Parser:
                 if self.eat("..."):
                     # {...obj} spread entry: None key marks a merge
                     pairs.append((None, self.parse_expression()))
+                    self.eat(",")
+                    continue
+                if self.eat("["):
+                    # computed key {[expr]: v}: tuple key marks it
+                    key_e = self.parse_expression()
+                    self.expect("]")
+                    self.expect(":")
+                    pairs.append((("computed", key_e),
+                                  self.parse_expression()))
                     self.eat(",")
                     continue
                 kk, key = self.next()
@@ -1146,6 +1185,28 @@ class _Interp:
                     break
                 except _Continue:
                     continue
+        elif op == "switch":
+            disc = self.eval(s[1], env)
+            cases = s[2]
+            start = None
+            for i, (test, _body) in enumerate(cases):
+                if test is not None and self._switch_match(
+                    disc, self.eval(test, env)
+                ):
+                    start = i
+                    break
+            if start is None:
+                start = next(
+                    (i for i, (t2, _b) in enumerate(cases) if t2 is None),
+                    None,
+                )
+            if start is not None:
+                senv = _Env(env)
+                try:  # fallthrough until break, as in JS
+                    for _t, body in cases[start:]:
+                        self.run_block(body, senv)
+                except _Break:
+                    pass
         elif op == "break":
             raise _Break()
         elif op == "continue":
@@ -1204,6 +1265,8 @@ class _Interp:
                     if not isinstance(src, dict):
                         raise MiniJsError("object spread needs an object")
                     o.update(src)
+                elif isinstance(k, tuple):  # ("computed", expr)
+                    o[_js_str(self.eval(k[1], env))] = self.eval(v, env)
                 else:
                     o[k] = self.eval(v, env)
             return o
@@ -1221,6 +1284,8 @@ class _Interp:
                 return not _truthy(v)
             if e[1] == "-":
                 return -self._num(v)
+            if e[1] == "~":
+                return ~self._to_i32(v)
             return +self._num(v)
         if op == "assign":
             return self.eval_assign(e[1], e[2], e[3], env)
@@ -1364,11 +1429,43 @@ class _Interp:
             return {
                 "<": lv < rv, "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv,
             }[opr]
+        if opr == "in":
+            if isinstance(rv, dict):
+                return _js_str(lv) in rv
+            if isinstance(rv, list):
+                if lv == "length":
+                    return True
+                try:
+                    n = self._num(lv)
+                except MiniJsError:
+                    return False  # non-numeric property name on an array
+                return float(n).is_integer() and 0 <= int(n) < len(rv)
+            raise MiniJsError("'in' needs an object or array")
+        if opr in ("&", "|", "^", "<<", ">>", ">>>"):
+            a32, b32 = self._to_i32(lv), self._to_i32(rv)
+            if opr == "&":
+                r = a32 & b32
+            elif opr == "|":
+                r = a32 | b32
+            elif opr == "^":
+                r = a32 ^ b32
+            elif opr == "<<":
+                r = (a32 << (b32 & 31)) & 0xFFFFFFFF
+            elif opr == ">>":
+                return a32 >> (b32 & 31)
+            else:  # >>> logical shift: unsigned result
+                return (a32 & 0xFFFFFFFF) >> (b32 & 31)
+            return r - 0x100000000 if r >= 0x80000000 else r
         a, b = self._num(lv), self._num(rv)
         if opr == "-":
             return a - b
         if opr == "*":
             return a * b
+        if opr == "**":
+            try:
+                return a ** b
+            except (OverflowError, ZeroDivisionError) as ex:
+                raise MiniJsError(f"** overflow: {ex}")
         if opr == "/":
             if b == 0:
                 raise MiniJsError("division by zero")
@@ -1376,6 +1473,23 @@ class _Interp:
         if opr == "%":
             return a % b
         raise MiniJsError(f"unsupported operator {opr}")
+
+    def _to_i32(self, v: Any) -> int:
+        """JS ToInt32: wrap the numeric value into signed 32-bit."""
+        n = self._num(v)
+        if n != n or n in (float("inf"), float("-inf")):
+            return 0
+        r = int(n) & 0xFFFFFFFF
+        return r - 0x100000000 if r >= 0x80000000 else r
+
+    def _switch_match(self, a: Any, b: Any) -> bool:
+        """switch uses STRICT equality: undefined and null do not match
+        each other (unlike the loose leg of _eq)."""
+        if (a is _UNDEFINED) != (b is _UNDEFINED):
+            return False
+        if (a is None) != (b is None):
+            return False
+        return self._eq(a, b)
 
     @staticmethod
     def _eq(a: Any, b: Any) -> bool:

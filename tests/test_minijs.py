@@ -707,3 +707,50 @@ def test_destructuring_type_errors():
         _run("function h(d) { const [a] = 5; return 0; }")
     with pytest.raises(MiniJsError):
         _run("function h(d) { return [...5]; }")
+
+
+def test_switch_fallthrough_default_and_strictness():
+    code = """
+    function h(d) {
+      const out = [];
+      switch (d.kind) {
+        case 'a': out.push(1);          // falls through
+        case 'b': out.push(2); break;
+        case 'c': out.push(3); break;
+        default: out.push(9);
+      }
+      switch ('zz') { case 'a': out.push(-1); default: out.push(99); }
+      switch ('q') { case 'a': out.push(-2); }
+      switch (null) { case undefined: out.push(-3); break;
+                      case null: out.push(42); }
+      return out;
+    }
+    """
+    assert _run(code, doc={"kind": "a"}) == [1, 2, 99, 42]
+
+
+def test_in_operator_bitwise_and_exponent():
+    code = """
+    function h(d) {
+      return [
+        'kind' in d, 'nope' in d, 0 in d.tags, 'length' in d.tags,
+        5 & 3, 1 << 4, 5 | 2, 5 ^ 1, -8 >> 1, -1 >>> 28, ~5, ~~3.7,
+        2 ** 3 ** 2,
+      ];
+    }
+    """
+    assert _run(code, doc={"kind": "a", "tags": ["x"]}) == [
+        True, False, True, True,
+        1, 16, 7, 4, -4, 15, -6, 3,
+        512,
+    ]
+
+
+def test_computed_object_keys():
+    code = """
+    function h(d) {
+      const k = 'a' + 'b';
+      return {[k]: 7, [1 + 1]: 'two'};
+    }
+    """
+    assert _run(code) == {"ab": 7, "2": "two"}
