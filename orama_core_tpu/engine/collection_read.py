@@ -3635,6 +3635,29 @@ class CollectionReader:
             bodies.append(
                 {"term": sample_terms[0], "where": {number_field: {"gte": 0}}}
             )
+        # faceted fused shape (in-trace facet counting is its own program
+        # family — warm it so the first faceted query doesn't pay the jit)
+        facets: Dict[str, Any] = {}
+        if number_field:
+            facets[number_field] = {"ranges": [{"from": 0, "to": 1}]}
+        kw_field = next(
+            (
+                self.fields[fid].name
+                for fid, kf in self._keyword.items()
+                if not kf.committed.is_empty
+            ),
+            None,
+        )
+        if kw_field:
+            facets[kw_field] = {"limit": 5}
+        bool_field = next(
+            (f.name for f in self.fields.values() if f.type == ValueType.BOOL),
+            None,
+        )
+        if bool_field:
+            facets[bool_field] = {"true": True, "false": True}
+        if facets:
+            bodies.append({"term": sample_terms[0], "facets": facets})
         for body in bodies:
             try:
                 self.search(SearchParams.from_json(body), ai_service)
