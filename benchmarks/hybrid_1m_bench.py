@@ -87,6 +87,11 @@ def build_synthetic_reader(n_docs: int, n_terms: int, avg_postings: int, dim: in
     )
 
     cfg = TpuConfig()
+    import os as _os
+    if _os.environ.get("BENCH_DENSE_TERMS"):
+        cfg.bm25_dense_terms = int(_os.environ["BENCH_DENSE_TERMS"])
+    if _os.environ.get("BENCH_DENSE_RATIO"):
+        cfg.bm25_dense_df_ratio = int(_os.environ["BENCH_DENSE_RATIO"])
     reader = CollectionReader("bench1m", "rk", None, cfg)
     fields = [
         TypedField(0, "body", ValueType.STRING),
