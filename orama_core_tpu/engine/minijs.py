@@ -1582,6 +1582,26 @@ class _Interp:
                 if key == "values":
                     return list(o.values())
                 return [[k, v] for k, v in o.items()]
+            if base == "Object" and key == "assign":
+                if not args or not isinstance(args[0], dict):
+                    raise MiniJsError("Object.assign needs an object target")
+                tgt = args[0]
+                for src in args[1:]:
+                    if isinstance(src, dict):
+                        tgt.update(src)
+                return tgt
+            if base == "Object" and key == "fromEntries":
+                src = args[0] if args else None
+                if isinstance(src, _JsGenerator):
+                    src = src.drain()
+                if not isinstance(src, list):
+                    raise MiniJsError("Object.fromEntries needs pairs")
+                out_o: Dict[str, Any] = {}
+                for pair in src:
+                    if not isinstance(pair, list) or len(pair) < 2:
+                        raise MiniJsError("Object.fromEntries needs pairs")
+                    out_o[_js_str(pair[0])] = pair[1]
+                return out_o
             if base == "JSON" and key == "stringify":
                 return json.dumps(_strip_undefined(args[0]))
             if base == "JSON" and key == "parse":
@@ -1692,6 +1712,45 @@ class _Interp:
         if rest is not None:
             env.set(rest, list(seq[len(elems):]))
 
+    def _cb(self, fn: Any, *cb_args: Any) -> Any:
+        """Invoke a user callback with JS-style (value, index, array)
+        arguments; extra args bind to _UNDEFINED in shorter signatures."""
+        if isinstance(fn, tuple) and fn and fn[0] == "closure":
+            return self.call_closure(fn, list(cb_args))
+        if isinstance(fn, tuple) and fn and fn[0] == "boundm":
+            _, this_v, (params, body), owner = fn
+            return self._call_body(
+                params, body, owner.env, list(cb_args),
+                this=this_v, superclass=owner.parent,
+            )
+        raise MiniJsError("callback is not a function")
+
+    def _sort(self, obj: List[Any], cmp: Any) -> List[Any]:
+        import functools as _ft
+
+        if cmp is None:
+            # JS default sort: lexicographic over string conversions
+            obj.sort(key=_js_str)
+        else:
+            def _c(a: Any, b: Any) -> int:
+                r = self._num(self._cb(cmp, a, b))
+                return -1 if r < 0 else (1 if r > 0 else 0)
+
+            obj.sort(key=_ft.cmp_to_key(_c))
+        return obj
+
+    def _reduce(self, obj: List[Any], args: List[Any]) -> Any:
+        cb = args[0] if args else None
+        if len(args) > 1:
+            acc, start = args[1], 0
+        elif obj:
+            acc, start = obj[0], 1
+        else:
+            raise MiniJsError("reduce of empty array with no initial value")
+        for i in range(start, len(obj)):
+            acc = self._cb(cb, acc, obj[i], i, obj)
+        return acc
+
     def call_closure(self, closure: Tuple, args: List[Any]) -> Any:
         _, params, body, defenv, is_gen = closure
         if not is_gen:
@@ -1790,7 +1849,24 @@ class _Interp:
                     else obj.find(args[0])
                 ),
                 "indexOf": lambda: obj.find(args[0]),
+                "lastIndexOf": lambda: obj.rfind(args[0]),
                 "charAt": lambda: obj[int(args[0])] if 0 <= int(args[0]) < len(obj) else "",
+                "charCodeAt": lambda: _char_code_at(
+                    obj, int(args[0]) if args else 0
+                ),
+                "at": lambda: _at(obj, self._num(args[0]) if args else 0),
+                "padStart": lambda: _pad(
+                    obj, int(args[0]),
+                    _js_str(args[1]) if len(args) > 1 else " ", True
+                ),
+                "padEnd": lambda: _pad(
+                    obj, int(args[0]),
+                    _js_str(args[1]) if len(args) > 1 else " ", False
+                ),
+                "repeat": lambda: obj * max(int(args[0]), 0),
+                "substring": lambda: _substring(obj, args),
+                "trimStart": lambda: obj.lstrip(),
+                "trimEnd": lambda: obj.rstrip(),
             }
         elif isinstance(obj, list):
             table = {
@@ -1802,22 +1878,55 @@ class _Interp:
                 "slice": lambda: obj[_slice(args, len(obj))],
                 "concat": lambda: obj + (args[0] if args and isinstance(args[0], list) else list(args)),
                 "flat": lambda: _flat(obj),
+                "flatMap": lambda: _flat(
+                    [self._cb(args[0], x, i, obj) for i, x in enumerate(obj)],
+                    depth=1,
+                ),
                 "push": lambda: (obj.extend(args), len(obj))[1],
                 "pop": lambda: obj.pop() if obj else _UNDEFINED,
+                "shift": lambda: obj.pop(0) if obj else _UNDEFINED,
+                "unshift": lambda: (obj.__setitem__(
+                    slice(0, 0), list(args)
+                ), len(obj))[1],
+                "reverse": lambda: (obj.reverse(), obj)[1],
+                "sort": lambda: self._sort(obj, args[0] if args else None),
+                "at": lambda: _at(obj, self._num(args[0]) if args else 0),
+                "lastIndexOf": lambda: (
+                    len(obj) - 1 - obj[::-1].index(args[0])
+                    if args[0] in obj else -1
+                ),
+                # callbacks receive (value, index, array), as in JS
                 "filter": lambda: [
-                    x for x in obj if _truthy(self.call_closure(args[0], [x]))
+                    x for i, x in enumerate(obj)
+                    if _truthy(self._cb(args[0], x, i, obj))
                 ],
-                "map": lambda: [self.call_closure(args[0], [x]) for x in obj],
+                "map": lambda: [
+                    self._cb(args[0], x, i, obj) for i, x in enumerate(obj)
+                ],
+                "forEach": lambda: (
+                    [self._cb(args[0], x, i, obj)
+                     for i, x in enumerate(obj)],
+                    _UNDEFINED,
+                )[1],
                 "find": lambda: next(
-                    (x for x in obj if _truthy(self.call_closure(args[0], [x]))),
+                    (x for i, x in enumerate(obj)
+                     if _truthy(self._cb(args[0], x, i, obj))),
                     _UNDEFINED,
                 ),
+                "findIndex": lambda: next(
+                    (i for i, x in enumerate(obj)
+                     if _truthy(self._cb(args[0], x, i, obj))),
+                    -1,
+                ),
                 "some": lambda: any(
-                    _truthy(self.call_closure(args[0], [x])) for x in obj
+                    _truthy(self._cb(args[0], x, i, obj))
+                    for i, x in enumerate(obj)
                 ),
                 "every": lambda: all(
-                    _truthy(self.call_closure(args[0], [x])) for x in obj
+                    _truthy(self._cb(args[0], x, i, obj))
+                    for i, x in enumerate(obj)
                 ),
+                "reduce": lambda: self._reduce(obj, args),
             }
         elif isinstance(obj, _JsRegex):
             table = {
@@ -1861,11 +1970,45 @@ def _slice(args: List[Any], n: int):
     return slice(a, b)
 
 
-def _flat(xs: List[Any]) -> List[Any]:
+def _flat(xs: List[Any], depth: int = 1) -> List[Any]:
     out: List[Any] = []
     for x in xs:
         out.extend(x) if isinstance(x, list) else out.append(x)
     return out
+
+
+def _at(xs, i) -> Any:
+    """JS Array/String.prototype.at: negative indexes from the end."""
+    i = int(i)
+    n = len(xs)
+    if i < 0:
+        i += n
+    return xs[i] if 0 <= i < n else _UNDEFINED
+
+
+def _pad(s: str, width: int, fill: str, start: bool) -> str:
+    """JS padStart/padEnd: multi-char fill repeats then truncates."""
+    if not fill or width <= len(s):
+        return s
+    need = width - len(s)
+    pad = (fill * (need // len(fill) + 1))[:need]
+    return pad + s if start else s + pad
+
+
+def _char_code_at(s: str, i: int) -> Any:
+    if 0 <= i < len(s):
+        return ord(s[i])
+    raise MiniJsError("charCodeAt index out of range (JS would give NaN)")
+
+
+def _substring(s: str, args: List[Any]) -> str:
+    """JS substring: clamps to [0, len], swaps out-of-order bounds."""
+    n = len(s)
+    a = min(max(int(args[0]) if args else 0, 0), n)
+    b = min(max(int(args[1]) if len(args) > 1 else n, 0), n)
+    if a > b:
+        a, b = b, a
+    return s[a:b]
 
 
 def _strip_undefined(v: Any) -> Any:

@@ -426,7 +426,7 @@ def test_runtime_unsupported_skips_static_tier(tmp_path, monkeypatch):
     rt.insert_hook(
         "c", "selectEmbeddingProperties",
         'function selectEmbeddingProperties(doc) {'
-        ' if (doc.x.padStart(2) === " y") { return ["a"]; } return ["b"]; }',
+        ' if (doc.x.localeCompare("y") === 0) { return ["a"]; } return ["b"]; }',
     )
     with pytest.raises(RuntimeError):
         rt.eval("c", "selectEmbeddingProperties", {"x": "y"})
@@ -754,3 +754,51 @@ def test_computed_object_keys():
     }
     """
     assert _run(code) == {"ab": 7, "2": "two"}
+
+
+def test_array_builtins_reduce_sort_foreach():
+    code = """
+    function h(d) {
+      const sorted = [...d.nums].sort((a, b) => a - b);
+      const sum = d.nums.reduce((acc, x) => acc + x, 0);
+      const noInit = d.nums.reduce((a, x) => a + x);
+      let idxWeighted = 0;
+      d.nums.forEach((x, i) => { idxWeighted += x * i; });
+      return [
+        sorted, sum, noInit, idxWeighted,
+        d.nums.findIndex((x) => x === 2),
+        d.nums.flatMap((x) => [x, x * 10]),
+        [...d.nums].reverse(),
+        ['b', 'a', 10, 2].sort(),          // JS default: lexicographic
+        d.nums.map((x, i) => x + i),       // callbacks get (value, index)
+        d.nums.at(-1),
+      ];
+    }
+    """
+    assert _run(code, doc={"nums": [3, 1, 2]}) == [
+        [1, 2, 3], 6, 6, 0 * 3 + 1 * 1 + 2 * 2, 2,
+        [3, 30, 1, 10, 2, 20], [2, 1, 3], [10, 2, "a", "b"],
+        [3, 2, 4], 2,
+    ]
+
+
+def test_string_and_object_builtins():
+    code = """
+    function h(d) {
+      return [
+        '5'.padStart(3, '0'), 'q'.padEnd(3, '-'), 'ab'.repeat(2),
+        'A'.charCodeAt(0), 'hello'.substring(3, 1), 'abc'.at(-1),
+        Object.assign({}, {a: 1}, {b: 2}),
+        Object.fromEntries(Object.entries({x: 1, y: 2})),
+      ];
+    }
+    """
+    assert _run(code) == [
+        "005", "q--", "abab", 65, "el", "c",
+        {"a": 1, "b": 2}, {"x": 1, "y": 2},
+    ]
+
+
+def test_reduce_empty_no_initial_raises():
+    with pytest.raises(MiniJsError):
+        _run("function h(d) { return [].reduce((a, x) => a + x); }")
