@@ -40,8 +40,8 @@ Supported subset (everything a realistic embedding-selection hook uses):
     and function parameters (incl. `param = default` and `...rest`
     params); spread in array literals, object literals ({...src}), and
     call arguments; object shorthand `{title}` and computed keys
-    `{[expr]: v}`. Patterns in arrow parameter lists are not parsed
-    (the node tier covers them).
+    `{[expr]: v}`. Parenthesized arrow parameter lists accept the same
+    pattern/default/rest syntax (`([k, v]) => ...`).
   - switch/case/default with JS fallthrough + strict-equality matching;
     the `in` operator; bitwise `& | ^ ~ << >> >>>` with ToInt32
     wrapping; exponentiation `**` (right-associative).
@@ -730,18 +730,38 @@ class _Parser:
                 return self.parse_arrow_body([t])
             return ("name", t)
         if t == "(":
-            # could be (a, b) => ... or a parenthesized expression
+            # could be (a, b) => ... or a parenthesized expression; the
+            # try-parse accepts full parameter syntax (patterns, defaults,
+            # rest) and backtracks on anything that isn't a params list
             save = self.i
             try:
-                params = []
+                params: List[Any] = []
                 while not self.eat(")"):
-                    kk, tt = self.next()
-                    if kk == "name":
-                        params.append(tt)
-                    elif tt == ",":
+                    if self.eat(","):
                         continue
-                    else:
+                    if self.eat("..."):
+                        kk, rn = self.next()
+                        if kk != "name":
+                            raise MiniJsError("not params")
+                        params.append(("rest", rn))
+                        continue
+                    if self.at("{") or self.at("["):
+                        tgt = self.parse_binding_target()
+                        default = (
+                            self.parse_ternary() if self.eat("=") else None
+                        )
+                        params.append(("p", tgt, default))
+                        continue
+                    kk, tt = self.next()
+                    if kk != "name":
                         raise MiniJsError("not params")
+                    if self.at("="):
+                        self.next()
+                        params.append(
+                            ("p", ("bname", tt), self.parse_ternary())
+                        )
+                    else:
+                        params.append(tt)
                 if self.eat("=>"):
                     return self.parse_arrow_body(params)
                 raise MiniJsError("not arrow")

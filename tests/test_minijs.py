@@ -802,3 +802,20 @@ def test_string_and_object_builtins():
 def test_reduce_empty_no_initial_raises():
     with pytest.raises(MiniJsError):
         _run("function h(d) { return [].reduce((a, x) => a + x); }")
+
+
+def test_arrow_param_patterns():
+    code = """
+    function h(doc) {
+      const names = Object.entries(doc)
+        .filter(([k, v]) => typeof v === 'string' && !k.startsWith('_'))
+        .sort(([a], [b]) => a < b ? -1 : 1)
+        .map(([k]) => k);
+      const f = ({x} = {x: 9}) => x * 2;
+      const g = (a, ...rest) => a + rest.length;
+      return [names, f(), f({x: 3}), g(1, 2, 3),
+              ({a: 1}).a + ([5])[0]];   // literals still parse in parens
+    }
+    """
+    doc = {"zeta": "z", "alpha": "a", "_x": "s", "n": 3}
+    assert _run(code, doc=doc) == [["alpha", "zeta"], 18, 6, 3, 6]
