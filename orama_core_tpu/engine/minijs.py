@@ -43,8 +43,11 @@ Supported subset (everything a realistic embedding-selection hook uses):
     `{[expr]: v}`. Parenthesized arrow parameter lists accept the same
     pattern/default/rest syntax (`([k, v]) => ...`).
   - switch/case/default with JS fallthrough + strict-equality matching;
-    the `in` operator; bitwise `& | ^ ~ << >> >>>` with ToInt32
-    wrapping; exponentiation `**` (right-associative).
+    the `in` and `instanceof` operators; `delete obj.key`; labeled
+    statements with labeled break/continue; bitwise `& | ^ ~ << >> >>>`
+    with ToInt32 wrapping; exponentiation `**` (right-associative);
+    parseInt/parseFloat/isNaN/isFinite, Number.is*/parse*,
+    String.fromCharCode.
 
 Anything outside the subset raises MiniJsError — callers fall back to the
 other hook tiers (engine/hooks.py). Step/recursion budgets raise
@@ -101,6 +104,7 @@ _KEYWORDS = {
     "false", "null", "undefined", "typeof", "for", "while", "do", "break",
     "continue", "try", "catch", "finally", "throw", "of", "in",
     "class", "new", "this", "yield", "switch", "case", "default",
+    "instanceof", "delete",
 }
 
 
@@ -243,7 +247,7 @@ _BINARY_PREC = {
     "??": 1, "||": 2, "&&": 3,
     "|": 4, "^": 5, "&": 6,
     "==": 7, "!=": 7, "===": 7, "!==": 7,
-    "<": 8, "<=": 8, ">": 8, ">=": 8, "in": 8,
+    "<": 8, "<=": 8, ">": 8, ">=": 8, "in": 8, "instanceof": 8,
     "<<": 9, ">>": 9, ">>>": 9,
     "+": 10, "-": 10, "*": 11, "/": 11, "%": 11,
     "**": 12,  # right-associative (special-cased in parse_binary)
@@ -287,6 +291,11 @@ class _Parser:
 
     def parse_statement(self) -> Any:
         k, t = self.peek()
+        if k == "name" and self.toks[self.i + 1][1] == ":":
+            # labeled statement: `outer: for (...) ...`
+            self.next()
+            self.next()
+            return ("label", t, self.parse_statement())
         if t == "function":
             return self.parse_function_decl()
         if t == "class":
@@ -379,12 +388,14 @@ class _Parser:
             return self.parse_for()
         if t == "break":
             self.next()
+            label = self.next()[1] if self.peek()[0] == "name" else None
             self.eat(";")
-            return ("break",)
+            return ("break", label)
         if t == "continue":
             self.next()
+            label = self.next()[1] if self.peek()[0] == "name" else None
             self.eat(";")
-            return ("continue",)
+            return ("continue", label)
         if t == "throw":
             self.next()
             e = self.parse_expression()
@@ -657,6 +668,12 @@ class _Parser:
         if t == "typeof":
             self.next()
             return ("typeof", self.parse_unary())
+        if t == "delete":
+            self.next()
+            target = self.parse_unary()
+            if target[0] != "member":
+                raise MiniJsError("delete needs a property access")
+            return ("delete", target)
         return self.parse_postfix(self.parse_primary())
 
     def parse_postfix(self, e: Any) -> Any:
@@ -1017,11 +1034,15 @@ class _Return(Exception):
 
 
 class _Break(Exception):
-    pass
+    def __init__(self, label: Optional[str] = None) -> None:
+        super().__init__(label)
+        self.label = label
 
 
 class _Continue(Exception):
-    pass
+    def __init__(self, label: Optional[str] = None) -> None:
+        super().__init__(label)
+        self.label = label
 
 
 class _Throw(Exception):
@@ -1088,6 +1109,14 @@ class _Interp:
         # stack of yield buffers: one per generator body being (eagerly)
         # evaluated — see _JsGenerator
         self._gen_buf: List[List[Any]] = []
+        # label of the statement currently being labeled (consumed by the
+        # next loop that starts — see run_stmt "label")
+        self._pending_label: Optional[str] = None
+
+    def _take_label(self) -> Optional[str]:
+        lbl = self._pending_label
+        self._pending_label = None
+        return lbl
 
     def tick(self) -> None:
         self.steps += 1
@@ -1142,27 +1171,37 @@ class _Interp:
                 name, parent, ctor, methods, statics, getters, env
             ))
         elif op == "while":
+            my_label = self._take_label()
             while _truthy(self.eval(s[1], env)):
                 self.tick()
                 try:
                     self.run_stmt(s[2], env)
-                except _Break:
+                except _Break as b:
+                    if b.label and b.label != my_label:
+                        raise
                     break
-                except _Continue:
+                except _Continue as c:
+                    if c.label and c.label != my_label:
+                        raise
                     continue
         elif op == "dowhile":
+            my_label = self._take_label()
             while True:
                 self.tick()
                 try:
                     self.run_stmt(s[1], env)
-                except _Break:
+                except _Break as b:
+                    if b.label and b.label != my_label:
+                        raise
                     break
-                except _Continue:
-                    pass
+                except _Continue as c:
+                    if c.label and c.label != my_label:
+                        raise
                 if not _truthy(self.eval(s[2], env)):
                     break
         elif op == "for":
             _, init, cond, update, body = s
+            my_label = self._take_label()
             fenv = _Env(env)  # init decl scopes to the loop
             if init is not None:
                 self.run_stmt(init, fenv)
@@ -1170,14 +1209,18 @@ class _Interp:
                 self.tick()
                 try:
                     self.run_stmt(body, fenv)
-                except _Break:
+                except _Break as b:
+                    if b.label and b.label != my_label:
+                        raise
                     break
-                except _Continue:
-                    pass
+                except _Continue as c:
+                    if c.label and c.label != my_label:
+                        raise
                 if update is not None:
                     self.eval(update, fenv)
         elif op in ("forof", "forin"):
             _, name, iter_e, body = s
+            my_label = self._take_label()
             seq = self.eval(iter_e, env)
             if op == "forof":
                 if isinstance(seq, str):
@@ -1201,9 +1244,13 @@ class _Interp:
                 self.bind_pattern(name, item, fenv)
                 try:
                     self.run_stmt(body, fenv)
-                except _Break:
+                except _Break as b:
+                    if b.label and b.label != my_label:
+                        raise
                     break
-                except _Continue:
+                except _Continue as c:
+                    if c.label and c.label != my_label:
+                        raise
                     continue
         elif op == "switch":
             disc = self.eval(s[1], env)
@@ -1225,12 +1272,23 @@ class _Interp:
                 try:  # fallthrough until break, as in JS
                     for _t, body in cases[start:]:
                         self.run_block(body, senv)
-                except _Break:
-                    pass
+                except _Break as b:
+                    if b.label:  # labeled break targets an outer statement
+                        raise
+        elif op == "label":
+            prev = self._pending_label
+            self._pending_label = s[1]
+            try:
+                self.run_stmt(s[2], env)
+            except _Break as b:
+                if b.label != s[1]:
+                    raise
+            finally:
+                self._pending_label = prev
         elif op == "break":
-            raise _Break()
+            raise _Break(s[1] if len(s) > 1 else None)
         elif op == "continue":
-            raise _Continue()
+            raise _Continue(s[1] if len(s) > 1 else None)
         elif op == "throw":
             raise _Throw(self.eval(s[1], env))
         elif op == "try":
@@ -1346,6 +1404,15 @@ class _Interp:
             return env.get("this")
         if op == "regexlit":
             return _JsRegex(e[1])
+        if op == "delete":
+            m = e[1]  # ("member", obj_e, key_e, optional)
+            obj = self.eval(m[1], env)
+            key = self.eval(m[2], env)
+            if isinstance(obj, dict):
+                obj.pop(_js_str(key) if not isinstance(key, str) else key,
+                        None)
+                return True
+            raise MiniJsError("delete needs an object property")
         if op == "yield":
             if not self._gen_buf or self._gen_buf[-1] is None:
                 raise MiniJsError("yield outside a generator body")
@@ -1449,6 +1516,17 @@ class _Interp:
             return {
                 "<": lv < rv, "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv,
             }[opr]
+        if opr == "instanceof":
+            if not isinstance(rv, _JsClass):
+                raise MiniJsError("instanceof needs a class")
+            if not isinstance(lv, _JsObject):
+                return False
+            c: Optional[_JsClass] = lv.cls
+            while c is not None:
+                if c is rv:
+                    return True
+                c = c.parent
+            return False
         if opr == "in":
             if isinstance(rv, dict):
                 return _js_str(lv) in rv
@@ -1626,6 +1704,31 @@ class _Interp:
                 return json.dumps(_strip_undefined(args[0]))
             if base == "JSON" and key == "parse":
                 return json.loads(args[0])
+            if base == "Number" and key in (
+                "isInteger", "isFinite", "isNaN", "parseInt", "parseFloat",
+            ):
+                v = args[0] if args else _UNDEFINED
+                if key == "isInteger":
+                    return (
+                        isinstance(v, (int, float))
+                        and not isinstance(v, bool)
+                        and float(v).is_integer()
+                    )
+                if key == "isFinite":
+                    return (
+                        isinstance(v, (int, float))
+                        and not isinstance(v, bool)
+                        and v == v
+                        and v not in (float("inf"), float("-inf"))
+                    )
+                if key == "isNaN":
+                    return isinstance(v, float) and v != v
+                if key == "parseInt":
+                    radix = int(args[1]) if len(args) > 1 and args[1] else 10
+                    return _parse_int(v, radix)
+                return _parse_float(v)
+            if base == "String" and key == "fromCharCode":
+                return "".join(chr(int(self._num(a))) for a in args)
             if base == "Array" and key == "isArray":
                 return isinstance(args[0], list)
             if base == "Array" and key == "from":
@@ -1675,6 +1778,26 @@ class _Interp:
             if callee[1] == "Number":
                 return self._num(v)
             return _truthy(v)
+        if callee[0] == "name" and callee[1] in (
+            "parseInt", "parseFloat", "isNaN", "isFinite",
+        ):
+            v = args[0] if args else _UNDEFINED
+            if callee[1] == "parseInt":
+                radix = int(args[1]) if len(args) > 1 and args[1] else 10
+                return _parse_int(v, radix)
+            if callee[1] == "parseFloat":
+                return _parse_float(v)
+            if callee[1] == "isNaN":
+                try:
+                    n = self._num(v)
+                except MiniJsError:
+                    return True
+                return n != n
+            try:  # isFinite
+                n = self._num(v)
+            except MiniJsError:
+                return False
+            return n == n and n not in (float("inf"), float("-inf"))
         target = self.eval(callee, env)
         if isinstance(target, tuple) and target and target[0] == "closure":
             return self.call_closure(target, args)
@@ -2019,6 +2142,34 @@ def _char_code_at(s: str, i: int) -> Any:
     if 0 <= i < len(s):
         return ord(s[i])
     raise MiniJsError("charCodeAt index out of range (JS would give NaN)")
+
+
+def _parse_int(v: Any, radix: int) -> Any:
+    """JS parseInt: leading-prefix parse, undefined semantics -> error
+    (JS would give NaN, which the JSON value model lacks)."""
+    s = _js_str(v).strip()
+    neg = s.startswith("-")
+    if s[:1] in "+-":
+        s = s[1:]
+    if radix == 16 and s[:2].lower() == "0x":
+        s = s[2:]
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
+    i = 0
+    while i < len(s) and s[i].lower() in digits:
+        i += 1
+    if i == 0:
+        raise MiniJsError(f"parseInt({v!r}): no digits (JS would give NaN)")
+    n = int(s[:i], radix)
+    return -n if neg else n
+
+
+def _parse_float(v: Any) -> Any:
+    s = _js_str(v).strip()
+    m = re.match(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+    if not m:
+        raise MiniJsError(f"parseFloat({v!r}): no number (JS would give NaN)")
+    f = float(m.group(0))
+    return int(f) if f.is_integer() else f
 
 
 def _substring(s: str, args: List[Any]) -> str:

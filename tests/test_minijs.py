@@ -819,3 +819,63 @@ def test_arrow_param_patterns():
     """
     doc = {"zeta": "z", "alpha": "a", "_x": "s", "n": 3}
     assert _run(code, doc=doc) == [["alpha", "zeta"], 18, 6, 3, 6]
+
+
+def test_global_number_parsing_functions():
+    code = """
+    function h(d) {
+      return [
+        parseInt('42px'), parseInt('ff', 16), parseFloat('3.5rem'),
+        isNaN('x'), isFinite(3),
+        Number.isInteger(3), Number.isInteger(3.5),
+        String.fromCharCode(72, 105),
+      ];
+    }
+    """
+    assert _run(code) == [42, 255, 3.5, True, True, True, False, "Hi"]
+
+
+def test_instanceof_and_delete():
+    code = """
+    class A {}
+    class B extends A {}
+    class C {}
+    function h(d) {
+      const b = new B();
+      const o = {a: 1, b: 2};
+      delete o.a;
+      return [b instanceof B, b instanceof A, b instanceof C,
+              Object.keys(o)];
+    }
+    """
+    assert _run(code) == [True, True, False, ["b"]]
+
+
+def test_labeled_break_continue():
+    code = """
+    function h(d) {
+      let cont = 0;
+      outer: for (let i = 0; i < 3; i++) {
+        for (let j = 0; j < 3; j++) {
+          if (j > 0) continue outer;
+          cont++;
+        }
+      }
+      let brk = 0;
+      top: for (let i = 0; i < 3; i++) {
+        for (let j = 0; j < 3; j++) {
+          if (i === 1 && j === 1) break top;
+          brk++;
+        }
+      }
+      const r = [];
+      w: while (true) {
+        for (const x of [1, 2, 3]) {
+          if (x === 2) break w;
+          r.push(x);
+        }
+      }
+      return [cont, brk, r];
+    }
+    """
+    assert _run(code) == [3, 4, [1]]
