@@ -108,6 +108,7 @@ def main() -> None:
     log("warmed")
 
     lat: list = []
+    errors: list = []
     lock = threading.Lock()
     n_total = args.requests
     counter = {"i": 0}
@@ -125,8 +126,13 @@ def main() -> None:
                 headers={"Content-Type": "application/json",
                          "Authorization": "Bearer rk"}, method="POST")
             t = time.time()
-            with urllib.request.urlopen(rq, timeout=600) as resp:
-                resp.read()
+            try:
+                with urllib.request.urlopen(rq, timeout=600) as resp:
+                    resp.read()
+            except Exception as ex:  # count, don't kill the worker
+                with lock:
+                    errors.append(type(ex).__name__)
+                continue
             dt = time.time() - t
             with lock:
                 lat.append(dt)
@@ -139,9 +145,10 @@ def main() -> None:
         t.join()
     wall = time.time() - t0
     lat.sort()
-    qps = n_total / wall
-    p50 = lat[len(lat) // 2] * 1e3
-    p99 = lat[int(len(lat) * 0.99)] * 1e3
+    ok = len(lat)
+    qps = ok / wall  # successes only — failures must not inflate QPS
+    p50 = lat[ok // 2] * 1e3
+    p99 = lat[int(ok * 0.99)] * 1e3
     out = {
         "metric": f"http_serving_{args.mode}_qps",
         "docs": args.docs,
@@ -149,9 +156,12 @@ def main() -> None:
         "qps": round(qps, 1),
         "p50_ms": round(p50, 2),
         "p99_ms": round(p99, 2),
+        "ok": ok,
+        "errors": len(errors),
     }
     log(f"{qps:.1f} QPS  p50 {p50:.1f} ms  p99 {p99:.1f} ms "
-        f"({n_total} requests, {args.clients} clients)")
+        f"({ok}/{n_total} ok, {len(errors)} errors, "
+        f"{args.clients} clients)")
     print(json.dumps(out))
     srv.stop()
 

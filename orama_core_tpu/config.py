@@ -30,6 +30,10 @@ class HttpConfig:
     # Load shedding: concurrent heavy requests (search/answer/insert)
     # beyond this get 503 + Retry-After instead of queueing unboundedly.
     max_in_flight: int = 64
+    # TCP listen backlog (socketserver defaults to 5, which resets
+    # connections under concurrent client bursts instead of queueing
+    # them toward the load shedder's clean 503).
+    listen_backlog: int = 128
     # SSE comment-keepalive interval for answer streams (seconds); keeps
     # idle proxies from dropping long-running generations.
     sse_keepalive_sec: float = 15.0

@@ -436,7 +436,15 @@ class WebServer:
     def __init__(self, orama, cfg: Optional[HttpConfig] = None) -> None:
         self.orama = orama
         self.cfg = cfg or orama.cfg.http
-        self.httpd = ThreadingHTTPServer(
+
+        # socketserver's default listen backlog is 5 — a burst of
+        # concurrent connects (64-client benchmarks, production fan-in)
+        # overflows it and clients see connection resets instead of
+        # queueing or a clean 503 from the load shedder
+        class _Server(ThreadingHTTPServer):
+            request_queue_size = getattr(self.cfg, "listen_backlog", 128)
+
+        self.httpd = _Server(
             (self.cfg.host, self.cfg.port), _make_handler(orama)
         )
         self.httpd.daemon_threads = True
