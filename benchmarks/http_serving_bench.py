@@ -130,8 +130,12 @@ def main() -> None:
                 with urllib.request.urlopen(rq, timeout=600) as resp:
                     resp.read()
             except Exception as ex:  # count, don't kill the worker
+                tag = type(ex).__name__
+                code = getattr(ex, "code", None)
+                if code:
+                    tag = f"{tag}:{code}"
                 with lock:
-                    errors.append(type(ex).__name__)
+                    errors.append(tag)
                 continue
             dt = time.time() - t
             with lock:
@@ -158,6 +162,9 @@ def main() -> None:
         "p99_ms": round(p99, 2),
         "ok": ok,
         "errors": len(errors),
+        "error_types": dict(
+            (t2, errors.count(t2)) for t2 in sorted(set(errors))
+        ),
     }
     log(f"{qps:.1f} QPS  p50 {p50:.1f} ms  p99 {p99:.1f} ms "
         f"({ok}/{n_total} ok, {len(errors)} errors, "
