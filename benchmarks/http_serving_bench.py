@@ -151,8 +151,8 @@ def main() -> None:
     lat.sort()
     ok = len(lat)
     qps = ok / wall  # successes only — failures must not inflate QPS
-    p50 = lat[ok // 2] * 1e3
-    p99 = lat[int(ok * 0.99)] * 1e3
+    p50 = lat[ok // 2] * 1e3 if ok else 0.0
+    p99 = lat[int(ok * 0.99)] * 1e3 if ok else 0.0
     out = {
         "metric": f"http_serving_{args.mode}_qps",
         "docs": args.docs,

@@ -110,10 +110,12 @@ def main():
             d, p, t, bd, sp, boost, n_docs=n_docs
         )
 
+    # combine= is pinned per leg: the engine default flipped to "segsum",
+    # so the onehot baseline must be requested explicitly to stay measured
     def f_windowed(d, p, t, wb, sp):
         return b.phrase_boost_docmajor_windowed(
             d, p, t, wb, sp, boost, n_docs=n_docs, W=W, wsub=wsub,
-            interpret=interp,
+            interpret=interp, combine="onehot",
         )
 
     bits_dev = b.phrase_static_bits(d_dev, p_dev)
@@ -121,7 +123,7 @@ def main():
     def f_windowed_bits(d, p, t, wb, sp):
         return b.phrase_boost_docmajor_windowed(
             d, p, t, wb, sp, boost, n_docs=n_docs, W=W, wsub=wsub,
-            interpret=interp, bits=bits_dev,
+            interpret=interp, bits=bits_dev, combine="onehot",
         )
 
     def f_windowed_segsum(d, p, t, wb, sp):

@@ -1276,15 +1276,22 @@ class _Interp:
                     if b.label:  # labeled break targets an outer statement
                         raise
         elif op == "label":
+            # only a directly-labeled LOOP consumes the label (loops take
+            # it as their first action, before any user code can run); a
+            # label on a block/if/switch must NOT leak to inner loops —
+            # `outer: { for (..) break outer; } done()` exits the BLOCK
+            is_loop = s[2][0] in ("for", "forof", "forin", "while", "dowhile")
             prev = self._pending_label
-            self._pending_label = s[1]
+            if is_loop:
+                self._pending_label = s[1]
             try:
                 self.run_stmt(s[2], env)
             except _Break as b:
                 if b.label != s[1]:
                     raise
             finally:
-                self._pending_label = prev
+                if is_loop:
+                    self._pending_label = prev
         elif op == "break":
             raise _Break(s[1] if len(s) > 1 else None)
         elif op == "continue":
@@ -1561,9 +1568,13 @@ class _Interp:
             return a * b
         if opr == "**":
             try:
-                return a ** b
+                r = a ** b
             except (OverflowError, ZeroDivisionError) as ex:
                 raise MiniJsError(f"** overflow: {ex}")
+            if isinstance(r, complex):  # (-8) ** 0.5: JS gives NaN
+                raise MiniJsError("** of negative base with fractional "
+                                  "exponent (JS would give NaN)")
+            return r
         if opr == "/":
             if b == 0:
                 raise MiniJsError("division by zero")
@@ -1724,11 +1735,17 @@ class _Interp:
                 if key == "isNaN":
                     return isinstance(v, float) and v != v
                 if key == "parseInt":
-                    radix = int(args[1]) if len(args) > 1 and args[1] else 10
+                    radix = (
+                        int(self._num(args[1]))
+                        if len(args) > 1 and args[1] else 0
+                    )
                     return _parse_int(v, radix)
                 return _parse_float(v)
             if base == "String" and key == "fromCharCode":
-                return "".join(chr(int(self._num(a))) for a in args)
+                try:
+                    return "".join(chr(int(self._num(a))) for a in args)
+                except (ValueError, OverflowError) as ex:
+                    raise MiniJsError(f"String.fromCharCode: {ex}")
             if base == "Array" and key == "isArray":
                 return isinstance(args[0], list)
             if base == "Array" and key == "from":
@@ -1783,7 +1800,10 @@ class _Interp:
         ):
             v = args[0] if args else _UNDEFINED
             if callee[1] == "parseInt":
-                radix = int(args[1]) if len(args) > 1 and args[1] else 10
+                radix = (
+                    int(self._num(args[1]))
+                    if len(args) > 1 and args[1] else 0
+                )
                 return _parse_int(v, radix)
             if callee[1] == "parseFloat":
                 return _parse_float(v)
@@ -2022,8 +2042,7 @@ class _Interp:
                 "concat": lambda: obj + (args[0] if args and isinstance(args[0], list) else list(args)),
                 "flat": lambda: _flat(obj),
                 "flatMap": lambda: _flat(
-                    [self._cb(args[0], x, i, obj) for i, x in enumerate(obj)],
-                    depth=1,
+                    [self._cb(args[0], x, i, obj) for i, x in enumerate(obj)]
                 ),
                 "push": lambda: (obj.extend(args), len(obj))[1],
                 "pop": lambda: obj.pop() if obj else _UNDEFINED,
@@ -2092,7 +2111,17 @@ class _Interp:
         fn = table.get(name)
         if fn is None:
             raise MiniJsError(f"unsupported method .{name}()")
-        return fn()
+        try:
+            return fn()
+        except MiniJsError:
+            raise
+        except (_Return, _Break, _Continue, _Throw):
+            raise  # control flow from user callbacks must propagate
+        except (ValueError, TypeError, IndexError, KeyError,
+                OverflowError) as ex:
+            # bad arguments to a builtin must stay inside the MiniJsError
+            # contract (hooks.py's tier fallback only catches MiniJs*)
+            raise MiniJsError(f".{name}(): {ex}")
 
 
 def _str_match(s: str, pat: Any) -> Any:
@@ -2113,7 +2142,8 @@ def _slice(args: List[Any], n: int):
     return slice(a, b)
 
 
-def _flat(xs: List[Any], depth: int = 1) -> List[Any]:
+def _flat(xs: List[Any]) -> List[Any]:
+    """One level of flattening (JS .flat() default / flatMap)."""
     out: List[Any] = []
     for x in xs:
         out.extend(x) if isinstance(x, list) else out.append(x)
@@ -2145,14 +2175,20 @@ def _char_code_at(s: str, i: int) -> Any:
 
 
 def _parse_int(v: Any, radix: int) -> Any:
-    """JS parseInt: leading-prefix parse, undefined semantics -> error
-    (JS would give NaN, which the JSON value model lacks)."""
+    """JS parseInt: leading-prefix parse; radix 0 = auto (0x prefix ->
+    16, else 10, per spec). NaN-producing inputs raise (the JSON value
+    model has no NaN)."""
     s = _js_str(v).strip()
     neg = s.startswith("-")
     if s[:1] in "+-":
         s = s[1:]
-    if radix == 16 and s[:2].lower() == "0x":
+    if radix in (0, 16) and s[:2].lower() == "0x":
         s = s[2:]
+        radix = 16
+    elif radix == 0:
+        radix = 10
+    if not 2 <= radix <= 36:
+        raise MiniJsError(f"parseInt radix {radix} out of range")
     digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
     i = 0
     while i < len(s) and s[i].lower() in digits:

@@ -442,7 +442,7 @@ class WebServer:
         # overflows it and clients see connection resets instead of
         # queueing or a clean 503 from the load shedder
         class _Server(ThreadingHTTPServer):
-            request_queue_size = getattr(self.cfg, "listen_backlog", 128)
+            request_queue_size = self.cfg.listen_backlog
 
         self.httpd = _Server(
             (self.cfg.host, self.cfg.port), _make_handler(orama)

@@ -879,3 +879,48 @@ def test_labeled_break_continue():
     }
     """
     assert _run(code) == [3, 4, [1]]
+
+
+def test_label_on_block_and_switch_not_stolen_by_inner_loop():
+    """A label on a non-loop statement binds to THAT statement: break
+    label exits the block/switch, not just the inner loop (review
+    finding: the pending label must not leak to inner loops)."""
+    code = """
+    function h(d) {
+      const r = [];
+      outer: {
+        for (const x of [1, 2]) { r.push(x); break outer; }
+        r.push('done');        // must be skipped
+      }
+      r.push('after');
+      lab: switch (1) {
+        case 1:
+          for (const x of [1]) { break lab; }
+          r.push('more');      // must be skipped
+      }
+      r.push('end');
+      return r;
+    }
+    """
+    assert _run(code) == [1, "after", "end"]
+
+
+def test_builtin_misuse_stays_minijs_error():
+    """Bad arguments to builtins must raise MiniJsError (the hook tier
+    fallback in hooks.py only catches MiniJs*), never raw Python
+    exceptions (review finding)."""
+    for code in (
+        "function h(d) { return (-8) ** 0.5; }",
+        "function h(d) { return String.fromCharCode(-1); }",
+        "function h(d) { return 'a'.repeat({}); }",
+        "function h(d) { return [1].lastIndexOf(); }",
+        "function h(d) { return parseInt('8', 'x'); }",
+        "function h(d) { return 'abc'.substring({}); }",
+    ):
+        with pytest.raises(MiniJsError):
+            _run(code)
+
+
+def test_parseint_hex_autodetect():
+    code = "function h(d) { return [parseInt('0x1f'), parseInt('0x1f', 16)]; }"
+    assert _run(code) == [31, 31]
