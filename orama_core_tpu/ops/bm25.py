@@ -726,8 +726,17 @@ def phrase_window_meta(doc_bounds, pp: int, pp_pad: int):
 _PH_GRP = 8
 
 
+# anyc/seqc ride ONE f32 as packed = anyc + _PH_PACK * seqc through both
+# kernel stages: per-(block, window-lane) sums stay <= _PH_PB in each
+# field, so max packed sum = 2048 + 4096*2048 < 2^24 — exact in f32.
+# Halves the kernel's input streams and its stage-1/2 compute vs separate
+# any/seq passes; the split happens right after the kernel, before the
+# page combine (whose per-doc totals could overflow the 4096 field).
+_PH_PACK = 4096.0
+
+
 def _phrase_window_kernel(W: int, wsub: int):
-    def kernel(wb_ref, docs_ref, any_ref, seq_ref, any_out, seq_out):
+    def kernel(wb_ref, docs_ref, pk_ref, pk_out):
         i = pl.program_id(0)
         wi3 = jax.lax.broadcasted_iota(
             jnp.int32, (_PH_SUB, wsub, _PH_SUBLEN), 1
@@ -743,23 +752,16 @@ def _phrase_window_kernel(W: int, wsub: int):
             # Pad elements have rel huge => rel-off >= wsub (or the whole
             # sub-run is pad: rel-off == 0 but contribs are 0).
             eq3 = (rel3 - off3) == wi3       # (SUB, wsub, SUBLEN)
-            mini_a = jnp.sum(
-                jnp.where(eq3, any_ref[j][:, None, :], 0.0),
+            mini = jnp.sum(
+                jnp.where(eq3, pk_ref[j][:, None, :], 0.0),
                 axis=2, keepdims=True,
             )                                # (SUB, wsub, 1)
-            mini_s = jnp.sum(
-                jnp.where(eq3, seq_ref[j][:, None, :], 0.0),
-                axis=2, keepdims=True,
-            )
             # stage 2: shift sub-run windows into the block's 2W window:
             # target lane v = off + w  <=>  v - w == off. off for all-pad
             # sub-runs is huge and never matches v in [0, 2W).
             eq2 = (vi2 - wi2) == off3        # (SUB, wsub, 2W)
-            any_out[j, :] = jnp.sum(
-                jnp.where(eq2, mini_a, 0.0), axis=(0, 1)
-            )
-            seq_out[j, :] = jnp.sum(
-                jnp.where(eq2, mini_s, 0.0), axis=(0, 1)
+            pk_out[j, :] = jnp.sum(
+                jnp.where(eq2, mini, 0.0), axis=(0, 1)
             )
 
     return kernel
@@ -799,10 +801,10 @@ def phrase_boost_docmajor_windowed(
         anyc, seqc = _phrase_group_flags_bits(bits, terms, spans)
     else:
         anyc, seqc = _phrase_group_flags(docs, poss, terms, spans)
+    packed = anyc + _PH_PACK * seqc  # fused by XLA into the flags pass
 
     d3 = docs.reshape(nb, _PH_SUB, _PH_SUBLEN)
-    a3 = anyc.reshape(nb, _PH_SUB, _PH_SUBLEN)
-    s3 = seqc.reshape(nb, _PH_SUB, _PH_SUBLEN)
+    p3 = packed.reshape(nb, _PH_SUB, _PH_SUBLEN)
 
     def plane(i, wb):
         return (i, 0, 0)
@@ -813,22 +815,22 @@ def phrase_boost_docmajor_windowed(
         in_specs=[
             pl.BlockSpec((_PH_GRP, _PH_SUB, _PH_SUBLEN), plane),
             pl.BlockSpec((_PH_GRP, _PH_SUB, _PH_SUBLEN), plane),
-            pl.BlockSpec((_PH_GRP, _PH_SUB, _PH_SUBLEN), plane),
         ],
         out_specs=[
             pl.BlockSpec((_PH_GRP, 2 * W), lambda i, wb: (i, 0)),
-            pl.BlockSpec((_PH_GRP, 2 * W), lambda i, wb: (i, 0)),
         ],
     )
-    win_a, win_s = pl.pallas_call(
+    (win_p,) = pl.pallas_call(
         _phrase_window_kernel(W, wsub),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, 2 * W), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 2 * W), jnp.float32),
         ],
         interpret=interpret,
-    )(w_base, d3, a3, s3)
+    )(w_base, d3, p3)
+    # split the packed per-block windows (exact: integer-valued f32)
+    win_s = jnp.floor(win_p / _PH_PACK)
+    win_a = win_p - _PH_PACK * win_s
 
     # stage 3: page combine. Each block's 2W window covers exactly pages
     # (w_base/W, w_base/W + 1); rows are page-aligned by construction, so
