@@ -2040,7 +2040,9 @@ class _Interp:
                 ),
                 "slice": lambda: obj[_slice(args, len(obj))],
                 "concat": lambda: obj + (args[0] if args and isinstance(args[0], list) else list(args)),
-                "flat": lambda: _flat(obj),
+                "flat": lambda: _flat_depth(
+                    obj, self._num(args[0]) if args else 1
+                ),
                 "flatMap": lambda: _flat(
                     [self._cb(args[0], x, i, obj) for i, x in enumerate(obj)]
                 ),
@@ -2147,6 +2149,16 @@ def _flat(xs: List[Any]) -> List[Any]:
     out: List[Any] = []
     for x in xs:
         out.extend(x) if isinstance(x, list) else out.append(x)
+    return out
+
+
+def _flat_depth(xs: List[Any], depth: float) -> List[Any]:
+    """JS Array.prototype.flat(depth) — Infinity flattens fully."""
+    out = list(xs)
+    d = depth
+    while d >= 1 and any(isinstance(x, list) for x in out):
+        out = _flat(out)
+        d -= 1
     return out
 
 

@@ -924,3 +924,18 @@ def test_builtin_misuse_stays_minijs_error():
 def test_parseint_hex_autodetect():
     code = "function h(d) { return [parseInt('0x1f'), parseInt('0x1f', 16)]; }"
     assert _run(code) == [31, 31]
+
+
+def test_flat_depth():
+    code = """
+    function h(d) {
+      return [
+        [[1, [2]], [3]].flat(),
+        [[1, [2, [5]]], [3]].flat(2),
+        [[1, [2, [5, [7]]]]].flat(99),
+      ];
+    }
+    """
+    assert _run(code) == [
+        [1, [2], 3], [1, 2, [5], 3], [1, 2, 5, 7],
+    ]
