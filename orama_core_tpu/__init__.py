@@ -141,7 +141,12 @@ class Orama:
                     last_w = now
                 if now - last_r >= self.cfg.reader_side.commit_interval_sec:
                     try:
-                        self.read_side.commit()
+                        # idle guard: an interval commit with nothing
+                        # applied since the last one would re-serialize
+                        # every field's full committed index (hundreds of
+                        # MB of npz + fsync at 1M docs) for no change
+                        if self.read_side._ops_since_commit > 0:
+                            self.read_side.commit()
                     except Exception:
                         pass
                     last_r = now

@@ -992,16 +992,24 @@ class CollectionReader:
         return bucket_pad(max(self.max_doc_id + 1, 1), (self.cfg.doc_capacity_step,))
 
     def _grow(self, doc_id: int) -> None:
-        if doc_id > self.max_doc_id:
-            self.max_doc_id = doc_id
-        if len(self._alive) < self.capacity:
+        # grow the alive array BEFORE publishing the larger max_doc_id:
+        # lock-free searches read capacity (derived from max_doc_id) and
+        # _alive without the apply lock, so the array must never be
+        # shorter than the published capacity
+        new_cap = bucket_pad(
+            max(max(doc_id, self.max_doc_id) + 1, 1),
+            (self.cfg.doc_capacity_step,),
+        )
+        if len(self._alive) < new_cap:
             # slots are dead until their InsertDocument op arrives (ghost
             # slots in the padded capacity must never match empty-term /
             # filter-only queries)
-            grown = np.zeros(self.capacity, dtype=np.float32)
+            grown = np.zeros(new_cap, dtype=np.float32)
             grown[: len(self._alive)] = self._alive
             self._alive = grown
             self._alive_version += 1
+        if doc_id > self.max_doc_id:
+            self.max_doc_id = doc_id
 
     def _alive_mask_device(self) -> jax.Array:
         cap = self.capacity
@@ -1046,7 +1054,11 @@ class CollectionReader:
             self._grow(op.doc_id)
             self._alive[op.doc_id] = 1.0
             self._alive_version += 1
-            self.deleted.discard(op.doc_id)
+            if op.doc_id in self.deleted:
+                # REBIND, never mutate: lock-free searches iterate this
+                # set (np.fromiter over a mutating set crashes — the same
+                # invariant commit() documents)
+                self.deleted = self.deleted - {op.doc_id}
             self.doc_count += 1
         elif isinstance(op, IndexNumberOp):
             self._grow(op.doc_id)
@@ -1093,7 +1105,8 @@ class CollectionReader:
                 if 0 <= d < len(self._alive) and self._alive[d] == 1.0:
                     self._alive[d] = 0.0
                     self.doc_count -= 1
-            self.deleted |= ids
+            # REBIND, never |=: lock-free searches iterate this set
+            self.deleted = self.deleted | ids
             self._alive_version += 1
         else:
             raise TypeError(f"unknown op {type(op).__name__}")
@@ -2737,7 +2750,11 @@ class CollectionReader:
             knn_topk_with_count,
         )
 
-        c = self._vector[fid].committed
+        # capture the field container ONCE: a commit swaps the dict entry
+        # atomically, so a single capture yields a consistent
+        # (committed, uncommitted) pair even mid-commit
+        vfield = self._vector[fid]
+        c = vfield.committed
         use_int8 = self.cfg.vector_index == "int8"
         multivec = not c._single_vec_per_doc
         if use_int8:
@@ -2807,7 +2824,7 @@ class CollectionReader:
                     interpret=interpret,
                 )
             )
-        unc = self._vector[fid].uncommitted
+        unc = vfield.uncommitted
         deleted = self.deleted
         # tombstone correction: each deleted doc's committed vectors are on
         # host — subtract its positive matches from the counts exactly
@@ -2853,15 +2870,25 @@ class CollectionReader:
                     n_match -= 1
             if not unc.is_empty:
                 # freshness-window overlay: host-score the (small) window
-                # and merge — window docs are disjoint from committed docs
-                # (no deletes => no re-inserted ids)
+                # and merge. A deleted-then-reinserted doc id appears in
+                # BOTH the committed kernel results and the window (the
+                # write side reuses doc ids on upsert), so the merge sums
+                # per-doc — the dense path's scatter-add semantics —
+                # instead of emitting duplicate hits
                 host_out: Dict[int, float] = {}
                 unc.search(qn[r], None, self.deleted, host_out)
                 if host_out:
-                    n_match += len(host_out)
+                    merged: Dict[int, float] = dict(ranked)
+                    dup = 0
+                    for d2, s2 in host_out.items():
+                        if d2 in merged:
+                            merged[d2] += s2
+                            dup += 1
+                        else:
+                            merged[d2] = s2
+                    n_match += len(host_out) - dup
                     ranked = sorted(
-                        ranked + list(host_out.items()),
-                        key=lambda t: -t[1],
+                        merged.items(), key=lambda t: -t[1]
                     )[: p.limit]
             out.append((ranked, n_match))
         return out
@@ -3799,35 +3826,52 @@ class CollectionReader:
         with self._commit_insert_lock:
             cap = self.capacity
             deleted = set(self.deleted)
-            for fid, sf in self._string.items():
+            # fold each window into a NEW container and swap the dict
+            # entry atomically: lock-free searches capture the container
+            # once per query region, so they see either the full
+            # pre-commit pair (old committed + populated window) or the
+            # full post-commit pair (merged committed + empty window) —
+            # never a mixed view that drops or doubles the window
+            for fid, sf in list(self._string.items()):
                 if not sf.uncommitted.is_empty or deleted:
                     old = sf.committed
-                    sf.committed = old.merge(sf.uncommitted, cap, deleted)
-                    sf.uncommitted = UncommittedStringIndex()
+                    self._string[fid] = _StringField(
+                        UncommittedStringIndex(),
+                        old.merge(sf.uncommitted, cap, deleted),
+                    )
                     self._device.drop(old)
-            for fid, nf in self._number.items():
+            for fid, nf in list(self._number.items()):
                 if not nf.uncommitted.is_empty or deleted:
                     old = nf.committed
-                    nf.committed = old.merge(nf.uncommitted, deleted)
-                    nf.uncommitted = UncommittedNumberIndex()
+                    self._number[fid] = _NumberField(
+                        UncommittedNumberIndex(),
+                        old.merge(nf.uncommitted, deleted),
+                    )
                     self._device.drop(old)
-            for fid, kf in self._keyword.items():
+            for fid, kf in list(self._keyword.items()):
                 if not kf.uncommitted.is_empty or deleted:
                     old = kf.committed
-                    kf.committed = old.merge(kf.uncommitted, deleted)
-                    kf.uncommitted = UncommittedKeywordIndex()
+                    self._keyword[fid] = _KeywordField(
+                        UncommittedKeywordIndex(),
+                        old.merge(kf.uncommitted, deleted),
+                    )
                     self._device.drop(old)
-            for fid, bf in self._bool.items():
+            for fid, bf in list(self._bool.items()):
                 if not bf.uncommitted.is_empty or deleted:
                     old = bf.committed
-                    bf.committed = old.merge(bf.uncommitted, cap, deleted)
-                    bf.uncommitted = UncommittedBoolIndex()
+                    self._bool[fid] = _BoolField(
+                        UncommittedBoolIndex(),
+                        old.merge(bf.uncommitted, cap, deleted),
+                    )
                     self._device.drop(old)
-            for fid, vf in self._vector.items():
-                if not vf.uncommitted.is_empty or deleted:
-                    old = vf.committed
-                    vf.committed = old.merge(vf.uncommitted, deleted)
-                    vf.uncommitted = UncommittedVectorIndex(old.dimension)
+            for fid, vf_old in list(self._vector.items()):
+                if not vf_old.uncommitted.is_empty or deleted:
+                    old = vf_old.committed
+                    vf = _VectorField(
+                        UncommittedVectorIndex(old.dimension),
+                        old.merge(vf_old.uncommitted, deleted),
+                    )
+                    self._vector[fid] = vf
                     self._device.drop(old)
                     big = vf.committed.n_vectors >= self.cfg.ivf_threshold
                     if self.cfg.vector_index == "ivf" and big:
@@ -3877,6 +3921,13 @@ class CollectionReader:
             "doc_count": self.doc_count,
             "max_doc_id": self.max_doc_id,
             "deleted": sorted(self.deleted),
+            # cumulative dead slots (folded deletions included): restores
+            # the alive mask on load — self.deleted alone is always []
+            # here (folded above), which resurrected deleted ids for
+            # match-all queries after a restart
+            "dead": np.nonzero(
+                self._alive[: self.max_doc_id + 1] == 0.0
+            )[0].tolist(),
             "offset": offset,
             "fields": [dataclasses.asdict(f) for f in self.fields.values()],
         }
@@ -3921,10 +3972,11 @@ class CollectionReader:
         reader.deleted = set(manifest.get("deleted", []))
         reader.committed_offset = manifest["offset"]
         # dense doc ids: every id in [0, max_doc_id] was inserted once;
-        # deleted ones are masked, ghost slots beyond max_doc_id stay dead
+        # dead slots (cumulative, incl. deletions folded into committed
+        # generations) are masked; ghost slots beyond max_doc_id stay dead
         reader._alive = np.zeros(reader.capacity, dtype=np.float32)
         reader._alive[: reader.max_doc_id + 1] = 1.0
-        for d in reader.deleted:
+        for d in manifest.get("dead", manifest.get("deleted", [])):
             if d < len(reader._alive):
                 reader._alive[d] = 0.0
         for fdata in manifest["fields"]:

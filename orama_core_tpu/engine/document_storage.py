@@ -105,10 +105,21 @@ class DocumentStorage:
         except (OSError, json.JSONDecodeError):
             return None  # torn write tolerance
         with self._lock:
-            self._cache[doc_id] = doc
-            self._cache.move_to_end(doc_id)
-            while len(self._cache) > self.CACHE_MAX:
-                self._cache.popitem(last=False)
+            # re-validate before caching: a delete/update/compact that ran
+            # during the unlocked disk read must not be shadowed by a
+            # stale cache entry served forever after
+            stale = (
+                doc_id in self._deleted
+                or doc_id in self._uncommitted
+                or self._committed_where.get(doc_id) != where
+            )
+            if not stale:
+                self._cache[doc_id] = doc
+                self._cache.move_to_end(doc_id)
+                while len(self._cache) > self.CACHE_MAX:
+                    self._cache.popitem(last=False)
+        if stale:
+            return self.get(doc_id)  # re-read under current state
         return doc
 
     def get_many(self, doc_ids: Iterable[int]) -> List[Optional[Dict[str, Any]]]:
@@ -204,11 +215,25 @@ class DocumentStorage:
             where = dict(self._committed_where)
             old_segments = list(self._segments)
             seg_idx = self._next_seg
+        # stream each old segment sequentially ONCE (one open per segment,
+        # no LRU cache churn) instead of one open+seek+readline per doc
         live: Dict[int, Dict[str, Any]] = {}
-        for doc_id in where:
-            doc = self.get(doc_id)
-            if doc is not None:
-                live[doc_id] = doc
+        by_seg: Dict[int, Dict[int, int]] = {}
+        for doc_id, (si, off) in where.items():
+            by_seg.setdefault(si, {})[off] = doc_id
+        for si, offs in by_seg.items():
+            path = os.path.join(self.data_dir, old_segments[si])
+            try:
+                with open(path, "rb") as f:
+                    for off, doc_id in sorted(offs.items()):
+                        f.seek(off)
+                        line = f.readline()
+                        try:
+                            live[doc_id] = json.loads(line)
+                        except json.JSONDecodeError:
+                            pass  # torn write tolerance
+            except OSError:
+                continue
         with self._lock:
             # swap to a fresh segment list; _write_segment appends to it
             self._segments = []

@@ -109,13 +109,21 @@ class ReadSide:
             reader = self.collections.get(cid)
             if reader is None:
                 raise CollectionNotFound(cid)
-            from ..oplog import InsertDocumentOp
+            # idempotence per offset: a crash between the per-collection
+            # generation pointer swap and the read-side info.json write
+            # makes WAL replay re-deliver ops already folded into the
+            # collection's committed generation — re-applying them would
+            # double doc_count and duplicate postings in the window
+            if stamped.offset.value > reader.committed_offset:
+                from ..oplog import InsertDocumentOp
 
-            if isinstance(op, InsertDocumentOp):
-                self.doc_storage[cid].add_document(op.doc_id, op.document)
-            elif isinstance(op, DeleteDocumentsOp):
-                self.doc_storage[cid].delete_documents(op.doc_ids)
-            reader.apply(op)
+                if isinstance(op, InsertDocumentOp):
+                    self.doc_storage[cid].add_document(
+                        op.doc_id, op.document
+                    )
+                elif isinstance(op, DeleteDocumentsOp):
+                    self.doc_storage[cid].delete_documents(op.doc_ids)
+                reader.apply(op)
         self._applied_offset = stamped.offset.value
         self._ops_since_commit += 1
 

@@ -19,6 +19,7 @@ from typing import Any, Dict, List
 from . import oplog
 from .types import TypedField, ValueType
 from .utils import ensure_dir
+from .utils.file_utils import _fsync_dir
 
 _OP_TYPES = {
     cls.__name__: cls
@@ -71,7 +72,35 @@ class WriteAheadLog:
     def __init__(self, data_dir: str) -> None:
         self.path = os.path.join(ensure_dir(data_dir), "oplog.wal")
         self._lock = threading.Lock()
+        # repair a torn tail BEFORE appending: a crash mid-append leaves a
+        # partial line, and appending onto it would merge the next record
+        # into one unparseable line — replay/truncate would then silently
+        # stop there, destroying acknowledged entries after it
+        self._repair_tail()
         self._fh = open(self.path, "ab")
+
+    def _repair_tail(self) -> None:
+        """Truncate the log to its longest valid JSONL prefix."""
+        try:
+            with open(self.path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return
+        good = i = 0
+        while True:
+            j = data.find(b"\n", i)
+            if j < 0:
+                break
+            try:
+                json.loads(data[i:j + 1])
+            except json.JSONDecodeError:
+                break
+            good = i = j + 1
+        if good != len(data):
+            with open(self.path, "r+b") as f:
+                f.truncate(good)
+                f.flush()
+                os.fsync(f.fileno())
 
     def append(self, stamped: oplog.StampedOp) -> None:
         rec = {"o": stamped.offset.value, **op_to_json(stamped.op)}
@@ -130,6 +159,9 @@ class WriteAheadLog:
                 os.fsync(f.fileno())
             self._fh.close()
             os.replace(tmp, self.path)
+            # without the directory sync the rename itself isn't
+            # crash-durable (same bar as utils/file_utils.atomic_write_*)
+            _fsync_dir(os.path.dirname(self.path))
             self._fh = open(self.path, "ab")
 
     def close(self) -> None:

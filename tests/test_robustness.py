@@ -204,3 +204,36 @@ def test_type_mismatched_values_are_ignored_not_errors(tmp_engine):
         "rk",
     )
     assert {h.id for h in res.hits} == {"1"}
+
+
+def test_deleted_docs_stay_dead_after_restart(tmp_path):
+    """Deletions are folded into committed generations, so the manifest's
+    'deleted' list is empty post-commit — the cumulative 'dead' list must
+    restore the alive mask on load, or match-all queries resurrect
+    deleted ids with missing documents (review finding)."""
+    from orama_core_tpu import build_orama
+    from orama_core_tpu.config import OramaxConfig
+    from orama_core_tpu.types import SearchParams
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection("master", "c", "rk", "wk")
+    e.write_side.write(
+        "c", [{"id": str(i), "t": f"solar doc{i}"} for i in range(6)], "wk"
+    )
+    e.flush()
+    e.commit()
+    e.write_side.delete_documents("c", ["3"], "wk")
+    e.flush()
+    e.commit()
+    e.close()
+
+    e2 = build_orama(cfg, start_background=False)
+    r = e2.read_side.search("c", SearchParams.from_json({"term": ""}), "rk")
+    ids = [h.id for h in r.hits]
+    assert r.count == 5 and "3" not in ids, (r.count, ids)
+    reader = e2.read_side._reader("c")
+    assert reader.doc_count == 5
+    e2.close()

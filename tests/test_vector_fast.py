@@ -291,3 +291,44 @@ def test_multivec_fast_path_with_tombstones():
     assert 7 not in got and 8 not in got and 9 not in got
     assert rf[0][0] == rd[0][0]
     assert abs(cf - cd) <= max(3, int(0.002 * max(cd, 1))), (cf, cd)
+
+
+def test_fast_path_dedups_reinserted_doc():
+    """Delete-then-reinsert reuses the doc id (write-side upsert): the
+    committed kernel results and the freshness window then both contain
+    the id, and the merge must sum per doc — the dense path's
+    scatter-add semantics — not emit duplicate hits (review finding)."""
+    import jax
+
+    from orama_core_tpu.oplog import (
+        DeleteDocumentsOp,
+        IndexEmbeddingOp,
+        InsertDocumentOp,
+    )
+
+    reader = make_reader()
+    ai = AIService()
+    q = "solar energy"
+    p = SearchParams.from_json({"term": q, "mode": "vector", "limit": 10})
+    fid = reader._vector_fast_field(p)
+    assert fid is not None
+    base_ranked, _ = reader._search_vector_topk_fast(p, ai, fid)
+    target = base_ranked[0][0]  # a doc the committed kernel ranks first
+    # delete + re-insert it with a fresh window vector for the SAME id
+    reader._apply_locked(DeleteDocumentsOp("vfast", (target,)))
+    reader._apply_locked(InsertDocumentOp("vfast", target, {"id": str(target)}))
+    new_vec = np.asarray(ai.embed_query("fake-small", [q]))[0]
+    new_vec = (new_vec / np.linalg.norm(new_vec)).tolist()
+    reader._apply_locked(
+        IndexEmbeddingOp("vfast", target, 0, (tuple(new_vec),))
+    )
+    fid = reader._vector_fast_field(p)
+    assert fid is not None, "window/delete should stay fast-path eligible"
+    ranked, count = reader._search_vector_topk_fast(p, ai, fid)
+    ids = [d for d, _ in ranked]
+    assert len(ids) == len(set(ids)), f"duplicate hits: {ids}"
+    assert target in ids
+    # parity with the dense path's distinct-match count
+    scores = reader.search_scores(p, ai)
+    dense_count = int(jax.device_get(jnp.sum(scores > 0)))
+    assert count == dense_count, (count, dense_count)

@@ -240,3 +240,77 @@ def test_concurrent_senders_keep_wal_in_offset_order(tmp_path):
     e.flush()
     assert e.read_side.count_documents("c") == 90
     e.close()
+
+
+def test_torn_tail_repaired_before_append(tmp_path):
+    """A crash mid-append leaves a partial line; the next boot must
+    truncate it BEFORE appending, or the next record merges into one
+    unparseable line and replay/truncation silently drop everything
+    after it (review finding)."""
+    import os
+
+    from orama_core_tpu import oplog
+    from orama_core_tpu.wal import WriteAheadLog
+
+    wd = str(tmp_path / "wal")
+    w = WriteAheadLog(wd)
+    w.append(oplog.StampedOp(oplog.Offset(1), oplog.InsertDocumentOp("c", 0, "0")))
+    w.append(oplog.StampedOp(oplog.Offset(2), oplog.InsertDocumentOp("c", 1, "1")))
+    w.sync()
+    w.close()
+    with open(os.path.join(wd, "oplog.wal"), "ab") as f:
+        f.write(b'{"o": 3, "t": "InsertDocum')  # torn mid-append
+    w2 = WriteAheadLog(wd)
+    w2.append(oplog.StampedOp(oplog.Offset(3), oplog.InsertDocumentOp("c", 2, "2")))
+    w2.sync()
+    assert [s.offset.value for s in w2.replay(0)] == [1, 2, 3]
+    # truncation after the repair keeps the tail intact too
+    w2.truncate_through(1)
+    assert [s.offset.value for s in w2.replay(0)] == [2, 3]
+    w2.close()
+
+
+def test_crash_between_pointer_swap_and_offset_write_is_idempotent(tmp_path):
+    """A crash after the per-collection generation pointer swap but
+    before the read-side info.json write re-delivers already-folded ops
+    on replay; application must skip them (review finding: double-apply
+    doubled doc_count and duplicated window postings)."""
+    import os
+
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": str(i), "t": f"solar doc{i}"} for i in range(4)], WRITE)
+    e.flush()
+    e.commit()
+    # simulate the torn-commit window: reader generations + WAL reflect
+    # the commit, but the read-side offset file reverts to pre-commit
+    info_path = os.path.join(cfg.reader_side.data_dir, "info.json")
+    info = json.loads(open(info_path).read())
+    wal_path = os.path.join(cfg.writer_side.data_dir, "oplog.wal")
+    wal_backup = open(wal_path, "rb").read()
+    e.close()
+    info["offset"] = 0
+    open(info_path, "w").write(json.dumps(info))
+    open(wal_path, "wb").write(wal_backup if wal_backup else b"")
+    # rebuild a WAL containing the pre-commit window so replay re-delivers
+    from orama_core_tpu import oplog
+    from orama_core_tpu.wal import WriteAheadLog
+
+    w = WriteAheadLog(cfg.writer_side.data_dir)
+    for i in range(4):
+        w.append(oplog.StampedOp(
+            oplog.Offset(i + 1),
+            oplog.InsertDocumentOp(
+                "c", i, {"id": str(i), "t": f"solar doc{i}"}
+            ),
+        ))
+    w.sync()
+    w.close()
+
+    e2 = build_orama(cfg, start_background=False)
+    reader = e2.read_side._reader("c")
+    assert reader.doc_count == 4, reader.doc_count  # not doubled
+    res = e2.read_side.search("c", SearchParams.from_json({"term": "solar"}), READ)
+    assert res.count == 4
+    e2.close()
