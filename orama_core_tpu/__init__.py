@@ -52,6 +52,7 @@ class Orama:
             self.wal = WriteAheadLog(cfg.writer_side.data_dir)
             tx.wal = self.wal
             self.read_side.wal = self.wal
+            self.read_side.wal_pre_truncate = self.write_side.commit
             # crash recovery: replay the durable window beyond the last
             # committed read-side offset (closes the reference's volatile-
             # channel gap, SURVEY.md §5)

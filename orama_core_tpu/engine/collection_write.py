@@ -164,14 +164,22 @@ class CollectionWriter:
             return doc_id, old
 
     def lookup_doc_ids(self, user_ids: Sequence[str]) -> List[int]:
+        """Resolve user ids to doc ids WITHOUT forgetting them — the
+        caller pops via forget_doc_ids only after the delete op is safely
+        in the channel (popping first would leave ghost documents that
+        are searchable but undeletable if the send fails)."""
         with self._lock:
-            out = []
+            return [
+                d
+                for uid in user_ids
+                if (d := self.doc_id_by_user_id.get(uid)) is not None
+            ]
+
+    def forget_doc_ids(self, user_ids: Sequence[str]) -> None:
+        with self._lock:
             for uid in user_ids:
-                d = self.doc_id_by_user_id.pop(uid, None)
-                if d is not None:
-                    out.append(d)
+                if self.doc_id_by_user_id.pop(uid, None) is not None:
                     self.document_count -= 1
-            return out
 
     # -- document processing (reference: collection.rs:120-180) ---------------
 
@@ -269,13 +277,26 @@ class CollectionWriter:
         for f in self.fields.values():
             if f.type != ValueType.EMBEDDING or not f.model:
                 continue
+            def _src_text(v: Any) -> str:
+                # list-valued fields join with spaces like the auto path;
+                # str() would embed the Python repr ("['red', 'blue']")
+                if isinstance(v, list):
+                    return " ".join(_src_text(x) for x in v)
+                return v if isinstance(v, str) else str(v)
+
             if isinstance(embedding_override, str):
                 parts = [embedding_override]
             elif isinstance(embedding_override, (list, tuple)):
-                parts = [str(flat[src]) for src in embedding_override if src in flat]
+                parts = [
+                    _src_text(flat[src])
+                    for src in embedding_override
+                    if src in flat
+                ]
             elif f.embedding_sources:
                 parts = [
-                    str(flat[src]) for src in f.embedding_sources if src in flat
+                    _src_text(flat[src])
+                    for src in f.embedding_sources
+                    if src in flat
                 ]
             else:
                 parts = string_values

@@ -68,6 +68,9 @@ class ReadSide:
         self._applied_offset = 0
         self._ops_since_commit = 0
         self.wal = None  # optional WriteAheadLog, wired by Orama
+        # called just before WAL truncation (Orama wires write_side.commit
+        # so the write-side dump is never staler than the truncation point)
+        self.wal_pre_truncate = None
         self._batcher = None
         if self.tpu_cfg.query_batching:
             from ..server.batcher import MicroBatcher
@@ -338,6 +341,13 @@ class ReadSide:
             )
             self._ops_since_commit = 0
             if self.wal is not None:
+                # the write side's dump (doc-id map, next_doc_id) must be
+                # at least as fresh as the truncation point: WAL entries
+                # are the ONLY way absorb_replayed can restore counters
+                # after a crash, and truncating beyond a stale write dump
+                # would regress next_doc_id and silently reuse doc ids
+                if self.wal_pre_truncate is not None:
+                    self.wal_pre_truncate()
                 self.wal.truncate_through(snapshot)
 
     def load(self) -> None:

@@ -91,15 +91,20 @@ class WriteSide:
                 embedding_model=model,
                 embedding_sources=embedding_sources,
             )
-            self.collections[collection_id] = w
-        self.op_sender.send(
-            CreateCollectionOp(
-                collection_id, description, read_api_key, language,
-                write_api_key=write_api_key,
+            # send BEFORE publishing: a concurrent write() that found the
+            # collection could otherwise emit Insert/CreateField ops that
+            # reach the channel ahead of CreateCollectionOp — the read
+            # side would drop them as CollectionNotFound, losing
+            # fsync-acked documents
+            self.op_sender.send(
+                CreateCollectionOp(
+                    collection_id, description, read_api_key, language,
+                    write_api_key=write_api_key,
+                )
             )
-        )
-        for op in w.drain_field_ops():
-            self.op_sender.send(op)
+            for op in w.drain_field_ops():
+                self.op_sender.send(op)
+            self.collections[collection_id] = w
 
     def list_collections(self, master_key: Optional[str]) -> List[Dict[str, Any]]:
         self.check_master_key(master_key)
@@ -196,7 +201,16 @@ class WriteSide:
                 doc_ops.extend(ops)
                 self.op_sender.send_many(doc_ops)
             for req in emb_reqs:
-                self._embedding_queue.put(req)
+                try:
+                    # bounded wait, then fail LOUDLY like the op channel —
+                    # a dead embedding backend must not hang client writes
+                    # forever on a full queue
+                    self._embedding_queue.put(req, timeout=30.0)
+                except queue.Full:
+                    raise RuntimeError(
+                        "embedding queue full after 30s (embedding backend "
+                        "down or underprovisioned)"
+                    ) from None
             self._ops_since_commit += len(ops) + 1
             m.ADD_DOCUMENT.inc(collection=collection_id)
         m.EMBEDDING_GAUGE.set(self._embedding_queue.qsize())
@@ -219,6 +233,9 @@ class WriteSide:
         doc_ids = c.lookup_doc_ids(user_ids)
         if doc_ids:
             self.op_sender.send(DeleteDocumentsOp(collection_id, tuple(doc_ids)))
+            # forget only AFTER the op is in the channel: a send failure
+            # must leave the mapping intact so the client's retry works
+            c.forget_doc_ids(user_ids)
             self._ops_since_commit += 1
             self.op_sender.sync_wal()
         return len(doc_ids)
@@ -315,9 +332,23 @@ class WriteSide:
         by_model: Dict[str, List[EmbeddingRequest]] = {}
         for r in batch:
             by_model.setdefault(r.model, []).append(r)
+        failed: List[EmbeddingRequest] = []
+        first_err: Optional[Exception] = None
         for model, reqs in by_model.items():
-            with m.EMBED_CALC_ELAPSED.time(model=model):
-                vecs = self.ai.embed_passage(model, [r.text for r in reqs])
+            try:
+                with m.EMBED_CALC_ELAPSED.time(model=model):
+                    vecs = self.ai.embed_passage(
+                        model, [r.text for r in reqs]
+                    )
+            except Exception as ex:
+                # a transient backend failure for one model must not
+                # silently drop the drained batch (those docs would never
+                # get vectors): re-queue for retry, keep processing the
+                # other models, and re-raise at the end so the background
+                # loop backs off
+                failed.extend(reqs)
+                first_err = first_err or ex
+                continue
             emb_ops: List[Any] = []
             for r, v in zip(reqs, vecs):
                 # tolist() converts the whole vector in C (a per-element
@@ -335,6 +366,17 @@ class WriteSide:
         m.PENDING_EMBEDDING_GAUGE.set(0)
         m.EMBEDDING_GAUGE.set(self._embedding_queue.qsize())
         self.op_sender.sync_wal()
+        if failed:
+            for r in failed:
+                try:
+                    self._embedding_queue.put_nowait(r)
+                except queue.Full:
+                    tracing.log(
+                        "error",
+                        f"embedding retry dropped (queue full): doc "
+                        f"{r.doc_id} model {r.model}",
+                    )
+            raise first_err  # the background loop backs off on this
         return len(batch)
 
     def drain_embeddings(self) -> None:
@@ -358,7 +400,13 @@ class WriteSide:
             total_docs = 0
             for cid, c in self.collections.items():
                 cdir = ensure_dir(os.path.join(data_dir, "collections", cid))
-                atomic_write_json(os.path.join(cdir, "info.json"), c.dump())
+                # snapshot under the collection's own lock: a concurrent
+                # write() mutates doc_id_by_user_id, and json.dumps over a
+                # live dict raises (commit_loop would swallow it and the
+                # dump would silently never persist under sustained ingest)
+                with c._lock:
+                    data = c.dump()
+                atomic_write_json(os.path.join(cdir, "info.json"), data)
                 total_docs += c.document_count
             atomic_write_json(
                 os.path.join(data_dir, "info.json"),

@@ -153,8 +153,10 @@ class HttpSlice:
     def commit(self) -> None:
         pass
 
-    def count(self, cid: str) -> int:
-        raise NotImplementedError("count via search on HTTP slices")
+    def count(self, cid: str, read_key: Optional[str] = None) -> int:
+        # no dedicated count route: an empty-term search matches every
+        # alive document (the engine's documented match-all semantics)
+        return self.search(cid, {"term": "", "limit": 1}, read_key).count
 
     def _get(self, path: str, bearer: Optional[str]) -> Any:
         req = urllib.request.Request(
@@ -232,25 +234,37 @@ class MultiSliceRouter:
     # -- writes (routed) ------------------------------------------------------
 
     def write(self, cid: str, docs: List[dict], write_key: str) -> List[str]:
-        """Multi-slice writes require explicit doc ids: a doc's slice is a
-        stable hash of its user id, and an id assigned slice-side would not
-        be routable for later delete/update calls."""
+        """Multi-slice writes require explicit STRING doc ids: a doc's
+        slice is a stable hash of its user id, and an id assigned (or
+        regenerated) slice-side would not be routable for later
+        delete/update calls — a non-string id would be replaced by a
+        fresh cuid on the slice, silently diverging from the routing key."""
         n = len(self.slices)
         groups: List[List[dict]] = [[] for _ in range(n)]
-        for doc in docs:
-            did = str(doc.get("id", ""))
-            if not did:
-                raise ValueError("multi-slice writes require explicit doc ids")
-            groups[_route(did, n)].append(doc)
+        group_idx: List[List[int]] = [[] for _ in range(n)]
+        for pos, doc in enumerate(docs):
+            did = doc.get("id")
+            if not isinstance(did, str) or not did:
+                raise ValueError(
+                    "multi-slice writes require explicit string doc ids"
+                )
+            g = _route(did, n)
+            groups[g].append(doc)
+            group_idx[g].append(pos)
         futures = [
-            self._pool.submit(self.slices[i].write, cid, g, write_key)
+            (group_idx[i], self._pool.submit(
+                self.slices[i].write, cid, g, write_key
+            ))
             for i, g in enumerate(groups)
             if g
         ]
-        out: List[str] = []
-        for f in futures:
-            out.extend(f.result())
-        return out
+        # ids align positionally with the INPUT docs, matching the
+        # single-engine write() contract
+        out: List[Optional[str]] = [None] * len(docs)
+        for idxs, f in futures:
+            for pos, did in zip(idxs, f.result()):
+                out[pos] = did
+        return out  # every slot filled: groups partition the docs
 
     def delete(self, cid: str, ids: Sequence[str], write_key: str) -> int:
         n = len(self.slices)
@@ -459,8 +473,12 @@ class MultiSliceRouter:
             partial=partial,
         )
 
-    def count(self, cid: str) -> int:
-        return sum(s.count(cid) for s in self.slices)
+    def count(self, cid: str, read_key: Optional[str] = None) -> int:
+        return sum(
+            s.count(cid, read_key)
+            if isinstance(s, HttpSlice) else s.count(cid)
+            for s in self.slices
+        )
 
     def close(self) -> None:
         self._pool.shutdown(wait=False)

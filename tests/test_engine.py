@@ -679,3 +679,22 @@ def test_open_ended_facet_ranges(tmp_engine):
     assert vals["0-500"] == 6          # 0..500 inclusive
     assert vals["1000-inf"] == 2       # 1000, 1100
     assert vals["-inf-200"] == 3       # 0, 100, 200
+
+
+def test_list_valued_embedding_sources_join_not_repr(tmp_path):
+    """A list-valued source field must contribute its joined values to
+    the embedding text, not the Python list repr (review finding)."""
+    from orama_core_tpu.engine.collection_write import CollectionWriter
+
+    w = CollectionWriter(
+        "c", None, "rk", "wk",
+        embedding_model="fake-small", embedding_sources=("tags", "title"),
+    )
+    w.assign_doc_id("1")
+    ops, emb_reqs = w.process_document(
+        0, {"id": "1", "title": "solar", "tags": ["red", "blue"]}
+    )
+    assert emb_reqs, "expected an embedding request"
+    text = emb_reqs[0].text
+    assert "[" not in text and "'" not in text, text
+    assert "red" in text and "blue" in text and "solar" in text

@@ -425,3 +425,18 @@ def test_router_offset_is_global_pagination(router, oracle):
         "c1", {"term": "cat", "mode": "hybrid", "limit": 4, "offset": 3}, READ
     )
     assert [h.id for h in page_h.hits] == [h.id for h in full_h.hits][3:7]
+
+
+def test_router_write_positional_ids_and_string_requirement(router):
+    """Router writes return ids aligned with the INPUT docs (the
+    single-engine contract), and reject non-string ids — a slice would
+    regenerate a cuid for them, diverging from the routing key and
+    making the doc undeletable (review finding)."""
+    r, _engines = router
+    docs = [{"id": f"d{i}", "title": f"solar doc{i}"} for i in range(8)]
+    ids = r.write("c1", docs, WRITE)
+    assert ids == [d["id"] for d in docs]  # positional, not per-slice
+    with pytest.raises(ValueError):
+        r.write("c1", [{"id": 5, "title": "int id"}], WRITE)
+    with pytest.raises(ValueError):
+        r.write("c1", [{"title": "missing id"}], WRITE)

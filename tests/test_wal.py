@@ -314,3 +314,93 @@ def test_crash_between_pointer_swap_and_offset_write_is_idempotent(tmp_path):
     res = e2.read_side.search("c", SearchParams.from_json({"term": "solar"}), READ)
     assert res.count == 4
     e2.close()
+
+
+def test_read_commit_keeps_write_dump_fresh_before_truncation(tmp_path):
+    """WAL entries are the only way absorb_replayed restores next_doc_id
+    after a crash; the read-side commit must therefore persist the
+    write-side dump before truncating (review finding: a crash after an
+    independent read commit regressed next_doc_id and reused doc ids)."""
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write(
+        "c", [{"id": str(i), "t": f"solar doc{i}"} for i in range(5)], WRITE
+    )
+    e.flush()
+    # read-side commit only (what the background interval does): it
+    # truncates the WAL — the write dump must be persisted first
+    e.read_side.commit()
+    del e  # crash: write_side.commit() never ran explicitly
+
+    e2 = build_orama(cfg, start_background=False)
+    ids = e2.write_side.write("c", [{"id": "new", "t": "fresh"}], WRITE)
+    e2.flush()
+    assert ids == ["new"]
+    reader = e2.read_side._reader("c")
+    # the new doc must NOT have reused a dense id of a survivor
+    assert reader.doc_count == 6, reader.doc_count
+    res = e2.read_side.search("c", SearchParams.from_json({"term": "solar"}), READ)
+    assert res.count == 5
+    e2.close()
+
+
+def test_delete_send_failure_keeps_mapping(tmp_path):
+    """A failed delete send must leave the user-id mapping intact so the
+    client's retry works (review finding: popping first left ghost docs
+    searchable but undeletable)."""
+    import pytest
+
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "ghost candidate"}], WRITE)
+    e.flush()
+    orig = e.write_side.op_sender.send
+
+    def boom(op):
+        raise RuntimeError("channel full")
+
+    e.write_side.op_sender.send = boom
+    with pytest.raises(RuntimeError):
+        e.write_side.delete_documents("c", ["1"], WRITE)
+    e.write_side.op_sender.send = orig
+    # retry succeeds: the mapping survived the failed send
+    assert e.write_side.delete_documents("c", ["1"], WRITE) == 1
+    e.flush()
+    res = e.read_side.search("c", SearchParams.from_json({"term": "ghost"}), READ)
+    assert res.count == 0
+    e.close()
+
+
+def test_embedding_batch_requeued_on_backend_failure(tmp_path):
+    """A transient embedding-backend failure must re-queue the drained
+    requests, not silently drop them (review finding: those docs would
+    never get vectors)."""
+    import pytest
+
+    cfg = _cfg(tmp_path)
+    e = build_orama(cfg, start_background=False)
+    e.write_side.create_collection(MASTER, "c", READ, WRITE)
+    e.write_side.write("c", [{"id": "1", "t": "embed me"}], WRITE)
+    calls = {"n": 0}
+    orig = e.ai.embed_passage
+
+    def flaky(model, texts):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("backend down")
+        return orig(model, texts)
+
+    e.ai.embed_passage = flaky
+    with pytest.raises(RuntimeError):
+        e.write_side.process_embeddings()
+    # the requests were re-queued: the retry drains them successfully
+    assert e.write_side.process_embeddings() >= 1
+    e.ai.embed_passage = orig
+    e.flush()
+    res = e.read_side.search(
+        "c", SearchParams.from_json({"term": "embed me", "mode": "vector"}), READ
+    )
+    assert res.count >= 1
+    e.close()
