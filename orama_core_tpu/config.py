@@ -34,6 +34,13 @@ class HttpConfig:
     # connections under concurrent client bursts instead of queueing
     # them toward the load shedder's clean 503).
     listen_backlog: int = 128
+    # SSE answer streams shed from their own pool: they hold a slot for
+    # a full LLM generation, so sharing max_in_flight would let a few
+    # streams starve every millisecond search.
+    max_sse_streams: int = 32
+    # Reject request bodies larger than this with 413 before allocating
+    # (Content-Length is attacker-controlled).
+    max_body_bytes: int = 64 * 1024 * 1024
     # SSE comment-keepalive interval for answer streams (seconds); keeps
     # idle proxies from dropping long-running generations.
     sse_keepalive_sec: float = 15.0

@@ -2658,12 +2658,12 @@ class CollectionReader:
                     )
                 ).tolist()
                 if not bf.uncommitted.is_empty:
-                    m = mask_at(
-                        list(bf.uncommitted.true_docs)
-                        + list(bf.uncommitted.false_docs)
-                    )
-                    tc += sum(1 for d in bf.uncommitted.true_docs if m[d] > 0)
-                    fc += sum(1 for d in bf.uncommitted.false_docs if m[d] > 0)
+                    with bf.uncommitted._lk:
+                        tdocs = list(bf.uncommitted.true_docs)
+                        fdocs = list(bf.uncommitted.false_docs)
+                    m = mask_at(tdocs + fdocs)
+                    tc += sum(1 for d in tdocs if m[d] > 0)
+                    fc += sum(1 for d in fdocs if m[d] > 0)
                 values = {}
                 if fdef.true:
                     values["true"] = int(tc)
@@ -3808,8 +3808,9 @@ class CollectionReader:
                 if not bf.uncommitted.is_empty:
                     if matched_host is None:
                         matched_host = np.asarray(matched)
-                    tc += sum(1 for d in bf.uncommitted.true_docs if matched_host[d] > 0)
-                    fc += sum(1 for d in bf.uncommitted.false_docs if matched_host[d] > 0)
+                    t2, f2 = bf.uncommitted.true_false_counts(matched_host)
+                    tc += t2
+                    fc += f2
                 values = {}
                 if fdef.true:
                     values["true"] = int(tc)

@@ -7,7 +7,8 @@ kernels consume — a float {0,1} vector over the padded doc space."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Set
+import threading
+from typing import Dict, Optional, Set, Tuple
 
 import numpy as np
 
@@ -16,16 +17,35 @@ class UncommittedBoolIndex:
     def __init__(self) -> None:
         self.true_docs: Set[int] = set()
         self.false_docs: Set[int] = set()
+        # sets raise on mutation during iteration, and searches read the
+        # window lock-free — serialize insert vs the read accessors
+        # (lists in the other windows are append-safe under the GIL)
+        self._lk = threading.Lock()
 
     @property
     def is_empty(self) -> bool:
         return not self.true_docs and not self.false_docs
 
     def insert(self, doc_id: int, value: bool) -> None:
-        (self.true_docs if value else self.false_docs).add(doc_id)
+        with self._lk:
+            (self.true_docs if value else self.false_docs).add(doc_id)
 
     def filter_docs(self, value: bool) -> Set[int]:
-        return set(self.true_docs if value else self.false_docs)
+        with self._lk:
+            return set(self.true_docs if value else self.false_docs)
+
+    def true_false_counts(self, matched_host) -> Tuple[int, int]:
+        """Matched-doc counts per polarity (bool facets), read atomically."""
+        with self._lk:
+            t = sum(
+                1 for d in self.true_docs
+                if d < len(matched_host) and matched_host[d] > 0
+            )
+            f = sum(
+                1 for d in self.false_docs
+                if d < len(matched_host) and matched_host[d] > 0
+            )
+        return t, f
 
 
 @dataclasses.dataclass

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import threading
 from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -65,6 +66,11 @@ class UncommittedStringIndex:
         self.doc_lens: Dict[int, int] = {}
         self.total_len = 0
         self._sorted_terms: Optional[List[str]] = None
+        # searches are lock-free at the engine level, so the WINDOW (the
+        # only mutable structure they touch) serializes its own readers
+        # vs insert — iterating self.terms while insert() adds keys
+        # raises RuntimeError mid-query otherwise (reproduced)
+        self._lk = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.doc_lens)
@@ -77,18 +83,19 @@ class UncommittedStringIndex:
         return GlobalInfo(len(self.doc_lens), self.total_len)
 
     def insert(self, doc_id: int, field_length: int, terms: Dict[str, Sequence[int]]) -> None:
-        if doc_id not in self.doc_lens:
-            self.doc_lens[doc_id] = field_length
-            self.total_len += field_length
-        new_term = False
-        for term, positions in terms.items():
-            bucket = self.terms.get(term)
-            if bucket is None:
-                bucket = self.terms[term] = {}
-                new_term = True
-            bucket.setdefault(doc_id, []).extend(positions)
-        if new_term:
-            self._sorted_terms = None
+        with self._lk:
+            if doc_id not in self.doc_lens:
+                self.doc_lens[doc_id] = field_length
+                self.total_len += field_length
+            new_term = False
+            for term, positions in terms.items():
+                bucket = self.terms.get(term)
+                if bucket is None:
+                    bucket = self.terms[term] = {}
+                    new_term = True
+                bucket.setdefault(doc_id, []).extend(positions)
+            if new_term:
+                self._sorted_terms = None
 
     def _sorted(self) -> List[str]:
         if self._sorted_terms is None:
@@ -124,6 +131,16 @@ class UncommittedStringIndex:
         collection_read.query_expansion)."""
         if not self.terms:
             return
+        with self._lk:
+            self._search_locked(
+                tokens, boost, global_info, filter_mask, deleted, out,
+                exact_tokens,
+            )
+
+    def _search_locked(
+        self, tokens, boost, global_info, filter_mask, deleted, out,
+        exact_tokens,
+    ) -> None:
         avgdl = max(global_info.avgdl, 1e-9)
         n = float(global_info.total_documents)
 
@@ -244,7 +261,6 @@ class CommittedStringIndex:
         uncommitted: UncommittedStringIndex,
         capacity: int,
         deleted: Optional[Set[int]] = None,
-        uncommitted_doc_lens: Optional[Dict[int, int]] = None,
     ) -> "CommittedStringIndex":
         """Fold the uncommitted window (minus deletions) into a new immutable
         generation — the reference's MergedIterator commit

@@ -222,10 +222,18 @@ class CommittedVectorIndex:
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         q_dev = jnp.asarray(q)
         v_dev = jnp.asarray(self.vecs)
-        # brute-force ground truth (chunk queries to bound memory)
-        sims = jnp.dot(q_dev, v_dev.T, preferred_element_type=jnp.float32)
-        _, gt = jax.lax.top_k(sims, k)
-        gt = np.asarray(gt)
+        # brute-force ground truth, chunked: one [n_sample, P] sims
+        # matrix at 10M vectors is ~5 GB of HBM inside commit() — exactly
+        # the scale IVF autotuning targets
+        gt_parts = []
+        for lo in range(0, n_sample, 16):
+            sims_c = jnp.dot(
+                q_dev[lo:lo + 16], v_dev.T,
+                preferred_element_type=jnp.float32,
+            )
+            _, gt_c = jax.lax.top_k(sims_c, k)
+            gt_parts.append(np.asarray(gt_c))
+        gt = np.concatenate(gt_parts, axis=0)
         cents = jnp.asarray(self.ivf_cents)
         lists = jnp.asarray(self.ivf_lists)
         lens = jnp.asarray(self.ivf_lens)

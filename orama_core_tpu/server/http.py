@@ -50,7 +50,22 @@ class HttpError(Exception):
         self.status = status
 
 
-_HEAVY = re.compile(r"/(search|answer|planned_answer|insert|actions)(/|$)")
+_HEAVY = re.compile(r"/(search|insert|actions)(/|$)")
+# SSE answer streams hold their slot for a full LLM generation
+# (seconds-to-minutes) — they get their OWN pool so long streams cannot
+# starve millisecond searches out of the shared shed budget
+_SSE_ROUTES = re.compile(r"/(answer|planned_answer)(/|$)")
+
+# route label for metrics: collapse per-collection / per-document path
+# segments so the Counter's label cardinality stays bounded (raw paths
+# leak one counter entry per distinct document id fetched)
+_ROUTE_ID = re.compile(r"(/v1/collections/)[^/]+")
+_ROUTE_DOC = re.compile(r"(/documents/)[^/]+$")
+
+
+def _route_label(path: str) -> str:
+    path = _ROUTE_ID.sub(r"\1:id", path)
+    return _ROUTE_DOC.sub(r"\1:doc", path)
 
 
 def _make_handler(orama):
@@ -61,6 +76,10 @@ def _make_handler(orama):
     in_flight = threading.BoundedSemaphore(
         max(1, getattr(orama.cfg.http, "max_in_flight", 64))
     )
+    sse_in_flight = threading.BoundedSemaphore(
+        max(1, getattr(orama.cfg.http, "max_sse_streams", 32))
+    )
+    max_body = int(getattr(orama.cfg.http, "max_body_bytes", 64 * 1024 * 1024))
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -88,6 +107,9 @@ def _make_handler(orama):
             length = int(self.headers.get("Content-Length") or 0)
             if length == 0:
                 return None
+            if length > max_body:
+                # refuse before allocating attacker-declared gigabytes
+                raise HttpError(413, "request body too large")
             raw = self.rfile.read(length)
             try:
                 return json.loads(raw)
@@ -107,7 +129,16 @@ def _make_handler(orama):
             self.send_header("Content-Length", str(len(data)))
             if orama.cfg.http.allow_cors:
                 self.send_header("Access-Control-Allow-Origin", "*")
-                self.send_header("Access-Control-Allow-Headers", "*")
+                # the Fetch spec excludes Authorization from the "*"
+                # wildcard — it must be listed explicitly for browser
+                # Bearer requests to pass preflight
+                self.send_header(
+                    "Access-Control-Allow-Headers",
+                    "Authorization, Content-Type",
+                )
+                self.send_header(
+                    "Access-Control-Allow-Methods", "GET, POST, OPTIONS"
+                )
             self.end_headers()
             self.wfile.write(data)
 
@@ -173,7 +204,11 @@ def _make_handler(orama):
                     if ev is _DONE:
                         break
                     if ev is _ERR:
-                        self.wfile.write(b'data: {"type": "error"}\n\n')
+                        # same {type, message} shape as every other event
+                        self.wfile.write(
+                            b'data: {"type": "error", '
+                            b'"message": "internal error"}\n\n'
+                        )
                         self.wfile.flush()
                         break
                     chunk = f"data: {json.dumps(ev)}\n\n".encode()
@@ -203,13 +238,22 @@ def _make_handler(orama):
 
         def _route(self, method: str) -> None:
             path = urllib.parse.urlparse(self.path).path.rstrip("/") or "/"
-            shed_scope = bool(_HEAVY.search(path))
-            if shed_scope and not in_flight.acquire(blocking=False):
+            # SSE streams shed from their own pool (they hold the slot
+            # for a whole LLM generation; sharing with /search would let
+            # a handful of streams starve every short request)
+            pool = (
+                sse_in_flight if _SSE_ROUTES.search(path)
+                else in_flight if _HEAVY.search(path)
+                else None
+            )
+            if pool is not None and not pool.acquire(blocking=False):
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
                 self.send_header("Content-Length", "0")
                 self.end_headers()
-                m.HTTP_REQUESTS.inc(route=path, method=method, status="503")
+                m.HTTP_REQUESTS.inc(
+                    route=_route_label(path), method=method, status="503"
+                )
                 return
             try:
                 status = self._dispatch(method, path)
@@ -222,6 +266,10 @@ def _make_handler(orama):
             except CollectionNotFound as e:
                 status = 404
                 self._send(404, {"error": f"collection {e} not found"})
+            except KeyError as e:
+                # a missing required body field is the CLIENT's error
+                status = 400
+                self._send(400, {"error": f"missing required field {e}"})
             except (ValueError, TypeError) as e:
                 status = 400
                 self._send(400, {"error": str(e)})
@@ -230,9 +278,11 @@ def _make_handler(orama):
                 tracing.log("error", f"internal error: {e!r}")
                 self._send(500, {"error": "internal error"})
             finally:
-                if shed_scope:
-                    in_flight.release()
-            m.HTTP_REQUESTS.inc(route=path, method=method, status=str(status))
+                if pool is not None:
+                    pool.release()
+            m.HTTP_REQUESTS.inc(
+                route=_route_label(path), method=method, status=str(status)
+            )
 
         def _dispatch(self, method: str, path: str) -> int:
             if method == "GET" and path == "/":

@@ -134,3 +134,53 @@ def test_deletes_commits_and_searches_race(tmp_engine):
     )
     assert {int(h.id) for h in res.hits} == set(range(60, 120))
     assert res.count == 60
+
+
+def test_search_during_ingest_never_crashes(tmp_engine):
+    """Lock-free searches iterate the uncommitted window while inserts
+    mutate it; without the window's internal lock this raised
+    RuntimeError('dictionary changed size during iteration') within ~1 s
+    (review finding, reproduced)."""
+    tmp_engine.write_side.create_collection(MASTER, "c", READ, WRITE)
+    tmp_engine.flush()
+    tmp_engine.write_side.write(
+        "c", [{"id": "seed", "body": "document zero topic"}], WRITE
+    )
+    tmp_engine.flush()
+    errors = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                tmp_engine.read_side.search(
+                    "c",
+                    SearchParams.from_json({"term": "document topic"}),
+                    READ,
+                )
+            except Exception as e:
+                errors.append(e)
+                return
+
+    def writer():
+        i = 0
+        t0 = time.time()
+        while time.time() - t0 < 3.0 and not errors:
+            tmp_engine.write_side.write(
+                "c",
+                [{"id": f"d{i}", "body": f"document number {i} topic {i%7}"}],
+                WRITE,
+            )
+            tmp_engine.flush()
+            i += 1
+
+    threads = [threading.Thread(target=searcher) for _ in range(2)]
+    wt = threading.Thread(target=writer)
+    for t in threads:
+        t.start()
+    wt.start()
+    wt.join()
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert not errors, errors

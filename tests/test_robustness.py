@@ -237,3 +237,70 @@ def test_deleted_docs_stay_dead_after_restart(tmp_path):
     reader = e2.read_side._reader("c")
     assert reader.doc_count == 5
     e2.close()
+
+
+def test_malformed_bodies_are_400_not_500(server):
+    """Missing required body fields are the client's error: 400, never a
+    paged 500 (review finding: KeyError fell through to 'internal
+    error')."""
+    engine, base = server
+    for path, body in (
+        ("/v1/collections/create", {}),
+        ("/v1/collections/nope/delete", {}),
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + path, body, "master")
+        assert ei.value.code in (400, 404), (path, ei.value.code)
+        assert ei.value.code != 500
+
+
+def test_oversized_body_rejected_413(server):
+    engine, base = server
+    req = urllib.request.Request(
+        base + "/v1/collections/create",
+        data=b"x",  # tiny actual body; the declared length is the attack
+        headers={
+            "Content-Type": "application/json",
+            "Content-Length": str(10**12),
+            "Authorization": "Bearer master",
+        },
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=5)
+    assert ei.value.code == 413
+
+
+def test_cors_preflight_authorizes_bearer(server):
+    """The Fetch spec excludes Authorization from the '*' wildcard — it
+    must be listed explicitly (review finding)."""
+    engine, base = server
+    req = urllib.request.Request(base + "/health", method="OPTIONS")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        allow = r.headers.get("Access-Control-Allow-Headers", "")
+        methods = r.headers.get("Access-Control-Allow-Methods", "")
+    assert "Authorization" in allow
+    assert "POST" in methods
+
+
+def test_metrics_route_labels_are_templated(server):
+    """Per-document paths must collapse to :doc in the route label or the
+    counter leaks one entry per distinct document id (review finding)."""
+    engine, base = server
+    engine.write_side.create_collection("master", "cm", "rk", "wk")
+    engine.write_side.write("cm", [{"id": "a", "t": "x"}], "wk")
+    engine.flush()
+    for doc in ("a", "b", "zzz"):
+        req = urllib.request.Request(
+            base + f"/v1/collections/cm/documents/{doc}",
+            headers={"Authorization": "Bearer rk"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=5).read()
+        except urllib.error.HTTPError:
+            pass
+    from orama_core_tpu.server.metrics import REGISTRY
+
+    text = REGISTRY.expose_text()
+    assert 'route="/v1/collections/:id/documents/:doc"' in text
+    assert "/documents/zzz" not in text
