@@ -48,6 +48,21 @@ Supported subset (everything a realistic embedding-selection hook uses):
     with ToInt32 wrapping; exponentiation `**` (right-associative);
     parseInt/parseFloat/isNaN/isFinite, Number.is*/parse*,
     String.fromCharCode.
+  - function expressions (named/anonymous, `function`/`function*`) with
+    dynamic `this` bound at the call site (obj.fn(...) sees obj; arrows
+    stay lexical); object-literal method shorthand `{ m() {} }` and
+    getters `{ get x() {} }` (materialized on access, Object.values/
+    entries, JSON.stringify, and hook results); prototype patching
+    `Cls.prototype.m = function () {...}` (assignments override
+    class-body methods, reads fall back to them); tagged templates
+    ``tag`a${x}b` `` (cooked-strings array + values, V8 call shape).
+  - async/await over an EAGER promise model (MiniJS has no event loop,
+    so async bodies run synchronously and settle immediately — the V8
+    observable behavior for CPU-only hooks): `async function`/arrows,
+    `await` (unwraps settled promises, throws rejections),
+    Promise.resolve/reject/all/allSettled/race, `new Promise(executor)`,
+    .then/.catch/.finally. Real async IO (a promise still pending at
+    await) is detected and raises MiniJsError -> node-tier fallback.
 
 Anything outside the subset raises MiniJsError — callers fall back to the
 other hook tiers (engine/hooks.py). Step/recursion budgets raise
@@ -298,6 +313,9 @@ class _Parser:
             return ("label", t, self.parse_statement())
         if t == "function":
             return self.parse_function_decl()
+        if k == "name" and t == "async" and self.toks[self.i + 1][1] == "function":
+            self.next()  # 'async' — eager subset: body runs synchronously
+            return self.parse_function_decl(is_async=True)
         if t == "class":
             return self.parse_class()
         if t in ("const", "let", "var"):
@@ -516,7 +534,7 @@ class _Parser:
                 methods[mname] = (params, body)
         return ("classdecl", name, base, ctor, methods, statics, getters)
 
-    def parse_function_decl(self) -> Any:
+    def parse_function_decl(self, is_async: bool = False) -> Any:
         self.expect("function")
         is_gen = self.eat("*")
         _, name = self.next()
@@ -525,7 +543,22 @@ class _Parser:
         body = []
         while not self.eat("}"):
             body.append(self.parse_statement())
-        return ("funcdecl", name, params, body, is_gen)
+        return ("funcdecl", name, params, body, is_gen, is_async)
+
+    def parse_funcexpr(self, is_async: bool = False) -> Any:
+        """`function [name](params) { body }` in expression position —
+        the closure binds dynamic `this` at the call site (V8 function
+        semantics), unlike arrows which keep lexical `this`."""
+        is_gen = self.eat("*")
+        name = None
+        if self.peek()[0] == "name":
+            name = self.next()[1]
+        params = self.parse_params()
+        self.expect("{")
+        body = []
+        while not self.eat("}"):
+            body.append(self.parse_statement())
+        return ("funcexpr", name, params, body, is_gen, is_async)
 
     def parse_params(self) -> List[Any]:
         """Parameter list entries: a plain name (str), ("rest", name) for
@@ -674,6 +707,10 @@ class _Parser:
             if target[0] != "member":
                 raise MiniJsError("delete needs a property access")
             return ("delete", target)
+        if k == "name" and t == "await":
+            # eager subset: await unwraps an already-settled promise
+            self.next()
+            return ("await", self.parse_unary())
         return self.parse_postfix(self.parse_primary())
 
     def parse_postfix(self, e: Any) -> Any:
@@ -683,7 +720,12 @@ class _Parser:
                 self.next()
                 e = ("update", nt, e, False)
                 continue
-            if self.eat("."):
+            if self.peek()[0] == "tmpl":
+                # tagged template: tag`a${x}b` -> tag(["a","b"], x)
+                _, raw = self.next()
+                strings, exprs = self.parse_template_parts(raw)
+                e = ("tag", e, strings, exprs)
+            elif self.eat("."):
                 _, name = self.next()
                 e = ("member", e, ("lit", name), False)
             elif self.eat("?."):
@@ -727,6 +769,8 @@ class _Parser:
                 return ("lit", _UNDEFINED)
             if t == "this":
                 return ("this",)
+            if t == "function":
+                return self.parse_funcexpr()
             if t == "new":
                 # new Ctor(.member)*(args)
                 target = self.parse_primary()
@@ -741,49 +785,33 @@ class _Parser:
                 return ("new", target, args)
             raise MiniJsError(f"unexpected keyword {t!r}")
         if k == "name":
+            if t == "async":
+                # contextual: async function / async arrow; otherwise a
+                # plain identifier named `async`
+                nk, nt = self.peek()
+                if nt == "function":
+                    self.next()
+                    return self.parse_funcexpr(is_async=True)
+                if nk == "name" and self.toks[self.i + 1][1] == "=>":
+                    _, pname = self.next()
+                    self.expect("=>")
+                    return self.parse_arrow_body([pname], is_async=True)
+                if nt == "(":
+                    save_a = self.i
+                    self.next()  # '('
+                    node = self._maybe_paren_arrow(is_async=True)
+                    if node is not None:
+                        return node
+                    self.i = save_a
             # arrow fn:  name => expr
             if self.at("=>"):
                 self.next()
                 return self.parse_arrow_body([t])
             return ("name", t)
         if t == "(":
-            # could be (a, b) => ... or a parenthesized expression; the
-            # try-parse accepts full parameter syntax (patterns, defaults,
-            # rest) and backtracks on anything that isn't a params list
-            save = self.i
-            try:
-                params: List[Any] = []
-                while not self.eat(")"):
-                    if self.eat(","):
-                        continue
-                    if self.eat("..."):
-                        kk, rn = self.next()
-                        if kk != "name":
-                            raise MiniJsError("not params")
-                        params.append(("rest", rn))
-                        continue
-                    if self.at("{") or self.at("["):
-                        tgt = self.parse_binding_target()
-                        default = (
-                            self.parse_ternary() if self.eat("=") else None
-                        )
-                        params.append(("p", tgt, default))
-                        continue
-                    kk, tt = self.next()
-                    if kk != "name":
-                        raise MiniJsError("not params")
-                    if self.at("="):
-                        self.next()
-                        params.append(
-                            ("p", ("bname", tt), self.parse_ternary())
-                        )
-                    else:
-                        params.append(tt)
-                if self.eat("=>"):
-                    return self.parse_arrow_body(params)
-                raise MiniJsError("not arrow")
-            except MiniJsError:
-                self.i = save
+            node = self._maybe_paren_arrow(is_async=False)
+            if node is not None:
+                return node
             e = self.parse_expression()
             self.expect(")")
             return e
@@ -799,6 +827,25 @@ class _Parser:
         if t == "{":
             pairs = []
             while not self.eat("}"):
+                if (
+                    self.at("get")
+                    and self.toks[self.i + 1][0] in ("name", "str", "kw")
+                    and self.toks[self.i + 2][1] == "("
+                ):
+                    # object-literal getter: { get x() { ... } }
+                    self.next()
+                    _, gname = self.next()
+                    gparams = self.parse_params()
+                    self.expect("{")
+                    gbody = []
+                    while not self.eat("}"):
+                        gbody.append(self.parse_statement())
+                    pairs.append(
+                        (("getter", gname),
+                         ("funcexpr", None, gparams, gbody, False, False))
+                    )
+                    self.eat(",")
+                    continue
                 if self.eat("..."):
                     # {...obj} spread entry: None key marks a merge
                     pairs.append((None, self.parse_expression()))
@@ -823,20 +870,106 @@ class _Parser:
                     pairs.append((key, ("name", key)))
                     self.eat(",")
                     continue
+                if self.at("("):
+                    # method shorthand { m(a) { ... } } — dynamic `this`
+                    mparams = self.parse_params()
+                    self.expect("{")
+                    mbody = []
+                    while not self.eat("}"):
+                        mbody.append(self.parse_statement())
+                    pairs.append(
+                        (key,
+                         ("funcexpr", None, mparams, mbody, False, False))
+                    )
+                    self.eat(",")
+                    continue
                 self.expect(":")
                 pairs.append((key, self.parse_expression()))
                 self.eat(",")
             return ("object", pairs)
         raise MiniJsError(f"unexpected token {t!r}")
 
-    def parse_arrow_body(self, params: List[str]) -> Any:
+    def _maybe_paren_arrow(self, is_async: bool) -> Optional[Any]:
+        """Called with the opening '(' already consumed: try-parse a full
+        parameter list (patterns, defaults, rest) followed by `=>`;
+        backtrack to just after the '(' and return None on anything that
+        isn't an arrow head, so the caller parses a parenthesized
+        expression instead."""
+        save = self.i
+        try:
+            params: List[Any] = []
+            while not self.eat(")"):
+                if self.eat(","):
+                    continue
+                if self.eat("..."):
+                    kk, rn = self.next()
+                    if kk != "name":
+                        raise MiniJsError("not params")
+                    params.append(("rest", rn))
+                    continue
+                if self.at("{") or self.at("["):
+                    tgt = self.parse_binding_target()
+                    default = (
+                        self.parse_ternary() if self.eat("=") else None
+                    )
+                    params.append(("p", tgt, default))
+                    continue
+                kk, tt = self.next()
+                if kk != "name":
+                    raise MiniJsError("not params")
+                if self.at("="):
+                    self.next()
+                    params.append(
+                        ("p", ("bname", tt), self.parse_ternary())
+                    )
+                else:
+                    params.append(tt)
+            if self.eat("=>"):
+                return self.parse_arrow_body(params, is_async=is_async)
+            raise MiniJsError("not arrow")
+        except MiniJsError:
+            self.i = save
+            return None
+
+    def parse_arrow_body(
+        self, params: List[str], is_async: bool = False
+    ) -> Any:
         if self.at("{"):
             self.next()
             body = []
             while not self.eat("}"):
                 body.append(self.parse_statement())
-            return ("arrow", params, body)
-        return ("arrow", params, [("return", self.parse_expression())])
+            return ("arrow", params, body, is_async)
+        return ("arrow", params,
+                [("return", self.parse_expression())], is_async)
+
+    def parse_template_parts(
+        self, raw: str
+    ) -> Tuple[List[str], List[Any]]:
+        """For tagged templates: split the raw template body into the
+        cooked string parts (always len(exprs)+1, empties included — the
+        V8 shape of the tag's first argument) and the `${}` expression
+        nodes."""
+        strings: List[str] = []
+        exprs: List[Any] = []
+        i = 0
+        buf = ""
+        while i < len(raw):
+            if raw.startswith("${", i):
+                end = _match_brace(raw, i + 1)
+                strings.append(_unescape(buf))
+                buf = ""
+                sub = _Parser(_tokenize(raw[i + 2:end]))
+                exprs.append(sub.parse_expression())
+                i = end + 1
+            elif raw.startswith("\\", i) and i + 1 < len(raw):
+                buf += raw[i : i + 2]
+                i += 2
+            else:
+                buf += raw[i]
+                i += 1
+        strings.append(_unescape(buf))
+        return strings, exprs
 
     def parse_template(self, raw: str) -> Any:
         """`a ${x} b` -> concat of parts. ${} bounds come from the
@@ -892,6 +1025,19 @@ class _JsClass:
         self.statics = statics
         self.getters = getters
         self.env = env
+        # post-declaration `Cls.prototype.x = ...` assignments: closures
+        # or data values; looked up before class-body methods (a later
+        # prototype assignment overrides, matching V8 where class methods
+        # live on the same prototype object)
+        self.proto_fns: Dict[str, Any] = {}
+
+    def find_proto(self, name):
+        c = self
+        while c is not None:
+            if name in c.proto_fns:
+                return c.proto_fns[name], True
+            c = c.parent
+        return None, False
 
     def find_method(self, name):
         c = self
@@ -918,6 +1064,31 @@ class _JsClass:
                 return c.ctor, c
             c = c.parent
         return None, None
+
+
+class _JsProto:
+    """The value of ``Cls.prototype`` — a thin mutation seam so hooks can
+    do `Cls.prototype.m = function () {...}` (V8 prototype patching).
+    Reads resolve assigned entries first, then class-body methods."""
+
+    __slots__ = ("cls",)
+
+    def __init__(self, cls: "_JsClass") -> None:
+        self.cls = cls
+
+
+class _JsPromise:
+    """Eager promise: MiniJS has no event loop, so async functions run
+    their bodies synchronously and settle immediately. `state` is
+    'fulfilled' | 'rejected' | 'pending' (pending only via a `new
+    Promise` executor that never settles — awaiting it is an error that
+    routes the hook to the node tier)."""
+
+    __slots__ = ("state", "value")
+
+    def __init__(self, state: str, value: Any) -> None:
+        self.state = state
+        self.value = value
 
 
 class _JsObject(dict):
@@ -1159,7 +1330,7 @@ class _Interp:
         elif op == "expr":
             self.eval(s[1], env)
         elif op == "funcdecl":
-            env.set(s[1], ("closure", s[2], s[3], env, s[4]))
+            env.set(s[1], ("closure", s[2], s[3], env, s[4], True, s[5]))
         elif op == "classdecl":
             _, name, base_e, ctor, methods, statics, getters = s
             parent = None
@@ -1350,6 +1521,10 @@ class _Interp:
                     if not isinstance(src, dict):
                         raise MiniJsError("object spread needs an object")
                     o.update(src)
+                elif isinstance(k, tuple) and k[0] == "getter":
+                    # lazy property: evaluated against the owning object
+                    # on each access (_member_value / resolve_data)
+                    o[k[1]] = ("jsgetter", self.eval(v, env))
                 elif isinstance(k, tuple):  # ("computed", expr)
                     o[_js_str(self.eval(k[1], env))] = self.eval(v, env)
                 else:
@@ -1396,7 +1571,9 @@ class _Interp:
                 return "number"
             if isinstance(v, str):
                 return "string"
-            if isinstance(v, tuple) and v and v[0] == "closure":
+            if isinstance(v, tuple) and v and v[0] in (
+                "closure", "boundm", "method", "native",
+            ):
                 return "function"
             return "object"
         if op == "bin":
@@ -1406,7 +1583,32 @@ class _Interp:
         if op == "call":
             return self.eval_call(e, env)
         if op == "arrow":
-            return ("closure", e[1], e[2], env, False)
+            # arrows: lexical `this` (binds_this=False), maybe async
+            return ("closure", e[1], e[2], env, False, False,
+                    len(e) > 3 and bool(e[3]))
+        if op == "funcexpr":
+            _, name, params, body, is_gen, is_async = e
+            fenv = _Env(env)
+            clo = ("closure", params, body, fenv, is_gen, True, is_async)
+            if name:
+                fenv.set(name, clo)  # named fn expr sees itself
+            return clo
+        if op == "await":
+            v = self.eval(e[1], env)
+            while isinstance(v, _JsPromise):
+                if v.state == "rejected":
+                    raise _Throw(v.value)
+                if v.state == "pending":
+                    raise MiniJsError(
+                        "await on a pending promise (real async IO is "
+                        "outside the eager MiniJS subset; node tier)"
+                    )
+                v = v.value
+            return v
+        if op == "tag":
+            fn = self.eval(e[1], env)
+            vals = [self.eval(x, env) for x in e[3]]
+            return self._invoke(fn, [list(e[2])] + vals)
         if op == "this":
             return env.get("this")
         if op == "regexlit":
@@ -1437,6 +1639,8 @@ class _Interp:
             # (next(v) two-way communication is outside the subset)
             return _UNDEFINED
         if op == "new":
+            if e[1] == ("name", "Promise"):
+                return self._new_promise(e[2], env)
             cls = self.eval(e[1], env)
             if not isinstance(cls, _JsClass):
                 raise MiniJsError("new target is not a class")
@@ -1480,6 +1684,9 @@ class _Interp:
         if target[0] == "member":
             obj = self.eval(target[1], env)
             key = self.eval(target[2], env)
+            if isinstance(obj, _JsProto):
+                obj.cls.proto_fns[key] = val
+                return
             if isinstance(obj, dict):
                 obj[key] = val
                 return
@@ -1616,12 +1823,30 @@ class _Interp:
                 return _UNDEFINED
             raise MiniJsError("member access on null/undefined")
         key = self.eval(e[2], env)
+        return self._member_value(obj, key)
+
+    def _member_value(self, obj: Any, key: Any) -> Any:
+        """Property lookup on an already-evaluated receiver (shared by
+        eval_member and the call path, which needs the receiver for
+        dynamic `this` binding)."""
         if isinstance(obj, _JsClass):
+            if key == "prototype":
+                return _JsProto(obj)
             m = obj.statics.get(key)
             if m is not None:
                 return ("boundm", None, m, obj)
             return _UNDEFINED
+        if isinstance(obj, _JsProto):
+            v, found = obj.cls.find_proto(key)
+            if found:
+                return v
+            m, owner = obj.cls.find_method(key)
+            if m is not None:
+                return ("boundm", None, m, owner)
+            return _UNDEFINED
         if isinstance(obj, _JsGenerator):
+            return ("method", obj, key)
+        if isinstance(obj, _JsPromise):
             return ("method", obj, key)
         if isinstance(obj, _JsRegex):
             if key == "source":
@@ -1634,6 +1859,9 @@ class _Interp:
         if isinstance(obj, _JsObject):
             if key in obj:
                 return obj[key]
+            v, found = obj.cls.find_proto(key)
+            if found:
+                return v
             m, owner = obj.cls.find_method(key)
             if m is not None:
                 return ("boundm", obj, m, owner)
@@ -1645,7 +1873,10 @@ class _Interp:
                 )
             return _UNDEFINED
         if isinstance(obj, dict):
-            return obj.get(key, _UNDEFINED)
+            v = obj.get(key, _UNDEFINED)
+            if isinstance(v, tuple) and v and v[0] == "jsgetter":
+                return self.call_closure(v[1], [], this=obj)
+            return v
         if isinstance(obj, list):
             if key == "length":
                 return len(obj)
@@ -1689,8 +1920,8 @@ class _Interp:
                 if key == "keys":
                     return list(o.keys())
                 if key == "values":
-                    return list(o.values())
-                return [[k, v] for k, v in o.items()]
+                    return [self._member_value(o, k) for k in o.keys()]
+                return [[k, self._member_value(o, k)] for k in o.keys()]
             if base == "Object" and key == "assign":
                 if not args or not isinstance(args[0], dict):
                     raise MiniJsError("Object.assign needs an object target")
@@ -1711,8 +1942,55 @@ class _Interp:
                         raise MiniJsError("Object.fromEntries needs pairs")
                     out_o[_js_str(pair[0])] = pair[1]
                 return out_o
+            if base == "Promise":
+                if key == "resolve":
+                    v = args[0] if args else _UNDEFINED
+                    return (v if isinstance(v, _JsPromise)
+                            else _JsPromise("fulfilled", v))
+                if key == "reject":
+                    return _JsPromise(
+                        "rejected", args[0] if args else _UNDEFINED
+                    )
+                if key in ("all", "allSettled", "race"):
+                    src = args[0] if args else None
+                    if isinstance(src, _JsGenerator):
+                        src = src.drain()
+                    if not isinstance(src, list):
+                        raise MiniJsError(f"Promise.{key} needs an array")
+                    settled = []
+                    for it in src:
+                        if isinstance(it, _JsPromise):
+                            if it.state == "pending":
+                                raise MiniJsError(
+                                    "pending promise (real async IO is "
+                                    "outside the eager MiniJS subset; "
+                                    "node tier)"
+                                )
+                            settled.append((it.state, it.value))
+                        else:
+                            settled.append(("fulfilled", it))
+                    if key == "race":
+                        if not settled:
+                            raise MiniJsError(
+                                "Promise.race of an empty array never "
+                                "settles"
+                            )
+                        return _JsPromise(*settled[0])
+                    if key == "allSettled":
+                        return _JsPromise("fulfilled", [
+                            {"status": st, "value": v} if st == "fulfilled"
+                            else {"status": st, "reason": v}
+                            for st, v in settled
+                        ])
+                    for st, v in settled:  # all
+                        if st == "rejected":
+                            return _JsPromise("rejected", v)
+                    return _JsPromise(
+                        "fulfilled", [v for _, v in settled]
+                    )
+                raise MiniJsError(f"unsupported Promise.{key}")
             if base == "JSON" and key == "stringify":
-                return json.dumps(_strip_undefined(args[0]))
+                return json.dumps(_strip_undefined(self.resolve_data(args[0])))
             if base == "JSON" and key == "parse":
                 return json.loads(args[0])
             if base == "Number" and key in (
@@ -1818,18 +2096,75 @@ class _Interp:
             except MiniJsError:
                 return False
             return n == n and n not in (float("inf"), float("-inf"))
+        if callee[0] == "member":
+            # evaluate the receiver once so obj.fn(...) binds dynamic
+            # `this` to obj for function-expression values (V8 method
+            # call semantics; arrows keep lexical `this`)
+            obj = self.eval(callee[1], env)
+            if obj is _UNDEFINED or obj is None:
+                if callee[3]:
+                    return _UNDEFINED
+                raise MiniJsError("member access on null/undefined")
+            mkey = self.eval(callee[2], env)
+            target = self._member_value(obj, mkey)
+            this_v = obj if isinstance(obj, dict) else None
+            return self._invoke(target, args, this=this_v)
         target = self.eval(callee, env)
-        if isinstance(target, tuple) and target and target[0] == "closure":
-            return self.call_closure(target, args)
-        if isinstance(target, tuple) and target and target[0] == "method":
-            return self.call_method(target[1], target[2], args)
-        if isinstance(target, tuple) and target and target[0] == "boundm":
-            _, this_v, (params, body), owner = target
-            return self._call_body(
-                params, body, owner.env, args,
-                this=this_v, superclass=owner.parent,
+        return self._invoke(target, args)
+
+    def _invoke(
+        self, fn: Any, args: List[Any], this: Any = None,
+        what: str = "call target",
+    ) -> Any:
+        """Dispatch any callable runtime value (closure, builtin method,
+        bound class method, native seam)."""
+        if isinstance(fn, tuple) and fn:
+            if fn[0] == "closure":
+                return self.call_closure(fn, args, this=this)
+            if fn[0] == "method":
+                return self.call_method(fn[1], fn[2], args)
+            if fn[0] == "boundm":
+                _, this_v, (params, body), owner = fn
+                return self._call_body(
+                    params, body, owner.env, args,
+                    this=this_v if this_v is not None else this,
+                    superclass=owner.parent,
+                )
+            if fn[0] == "native":
+                return fn[1](args)
+        raise MiniJsError(f"{what} is not a function")
+
+    def _new_promise(self, arg_nodes: List[Any], env: _Env) -> Any:
+        """`new Promise((resolve, reject) => ...)` — the executor runs
+        synchronously; first settle wins (V8), resolve adopts a promise
+        argument's state."""
+        args = [self.eval(a, env) for a in arg_nodes]
+        if not args:
+            raise MiniJsError("new Promise needs an executor")
+        cell = _JsPromise("pending", _UNDEFINED)
+
+        def _settle(state: str):
+            def run(cargs: List[Any]) -> Any:
+                if cell.state == "pending":
+                    v = cargs[0] if cargs else _UNDEFINED
+                    if state == "fulfilled" and isinstance(v, _JsPromise):
+                        cell.state, cell.value = v.state, v.value
+                    else:
+                        cell.state, cell.value = state, v
+                return _UNDEFINED
+            return run
+
+        try:
+            self._invoke(
+                args[0],
+                [("native", _settle("fulfilled")),
+                 ("native", _settle("rejected"))],
+                what="Promise executor",
             )
-        raise MiniJsError("not callable")
+        except _Throw as th:
+            if cell.state == "pending":
+                cell.state, cell.value = "rejected", th.value
+        return cell
 
     def bind_pattern(self, tgt: Any, v: Any, env: _Env) -> None:
         """Bind a destructuring target (parse_binding_target node) against
@@ -1878,15 +2213,7 @@ class _Interp:
     def _cb(self, fn: Any, *cb_args: Any) -> Any:
         """Invoke a user callback with JS-style (value, index, array)
         arguments; extra args bind to _UNDEFINED in shorter signatures."""
-        if isinstance(fn, tuple) and fn and fn[0] == "closure":
-            return self.call_closure(fn, list(cb_args))
-        if isinstance(fn, tuple) and fn and fn[0] == "boundm":
-            _, this_v, (params, body), owner = fn
-            return self._call_body(
-                params, body, owner.env, list(cb_args),
-                this=this_v, superclass=owner.parent,
-            )
-        raise MiniJsError("callback is not a function")
+        return self._invoke(fn, list(cb_args), what="callback")
 
     def _sort(self, obj: List[Any], cmp: Any) -> List[Any]:
         import functools as _ft
@@ -1914,15 +2241,32 @@ class _Interp:
             acc = self._cb(cb, acc, obj[i], i, obj)
         return acc
 
-    def call_closure(self, closure: Tuple, args: List[Any]) -> Any:
-        _, params, body, defenv, is_gen = closure
-        if not is_gen:
-            return self._call_body(params, body, defenv, args)
-        # function*: eager evaluation — run the body now, buffering yields
-        # (the step budget bounds infinite generators like infinite loops)
-        buf: List[Any] = []
-        ret = self._call_body(params, body, defenv, args, gen_buf=buf)
-        return _JsGenerator(buf, ret)
+    def call_closure(
+        self, closure: Tuple, args: List[Any], this: Any = None
+    ) -> Any:
+        _, params, body, defenv, is_gen, binds_this, is_async = closure
+        eff_this = this if (binds_this and this is not None) else None
+        if is_gen:
+            # function*: eager evaluation — run the body now, buffering
+            # yields (the step budget bounds infinite generators like
+            # infinite loops)
+            buf: List[Any] = []
+            ret = self._call_body(
+                params, body, defenv, args, this=eff_this, gen_buf=buf
+            )
+            return _JsGenerator(buf, ret)
+        if is_async:
+            # eager subset: the body runs synchronously; a throw settles
+            # the returned promise as rejected (V8 async semantics)
+            try:
+                ret = self._call_body(
+                    params, body, defenv, args, this=eff_this
+                )
+            except _Throw as th:
+                return _JsPromise("rejected", th.value)
+            return (ret if isinstance(ret, _JsPromise)
+                    else _JsPromise("fulfilled", ret))
+        return self._call_body(params, body, defenv, args, this=eff_this)
 
     def _call_body(
         self, params, body, defenv, args, this=None, superclass=None,
@@ -1967,8 +2311,64 @@ class _Interp:
             self._gen_buf.pop()
             self.depth -= 1
 
+    def resolve_data(self, v: Any, _depth: int = 0) -> Any:
+        """Materialize a runtime value into plain JSON-shaped data:
+        unwrap settled promises (rejected -> user-level throw), evaluate
+        object-literal getters against their owning object. Used for
+        JSON.stringify and the final hook result."""
+        self.tick()
+        if _depth > 64:
+            raise MiniJsError("value nesting too deep to materialize")
+        if isinstance(v, _JsPromise):
+            if v.state == "rejected":
+                raise _Throw(v.value)
+            if v.state == "pending":
+                raise MiniJsError(
+                    "pending promise in result (real async IO is outside "
+                    "the eager MiniJS subset; node tier)"
+                )
+            return self.resolve_data(v.value, _depth + 1)
+        if isinstance(v, list):
+            return [self.resolve_data(x, _depth + 1) for x in v]
+        if isinstance(v, dict):
+            out: Dict[str, Any] = {}
+            for k in list(v.keys()):
+                x = v[k]
+                if isinstance(x, tuple) and x and x[0] == "jsgetter":
+                    x = self.call_closure(x[1], [], this=v)
+                out[k] = self.resolve_data(x, _depth + 1)
+            return out
+        return v
+
     def call_method(self, obj: Any, name: str, args: List[Any]) -> Any:
         self.tick()
+        if isinstance(obj, _JsPromise):
+            if obj.state == "pending":
+                raise MiniJsError(
+                    "pending promise (real async IO is outside the eager "
+                    "MiniJS subset; node tier)"
+                )
+            if name == "finally":
+                if args and args[0] is not None:
+                    self._invoke(args[0], [], what="finally callback")
+                return obj
+            if name == "then":
+                onf = args[0] if args else None
+                onr = args[1] if len(args) > 1 else None
+            elif name == "catch":
+                onf = None
+                onr = args[0] if args else None
+            else:
+                raise MiniJsError(f"unsupported promise method {name!r}")
+            cb = onf if obj.state == "fulfilled" else onr
+            if cb is None or cb is _UNDEFINED:
+                return obj
+            try:
+                v = self._invoke(cb, [obj.value], what="then callback")
+            except _Throw as th:
+                return _JsPromise("rejected", th.value)
+            return (v if isinstance(v, _JsPromise)
+                    else _JsPromise("fulfilled", v))
         if isinstance(obj, _JsGenerator):
             if name == "next":
                 return obj.next_result()
@@ -2253,6 +2653,8 @@ def run_hook(code: str, fn_name: str, document: Dict[str, Any]) -> Any:
         if not (isinstance(fn, tuple) and fn and fn[0] == "closure"):
             raise MiniJsError(f"{fn_name} is not a function")
         result = interp.call_closure(fn, [document])
+        # async hooks return a settled promise; getters materialize here
+        result = interp.resolve_data(result)
     except _Throw as th:
         # an uncaught user-level `throw` is a per-document hook veto, not
         # an engine crash and not unsupported JS (engine/hooks.py skips

@@ -939,3 +939,192 @@ def test_flat_depth():
     assert _run(code) == [
         [1, [2], 3], [1, 2, [5], 3], [1, 2, 5, 7],
     ]
+
+
+# --- round-4 (late) additions: function exprs, this, prototypes, getters,
+# --- tagged templates, async/await over the eager promise model ------------
+
+
+def test_function_expression_named_and_anonymous():
+    code = """
+    const fact = function f(n) { return n <= 1 ? 1 : n * f(n - 1); };
+    const inc = function (x) { return x + 1; };
+    function selectEmbeddingProperties(doc) {
+      return [fact(5), inc(41)];
+    }
+    """
+    assert run(code, {}) == [120, 42]
+
+
+def test_method_call_binds_dynamic_this():
+    code = """
+    function selectEmbeddingProperties(doc) {
+      const o = {
+        n: 3,
+        viaExpr: function () { return this.n * 2; },
+        viaShorthand(x) { return this.n + x; },
+      };
+      // extraction loses `this` (V8): typeof stays function but n is gone
+      const f = o.viaExpr;
+      let lost = 'no';
+      try { f(); } catch (e) { lost = 'yes'; }
+      return { a: o.viaExpr(), b: o.viaShorthand(4), lost: lost };
+    }
+    """
+    # extracted call: `this` is unbound -> this.n throws (member on undefined)
+    assert run(code, {}) == {"a": 6, "b": 7, "lost": "yes"}
+
+
+def test_arrow_keeps_lexical_this_inside_method():
+    code = """
+    class C {
+      constructor() { this.v = 10; }
+      collect() { return [1, 2].map((x) => x + this.v); }
+    }
+    function selectEmbeddingProperties(doc) {
+      return new C().collect();
+    }
+    """
+    assert run(code, {}) == [11, 12]
+
+
+def test_prototype_mutation_adds_and_overrides():
+    code = """
+    class P { constructor(n) { this.n = n; } base() { return 1; } }
+    P.prototype.twice = function () { return this.n * 2; };
+    P.prototype.base = function () { return 100 + this.n; };
+    function selectEmbeddingProperties(doc) {
+      const p = new P(7);
+      return { t: p.twice(), b: p.base(), ty: typeof P.prototype.twice };
+    }
+    """
+    assert run(code, {}) == {"t": 14, "b": 107, "ty": "function"}
+
+
+def test_prototype_mutation_inherited_by_subclass():
+    code = """
+    class A {}
+    class B extends A {}
+    A.prototype.tag = function () { return 'from-A'; };
+    function selectEmbeddingProperties(doc) {
+      return new B().tag();
+    }
+    """
+    assert run(code, {}) == "from-A"
+
+
+def test_object_literal_getter():
+    code = """
+    function selectEmbeddingProperties(doc) {
+      const o = { first: 'a', last: 'b',
+                  get full() { return this.first + ' ' + this.last; } };
+      o.first = 'x';
+      return { direct: o.full, json: JSON.stringify(o),
+               vals: Object.values(o) };
+    }
+    """
+    out = run(code, {})
+    assert out["direct"] == "x b"
+    assert '"full": "x b"' in out["json"].replace('"full":"x b"', '"full": "x b"')
+    assert out["vals"] == ["x", "b", "x b"]
+
+
+def test_getter_materializes_in_hook_result():
+    code = """
+    function selectEmbeddingProperties(doc) {
+      return { get text() { return doc.title.toUpperCase(); } };
+    }
+    """
+    assert run(code, {"title": "abc"}) == {"text": "ABC"}
+
+
+def test_tagged_template():
+    code = """
+    const tag = (strings, ...values) =>
+      strings.join('|') + '#' + values.join(',');
+    function selectEmbeddingProperties(doc) {
+      return [tag`a${1}b${2}c`, tag`${doc.t}`, tag`plain`];
+    }
+    """
+    assert run(code, {"t": "z"}) == ["a|b|c#1,2", "|#z", "plain#"]
+
+
+def test_async_await_basic():
+    code = """
+    async function selectEmbeddingProperties(doc) {
+      const v = await Promise.resolve(5);
+      const w = await new Promise((res, rej) => res(v * 2));
+      return [v, w, await 7];
+    }
+    """
+    assert run(code, {}) == [5, 10, 7]
+
+
+def test_async_rejection_try_catch_and_chaining():
+    code = """
+    const f = async (x) => { if (x < 0) throw 'neg'; return x + 1; };
+    async function selectEmbeddingProperties(doc) {
+      let caught = '';
+      try { await f(-1); } catch (e) { caught = e; }
+      const chained = await f(1).then((x) => x * 10).catch((e) => -1);
+      const all = await Promise.all([1, Promise.resolve(2)]);
+      const settled = await Promise.allSettled([f(3), f(-3)]);
+      return { caught, chained, all, settled };
+    }
+    """
+    assert run(code, {}) == {
+        "caught": "neg",
+        "chained": 20,
+        "all": [1, 2],
+        "settled": [
+            {"status": "fulfilled", "value": 4},
+            {"status": "rejected", "reason": "neg"},
+        ],
+    }
+
+
+def test_uncaught_async_rejection_is_hook_veto():
+    from orama_core_tpu.engine.minijs import MiniJsThrow
+
+    code = """
+    async function selectEmbeddingProperties(doc) {
+      throw 'veto';
+    }
+    """
+    with pytest.raises(MiniJsThrow):
+        run(code, {})
+
+
+def test_pending_promise_routes_to_fallback_tier():
+    code = """
+    async function selectEmbeddingProperties(doc) {
+      // executor never settles: real async IO is outside the subset
+      return await new Promise((res, rej) => {});
+    }
+    """
+    with pytest.raises(MiniJsError):
+        run(code, {})
+
+
+def test_async_identifier_still_usable():
+    code = """
+    function selectEmbeddingProperties(doc) {
+      const async = 3;
+      return async + 1;
+    }
+    """
+    assert run(code, {}) == 4
+
+
+def test_promise_executor_reject_and_first_settle_wins():
+    code = """
+    async function selectEmbeddingProperties(doc) {
+      let caught = '';
+      try {
+        await new Promise((res, rej) => { rej('bad'); res('late'); });
+      } catch (e) { caught = e; }
+      const adopted = await new Promise((res) => res(Promise.resolve(9)));
+      return { caught, adopted };
+    }
+    """
+    assert run(code, {}) == {"caught": "bad", "adopted": 9}
