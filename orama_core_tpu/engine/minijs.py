@@ -30,11 +30,13 @@ Supported subset (everything a realistic embedding-selection hook uses):
     regex-aware string match/replace/replaceAll/split/search. Pattern
     syntax is Python `re` (identical over the practical JS subset).
   - generators: `function* g() { yield v; yield* iterable; }` with
-    .next()/.return(), for..of, and Array.from(g()). Evaluation is EAGER
-    (body runs at call time, yields buffered under the step budget) —
-    terminating generators behave exactly as in V8; two-way next(v)
-    communication and usable infinite streams are outside the subset
-    (see _JsGenerator).
+    .next(v)/.return(v)/.throw(v), for..of, spread, and Array.from(g()).
+    Evaluation is LAZY with V8 semantics: the body pauses at every yield
+    on a dedicated worker thread (strictly alternating with the caller),
+    so two-way communication (`const x = yield v` sees next's argument)
+    and infinite streams consumed incrementally (for..of + break) both
+    work; runaway bodies still die on the shared step budget, and
+    suspended workers are unwound at hook teardown (see _JsGenerator).
   - destructuring: object/array patterns (nested, renames, defaults,
     holes, `...rest`) in const/let/var declarations, for..of/in heads,
     and function parameters (incl. `param = default` and `...rest`
@@ -1136,39 +1138,122 @@ class _JsRegex:
         return out.replace("\x00DOLLAR\x00", "$")
 
 
+class _GenKill(BaseException):
+    """Internal: unwinds a suspended generator body when the generator is
+    closed (.return(), hook teardown). BaseException so user-level
+    try/catch inside the body cannot swallow the teardown."""
+
+
 class _JsGenerator:
     """A generator object produced by calling a `function*`. Evaluation is
-    EAGER: the body runs to completion at call time (yields buffered,
-    bounded by the interpreter's step budget, so an infinite generator is
-    killed like an infinite loop), and the object replays the buffer via
-    .next() / for..of. This matches lazy V8 semantics for the practical
-    hook shapes (terminating generators consumed by iteration); two-way
-    communication (`const x = yield v` receiving next()'s argument) and
-    usable infinite streams are outside the subset."""
+    LAZY with full V8 semantics: the body runs on a dedicated worker
+    thread that pauses at every `yield` and resumes on .next(v) — two-way
+    communication (`const x = yield v` sees next's argument) and infinite
+    streams consumed incrementally both work. Execution strictly
+    alternates (the caller blocks while the body runs; the body blocks at
+    every yield), so the interpreter is never entered concurrently and
+    the shared step budget keeps bounding runaway bodies. Worker threads
+    are daemons and are killed at .return()/hook teardown (run_hook's
+    finally closes every generator the hook created)."""
 
-    __slots__ = ("items", "ret", "cursor", "ret_taken")
+    __slots__ = (
+        "interp", "params", "body", "defenv", "args", "this",
+        "thread", "inq", "outq", "state", "running",
+    )
 
-    def __init__(self, items: List[Any], ret: Any) -> None:
-        self.items = items
-        self.ret = ret
-        self.cursor = 0
-        self.ret_taken = False
+    def __init__(self, interp, params, body, defenv, args, this) -> None:
+        import queue
+        import threading
 
-    def next_result(self) -> Dict[str, Any]:
-        if self.cursor < len(self.items):
-            v = self.items[self.cursor]
-            self.cursor += 1
+        self.interp = interp
+        self.params = params
+        self.body = body
+        self.defenv = defenv
+        self.args = args
+        self.this = this
+        self.inq: Any = queue.Queue()
+        self.outq: Any = queue.Queue()
+        self.state = "new"        # new | suspended | done
+        self.running = False      # body currently executing
+        self.thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        try:
+            msg = self.inq.get()
+            if msg[0] == "kill":
+                return
+            # msg carries the first next(v) argument, discarded (JS)
+            ret = self.interp._call_body(
+                self.params, self.body, self.defenv, self.args,
+                this=self.this, gen=self,
+            )
+            self.outq.put(("done", ret))
+        except _GenKill:
+            pass
+        except _Throw as th:
+            self.outq.put(("throw", th))
+        except MiniJsError as ex:  # incl. MiniJsFatal budget kills
+            self.outq.put(("fatal", ex))
+        except BaseException as ex:  # pragma: no cover - defensive
+            self.outq.put(("fatal", MiniJsFatal(f"generator crashed: {ex}")))
+
+    def next_result(self, sent: Any = _UNDEFINED) -> Dict[str, Any]:
+        return self._pump(("send", sent))
+
+    def throw_result(self, err: Any) -> Dict[str, Any]:
+        """gen.throw(v): raise inside the body at the suspended yield; a
+        body-level try/catch around the yield can recover and keep
+        yielding (V8). Before the first next(), the throw surfaces
+        directly to the caller."""
+        if self.state in ("new", "done"):
+            self.state = "done"
+            raise _Throw(err)
+        return self._pump(("throw", err))
+
+    def _pump(self, msg: Tuple[str, Any]) -> Dict[str, Any]:
+        if self.state == "done":
+            return {"value": _UNDEFINED, "done": True}
+        if self.running:
+            # the body called its own .next() — V8 throws TypeError
+            raise MiniJsError("generator is already running")
+        if self.state == "new":
+            self.thread.start()
+            self.state = "suspended"
+        self.running = True
+        try:
+            self.inq.put(msg)
+            try:
+                kind, v = self.outq.get(timeout=120.0)
+            except Exception:
+                self.state = "done"
+                raise MiniJsFatal("generator body wedged") from None
+        finally:
+            self.running = False
+        if kind == "yield":
             return {"value": v, "done": False}
-        if not self.ret_taken:
-            self.ret_taken = True
-            return {"value": self.ret, "done": True}
-        return {"value": _UNDEFINED, "done": True}
+        self.state = "done"
+        if kind == "done":
+            return {"value": v, "done": True}
+        raise v  # ("throw", _Throw) or ("fatal", MiniJsError)
 
     def drain(self) -> List[Any]:
-        out = self.items[self.cursor:]
-        self.cursor = len(self.items)
-        self.ret_taken = True
-        return out
+        """Collect all remaining yields (spread, Array.from, destructure
+        ...). The step budget bounds infinite generators exactly like an
+        infinite loop."""
+        out: List[Any] = []
+        while True:
+            r = self.next_result()
+            if r["done"]:
+                return out
+            out.append(r["value"])
+
+    def close(self, value: Any = _UNDEFINED) -> Dict[str, Any]:
+        """.return(v) / teardown: unwind a suspended body and mark done."""
+        if self.state == "suspended" and self.thread.is_alive():
+            self.inq.put(("kill",))
+            self.thread.join(timeout=5.0)
+        self.state = "done"
+        return {"value": value, "done": True}
 
 
 class _Env:
@@ -1275,14 +1360,33 @@ class _Interp:
     MAX_DEPTH = 64
 
     def __init__(self) -> None:
+        import threading
+
         self.steps = 0
         self.depth = 0
-        # stack of yield buffers: one per generator body being (eagerly)
-        # evaluated — see _JsGenerator
-        self._gen_buf: List[List[Any]] = []
+        # per-thread stack of active generators (None frames for plain
+        # functions, so a yield inside a nested non-generator function
+        # cannot leak into an enclosing generator — a V8 SyntaxError).
+        # Thread-local because each lazy generator body runs on its own
+        # worker thread (strictly alternating with the caller).
+        self._tl = threading.local()
+        # every generator this interpreter created, closed at hook end
+        self._gens: List[_JsGenerator] = []
         # label of the statement currently being labeled (consumed by the
         # next loop that starts — see run_stmt "label")
         self._pending_label: Optional[str] = None
+
+    def _gen_stack(self) -> List[Optional[_JsGenerator]]:
+        st = getattr(self._tl, "gens", None)
+        if st is None:
+            st = []
+            self._tl.gens = st
+        return st
+
+    def close_generators(self) -> None:
+        for g in self._gens:
+            g.close()
+        self._gens.clear()
 
     def _take_label(self) -> Optional[str]:
         lbl = self._pending_label
@@ -1399,7 +1503,14 @@ class _Interp:
                 elif isinstance(seq, list):
                     items = list(seq)
                 elif isinstance(seq, _JsGenerator):
-                    items = seq.drain()
+                    # lazy pull: infinite generators + break work (V8)
+                    def _gen_iter(g: _JsGenerator = seq):
+                        while True:
+                            r = g.next_result()
+                            if r["done"]:
+                                return
+                            yield r["value"]
+                    items = _gen_iter()
                 else:
                     raise MiniJsError("for..of needs an array or string")
             else:  # for..in yields keys (string indices for arrays, as JS)
@@ -1623,21 +1734,27 @@ class _Interp:
                 return True
             raise MiniJsError("delete needs an object property")
         if op == "yield":
-            if not self._gen_buf or self._gen_buf[-1] is None:
+            st = self._gen_stack()
+            if not st or st[-1] is None:
                 raise MiniJsError("yield outside a generator body")
+            gen = st[-1]
             v = self.eval(e[1], env)
-            if e[2]:  # yield* — delegate to an iterable
+            if e[2]:  # yield* — delegate, forwarding sent values (V8)
                 if isinstance(v, _JsGenerator):
-                    self._gen_buf[-1].extend(v.drain())
-                elif isinstance(v, (list, str)):
-                    self._gen_buf[-1].extend(list(v))
-                else:
-                    raise MiniJsError("yield* needs an iterable")
-            else:
-                self._gen_buf[-1].append(v)
-            # eager subset: yield-as-expression evaluates to undefined
-            # (next(v) two-way communication is outside the subset)
-            return _UNDEFINED
+                    sent: Any = _UNDEFINED
+                    while True:
+                        r = v.next_result(sent)
+                        if r["done"]:
+                            return r["value"]  # yield* value = inner return
+                        sent = self._emit_yield(gen, r["value"])
+                    # unreachable
+                if isinstance(v, (list, str)):
+                    for item in list(v):
+                        self._emit_yield(gen, item)
+                    return _UNDEFINED
+                raise MiniJsError("yield* needs an iterable")
+            # suspend here; evaluates to the next(v) argument (two-way)
+            return self._emit_yield(gen, v)
         if op == "new":
             if e[1] == ("name", "Promise"):
                 return self._new_promise(e[2], env)
@@ -2247,14 +2364,10 @@ class _Interp:
         _, params, body, defenv, is_gen, binds_this, is_async = closure
         eff_this = this if (binds_this and this is not None) else None
         if is_gen:
-            # function*: eager evaluation — run the body now, buffering
-            # yields (the step budget bounds infinite generators like
-            # infinite loops)
-            buf: List[Any] = []
-            ret = self._call_body(
-                params, body, defenv, args, this=eff_this, gen_buf=buf
-            )
-            return _JsGenerator(buf, ret)
+            # function*: lazy — nothing runs until .next()/iteration
+            g = _JsGenerator(self, params, body, defenv, args, eff_this)
+            self._gens.append(g)
+            return g
         if is_async:
             # eager subset: the body runs synchronously; a throw settles
             # the returned promise as rejected (V8 async semantics)
@@ -2268,9 +2381,21 @@ class _Interp:
                     else _JsPromise("fulfilled", ret))
         return self._call_body(params, body, defenv, args, this=eff_this)
 
+    def _emit_yield(self, gen: "_JsGenerator", v: Any) -> Any:
+        """Runs ON the generator's worker thread: hand the yielded value
+        to the consumer and block until the next .next(sent) resumes us
+        (or teardown unwinds the body)."""
+        gen.outq.put(("yield", v))
+        msg = gen.inq.get()
+        if msg[0] == "kill":
+            raise _GenKill()
+        if msg[0] == "throw":  # gen.throw(v) resumes as a throw here
+            raise _Throw(msg[1])
+        return msg[1]
+
     def _call_body(
         self, params, body, defenv, args, this=None, superclass=None,
-        gen_buf=None,
+        gen=None,
     ):
         self.depth += 1
         if self.depth > self.MAX_DEPTH:
@@ -2297,18 +2422,19 @@ class _Interp:
         if this is not None:
             env.set("this", this)
             env.set("__superclass__", superclass)
-        # every function body gets its own yield frame (None for
+        # every function body gets its own generator frame (None for
         # non-generators), so yield inside a nested plain function or
-        # method cannot leak into an enclosing generator's buffer —
-        # matching V8, where that is a SyntaxError
-        self._gen_buf.append(gen_buf)
+        # method cannot leak into an enclosing generator — matching V8,
+        # where that is a SyntaxError
+        st = self._gen_stack()
+        st.append(gen)
         try:
             self.run_block(body, env)
             return _UNDEFINED
         except _Return as r:
             return r.value
         finally:
-            self._gen_buf.pop()
+            st.pop()
             self.depth -= 1
 
     def resolve_data(self, v: Any, _depth: int = 0) -> Any:
@@ -2371,11 +2497,13 @@ class _Interp:
                     else _JsPromise("fulfilled", v))
         if isinstance(obj, _JsGenerator):
             if name == "next":
-                return obj.next_result()
+                return obj.next_result(args[0] if args else _UNDEFINED)
             if name == "return":
-                obj.drain()
-                return {"value": args[0] if args else _UNDEFINED,
-                        "done": True}
+                return obj.close(args[0] if args else _UNDEFINED)
+            if name == "throw":
+                return obj.throw_result(
+                    args[0] if args else _UNDEFINED
+                )
             raise MiniJsError(f"unsupported generator method {name!r}")
         if isinstance(obj, str):
             table: Dict[str, Callable] = {
@@ -2662,4 +2790,7 @@ def run_hook(code: str, fn_name: str, document: Dict[str, Any]) -> Any:
         raise MiniJsThrow(_js_str(th.value)) from None
     except (_Break, _Continue):
         raise MiniJsError("break/continue outside a loop") from None
+    finally:
+        # unwind any generator worker threads the hook left suspended
+        interp.close_generators()
     return _strip_undefined(result)

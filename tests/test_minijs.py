@@ -635,12 +635,23 @@ def test_yield_outside_generator_raises():
 def test_infinite_generator_hits_step_budget():
     from orama_core_tpu.engine.minijs import MiniJsFatal
 
+    # lazy generators (V8): g() alone runs nothing — the budget kill
+    # fires when the infinite body is actually consumed, and a
+    # user-level try/catch cannot swallow it
     code = """
     function* g() { while (true) yield 1; }
-    function h(doc) { try { g(); } catch (e) { return "swallowed"; } }
+    function h(doc) { try { return [...g()]; } catch (e) { return "swallowed"; } }
     """
     with pytest.raises(MiniJsFatal):
         _run(code)
+
+
+def test_lazy_generator_creation_is_free():
+    code = """
+    function* g() { while (true) yield 1; }
+    function h(doc) { g(); return "created-not-run"; }
+    """
+    assert _run(code) == "created-not-run"
 
 
 def test_destructuring_declarations():
@@ -1128,3 +1139,106 @@ def test_promise_executor_reject_and_first_settle_wins():
     }
     """
     assert run(code, {}) == {"caught": "bad", "adopted": 9}
+
+
+# --- lazy generators: two-way next(v), infinite streams, throw/return ------
+
+
+def test_generator_two_way_communication():
+    code = """
+    function* accumulator() {
+      let total = 0;
+      while (true) {
+        const x = yield total;
+        total += x;
+      }
+    }
+    function selectEmbeddingProperties(doc) {
+      const g = accumulator();
+      g.next();                      // prime to the first yield
+      return [g.next(5).value, g.next(7).value];
+    }
+    """
+    assert run(code, {}) == [5, 12]
+
+
+def test_infinite_generator_forof_break():
+    code = """
+    function* naturals() { let i = 0; while (true) { yield i++; } }
+    function selectEmbeddingProperties(doc) {
+      const out = [];
+      for (const n of naturals()) { if (n >= 4) break; out.push(n); }
+      return out;
+    }
+    """
+    assert run(code, {}) == [0, 1, 2, 3]
+
+
+def test_yield_star_forwards_sent_values_and_returns_inner_value():
+    code = """
+    function* inner() { const got = yield 'i1'; yield got; return 'IR'; }
+    function* outer() { const r = yield* inner(); yield r; }
+    function selectEmbeddingProperties(doc) {
+      const g = outer();
+      return [g.next().value, g.next('sent').value, g.next().value];
+    }
+    """
+    assert run(code, {}) == ["i1", "sent", "IR"]
+
+
+def test_generator_throw_caught_in_body():
+    code = """
+    function* catcher() {
+      try { yield 1; } catch (e) { yield 'caught:' + e; }
+    }
+    function selectEmbeddingProperties(doc) {
+      const c = catcher();
+      c.next();
+      const t = c.throw('boom').value;
+      return { t, done: c.next().done };
+    }
+    """
+    assert run(code, {}) == {"t": "caught:boom", "done": True}
+
+
+def test_generator_throw_uncaught_propagates_to_caller():
+    code = """
+    function* g() { yield 1; }
+    function selectEmbeddingProperties(doc) {
+      const it = g();
+      it.next();
+      try { it.throw('kaput'); } catch (e) { return 'outer:' + e; }
+    }
+    """
+    assert run(code, {}) == "outer:kaput"
+
+
+def test_generator_return_closes_midway():
+    code = """
+    function* g() { yield 1; yield 2; yield 3; }
+    function selectEmbeddingProperties(doc) {
+      const it = g();
+      const a = it.next().value;
+      const r = it.return(99);
+      return [a, r.value, r.done, it.next().done];
+    }
+    """
+    assert run(code, {}) == [1, 99, True, True]
+
+
+def test_generator_workers_cleaned_up_after_hook():
+    import threading
+
+    before = threading.active_count()
+    code = """
+    function* naturals() { let i = 0; while (true) { yield i++; } }
+    function selectEmbeddingProperties(doc) {
+      const g = naturals();
+      g.next(); g.next();          // leave it suspended
+      return 'ok';
+    }
+    """
+    for _ in range(5):
+        assert run(code, {}) == "ok"
+    # suspended workers are unwound in run_hook's finally
+    assert threading.active_count() <= before + 1
