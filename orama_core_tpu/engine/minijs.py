@@ -1363,7 +1363,6 @@ class _Interp:
         import threading
 
         self.steps = 0
-        self.depth = 0
         # per-thread stack of active generators (None frames for plain
         # functions, so a yield inside a nested non-generator function
         # cannot leak into an enclosing generator — a V8 SyntaxError).
@@ -2397,12 +2396,16 @@ class _Interp:
         self, params, body, defenv, args, this=None, superclass=None,
         gen=None,
     ):
-        self.depth += 1
-        if self.depth > self.MAX_DEPTH:
-            self.depth -= 1
+        # depth is PER-THREAD (each lazy-generator body has its own stack;
+        # a suspended generator stays inside _call_body on its worker
+        # thread, and must not eat into the caller's recursion budget).
+        # steps stay shared: the cross-thread total bounds the hook.
+        depth = getattr(self._tl, "depth", 0) + 1
+        if depth > self.MAX_DEPTH:
             # budget violations are MiniJsFatal: a user-level try/catch
             # must not swallow the recursion kill and restart the recursion
             raise MiniJsFatal("call depth exhausted (runaway recursion)")
+        self._tl.depth = depth
         env = _Env(defenv)
         ai = 0
         for p in params:
@@ -2435,7 +2438,7 @@ class _Interp:
             return r.value
         finally:
             st.pop()
-            self.depth -= 1
+            self._tl.depth = depth - 1
 
     def resolve_data(self, v: Any, _depth: int = 0) -> Any:
         """Materialize a runtime value into plain JSON-shaped data:

@@ -1242,3 +1242,20 @@ def test_generator_workers_cleaned_up_after_hook():
         assert run(code, {}) == "ok"
     # suspended workers are unwound in run_hook's finally
     assert threading.active_count() <= before + 1
+
+
+def test_many_suspended_generators_do_not_exhaust_depth():
+    # a suspended generator stays inside its body on a worker thread;
+    # depth is per-thread so 200 primed generators must not trip the
+    # caller's recursion budget
+    code = """
+    function* g(i) { yield i; yield i * 2; }
+    function selectEmbeddingProperties(doc) {
+      const gens = [];
+      for (let i = 0; i < 200; i++) {
+        const it = g(i); it.next(); gens.push(it);
+      }
+      return gens.map((it) => it.next().value).slice(0, 3);
+    }
+    """
+    assert run(code, {}) == [0, 2, 4]
