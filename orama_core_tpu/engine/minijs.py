@@ -1630,7 +1630,7 @@ class _Interp:
                     src = self.eval(v, env)
                     if not isinstance(src, dict):
                         raise MiniJsError("object spread needs an object")
-                    o.update(src)
+                    self._merge_own(o, src)
                 elif isinstance(k, tuple) and k[0] == "getter":
                     # lazy property: evaluated against the owning object
                     # on each access (_member_value / resolve_data)
@@ -2044,7 +2044,7 @@ class _Interp:
                 tgt = args[0]
                 for src in args[1:]:
                     if isinstance(src, dict):
-                        tgt.update(src)
+                        self._merge_own(tgt, src)
                 return tgt
             if base == "Object" and key == "fromEntries":
                 src = args[0] if args else None
@@ -2440,6 +2440,15 @@ class _Interp:
             st.pop()
             self._tl.depth = depth - 1
 
+    def _merge_own(self, dst: Dict[str, Any], src: Dict[str, Any]) -> None:
+        """{...src} / Object.assign: getters are evaluated at copy time
+        (V8 spreads data values, not accessor descriptors)."""
+        for k in list(src.keys()):
+            x = src[k]
+            if isinstance(x, tuple) and x and x[0] == "jsgetter":
+                x = self.call_closure(x[1], [], this=src)
+            dst[k] = x
+
     def resolve_data(self, v: Any, _depth: int = 0) -> Any:
         """Materialize a runtime value into plain JSON-shaped data:
         unwrap settled promises (rejected -> user-level throw), evaluate
@@ -2467,6 +2476,16 @@ class _Interp:
                     x = self.call_closure(x[1], [], this=v)
                 out[k] = self.resolve_data(x, _depth + 1)
             return out
+        if isinstance(v, (tuple, _JsClass)):
+            # functions/bound methods/classes: JSON.stringify omits them
+            # from objects, nulls them in arrays, undefined bare (V8);
+            # _strip_undefined applies exactly that to this marker. Also
+            # keeps interpreter internals (closures carry _Env) from
+            # leaking into engine-facing hook results.
+            return _UNDEFINED
+        if isinstance(v, (_JsRegex, _JsGenerator, _JsProto)):
+            # objects with no own enumerable properties -> {} (V8)
+            return {}
         return v
 
     def call_method(self, obj: Any, name: str, args: List[Any]) -> Any:

@@ -1259,3 +1259,40 @@ def test_many_suspended_generators_do_not_exhaust_depth():
     }
     """
     assert run(code, {}) == [0, 2, 4]
+
+
+def test_function_values_do_not_leak_into_hook_results():
+    # V8 JSON semantics: function-valued entries omitted from objects,
+    # null in arrays, undefined bare — and interpreter internals
+    # (closures carry their _Env) never reach the engine
+    code = """
+    function selectEmbeddingProperties(doc) {
+      return { a: 1, f: (x) => x, arr: [(x) => x, 2] };
+    }
+    """
+    assert run(code, {}) == {"a": 1, "arr": [None, 2]}
+
+    bare = "const selectEmbeddingProperties = (d) => (x) => x;"
+    assert run(bare, {}) is None
+
+
+def test_json_stringify_omits_functions():
+    code = """
+    function selectEmbeddingProperties(doc) {
+      return JSON.stringify({ a: 1, f: (x) => x, arr: [(x) => x, 2] });
+    }
+    """
+    assert run(code, {}) == '{"a": 1, "arr": [null, 2]}'
+
+
+def test_spread_and_assign_materialize_getters_at_copy_time():
+    code = """
+    function selectEmbeddingProperties(doc) {
+      const o = { t: 'x', get up() { return this.t.toUpperCase(); } };
+      const s = { ...o };
+      const a = Object.assign({}, o);
+      o.t = 'changed';
+      return { s: s.up, a: a.up, live: o.up };
+    }
+    """
+    assert run(code, {}) == {"s": "X", "a": "X", "live": "CHANGED"}
