@@ -1992,6 +1992,8 @@ class _Interp:
             v = obj.get(key, _UNDEFINED)
             if isinstance(v, tuple) and v and v[0] == "jsgetter":
                 return self.call_closure(v[1], [], this=obj)
+            if v is _UNDEFINED and key == "hasOwnProperty":
+                return ("method", obj, key)
             return v
         if isinstance(obj, list):
             if key == "length":
@@ -2046,6 +2048,15 @@ class _Interp:
                     if isinstance(src, dict):
                         self._merge_own(tgt, src)
                 return tgt
+            if base == "Object" and key == "freeze":
+                # sandbox subset: identity (immutability not enforced —
+                # plain dicts back JS objects; V8 returns the object)
+                return args[0] if args else _UNDEFINED
+            if base == "Object" and key == "hasOwn":
+                o = args[0] if args else None
+                if not isinstance(o, dict):
+                    raise MiniJsError("Object.hasOwn needs an object")
+                return (args[1] if len(args) > 1 else None) in o
             if base == "Object" and key == "fromEntries":
                 src = args[0] if args else None
                 if isinstance(src, _JsGenerator):
@@ -2580,6 +2591,19 @@ class _Interp:
                 "substring": lambda: _substring(obj, args),
                 "trimStart": lambda: obj.lstrip(),
                 "trimEnd": lambda: obj.rstrip(),
+                "codePointAt": lambda: (
+                    ord(obj[int(args[0]) if args else 0])
+                    if 0 <= (int(args[0]) if args else 0) < len(obj)
+                    else _UNDEFINED
+                ),
+                "normalize": lambda: __import__("unicodedata").normalize(
+                    _js_str(args[0]) if args else "NFC", obj
+                ),
+                "localeCompare": lambda: (
+                    -1 if obj < _js_str(args[0])
+                    else (1 if obj > _js_str(args[0]) else 0)
+                ),
+                "matchAll": lambda: _match_all(obj, args[0] if args else None),
             }
         elif isinstance(obj, list):
             table = {
@@ -2641,6 +2665,28 @@ class _Interp:
                     for i, x in enumerate(obj)
                 ),
                 "reduce": lambda: self._reduce(obj, args),
+                "findLast": lambda: next(
+                    (x for i, x in reversed(list(enumerate(obj)))
+                     if _truthy(self._cb(args[0], x, i, obj))),
+                    _UNDEFINED,
+                ),
+                "findLastIndex": lambda: next(
+                    (i for i, x in reversed(list(enumerate(obj)))
+                     if _truthy(self._cb(args[0], x, i, obj))),
+                    -1,
+                ),
+                "splice": lambda: _splice(
+                    obj, [self._num(a) for a in args[:2]], list(args[2:])
+                ),
+                "fill": lambda: _fill(
+                    obj, args[0] if args else _UNDEFINED,
+                    [self._num(a) for a in args[1:3]],
+                ),
+                # V8 returns iterators; lists behave identically under
+                # for..of / spread / destructuring in this subset
+                "entries": lambda: [[i, x] for i, x in enumerate(obj)],
+                "keys": lambda: list(range(len(obj))),
+                "values": lambda: list(obj),
             }
         elif isinstance(obj, _JsRegex):
             table = {
@@ -2657,6 +2703,16 @@ class _Interp:
                     f"{float(obj):.{int(args[0]) if args else 0}f}"
                 ),
                 "toString": lambda: _js_str(obj),
+                "toPrecision": lambda: (
+                    _js_str(obj) if not args
+                    else _to_precision(float(obj), int(self._num(args[0])))
+                ),
+            }
+        elif isinstance(obj, dict):
+            table = {
+                "hasOwnProperty": lambda: (
+                    (args[0] if args else None) in obj
+                ),
             }
         else:
             raise MiniJsError(f"no methods on {type(obj).__name__}")
@@ -2778,6 +2834,52 @@ def _substring(s: str, args: List[Any]) -> str:
     if a > b:
         a, b = b, a
     return s[a:b]
+
+
+def _splice(obj: List[Any], nums: List[float], items: List[Any]) -> List[Any]:
+    """Array.prototype.splice: mutates, returns the removed slice."""
+    n = len(obj)
+    start = int(nums[0]) if nums else 0
+    start = max(n + start, 0) if start < 0 else min(start, n)
+    dc = int(nums[1]) if len(nums) > 1 else n - start
+    dc = max(0, min(dc, n - start))
+    removed = obj[start:start + dc]
+    obj[start:start + dc] = items
+    return removed
+
+
+def _fill(obj: List[Any], value: Any, nums: List[float]) -> List[Any]:
+    n = len(obj)
+    start = int(nums[0]) if nums else 0
+    start = max(n + start, 0) if start < 0 else min(start, n)
+    end = int(nums[1]) if len(nums) > 1 else n
+    end = max(n + end, 0) if end < 0 else min(end, n)
+    for i in range(start, end):
+        obj[i] = value
+    return obj
+
+
+def _match_all(s: str, pat: Any) -> List[Any]:
+    if not isinstance(pat, _JsRegex):
+        raise MiniJsError("matchAll needs a regex argument")
+    if not pat.g:
+        # V8 throws TypeError for a non-global regex
+        raise MiniJsError("matchAll requires the /g flag")
+    return [_JsRegex._match_array(m) for m in pat.rx.finditer(s)]
+
+
+def _to_precision(x: float, p: int) -> str:
+    if p < 1 or p > 100:
+        raise MiniJsError("toPrecision argument out of range")
+    out = f"{x:.{p}g}"
+    # JS pads to exactly p significant digits (Python %g trims zeros)
+    if "e" not in out and "E" not in out:
+        digits = len(out.replace("-", "").replace(".", "").lstrip("0")) or 1
+        if digits < p:
+            if "." not in out:
+                out += "."
+            out += "0" * (p - digits)
+    return out
 
 
 def _strip_undefined(v: Any) -> Any:

@@ -425,8 +425,9 @@ def test_runtime_unsupported_skips_static_tier(tmp_path, monkeypatch):
     rt._node = None  # subprocess tier off
     rt.insert_hook(
         "c", "selectEmbeddingProperties",
+        # toWellFormed (ES2024) stays outside the MiniJS subset
         'function selectEmbeddingProperties(doc) {'
-        ' if (doc.x.localeCompare("y") === 0) { return ["a"]; } return ["b"]; }',
+        ' if (doc.x.toWellFormed() === "y") { return ["a"]; } return ["b"]; }',
     )
     with pytest.raises(RuntimeError):
         rt.eval("c", "selectEmbeddingProperties", {"x": "y"})
@@ -1296,3 +1297,52 @@ def test_spread_and_assign_materialize_getters_at_copy_time():
     }
     """
     assert run(code, {}) == {"s": "X", "a": "X", "live": "CHANGED"}
+
+
+def test_round4_builtin_additions():
+    code = """
+    function selectEmbeddingProperties(doc) {
+      const a = [1, 2, 3, 4];
+      const removed = a.splice(1, 2, 'x');
+      return {
+        splice: [a, removed],
+        fill: [9, 9, 9].fill(0, 1),
+        entries: [...['a', 'b'].entries()],
+        keys: [...['a', 'b'].keys()],
+        findLast: [1, 2, 3].findLast((x) => x < 3),
+        findLastIndex: [1, 2, 3].findLastIndex((x) => x < 3),
+        cp: 'abc'.codePointAt(0),
+        lc: 'a'.localeCompare('b'),
+        norm: 'abc'.normalize('NFC'),
+        frozen: Object.freeze({ a: 1 }),
+        hasOwn: Object.hasOwn({ a: 1 }, 'a'),
+        hop: ({ a: 1 }).hasOwnProperty('a'),
+        hopMiss: ({ a: 1 }).hasOwnProperty('b'),
+        prec: (1.5).toPrecision(4),
+        matches: [...'a1b2'.matchAll(/\\d/g)].length,
+      };
+    }
+    """
+    assert run(code, {}) == {
+        "splice": [[1, "x", 4], [2, 3]],
+        "fill": [9, 0, 0],
+        "entries": [[0, "a"], [1, "b"]],
+        "keys": [0, 1],
+        "findLast": 2,
+        "findLastIndex": 1,
+        "cp": 97,
+        "lc": -1,
+        "norm": "abc",
+        "frozen": {"a": 1},
+        "hasOwn": True,
+        "hop": True,
+        "hopMiss": False,
+        "prec": "1.500",
+        "matches": 2,
+    }
+
+
+def test_matchall_requires_global_flag():
+    code = "function f(d) { return 'a'.matchAll(/a/); }"
+    with pytest.raises(MiniJsError):
+        run_hook(code, "f", {})
