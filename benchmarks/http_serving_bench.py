@@ -98,14 +98,19 @@ def main() -> None:
         b = {"term": term, "mode": args.mode, "limit": 10}
         bodies.append(json.dumps(b).encode())
 
-    # warm every program shape once before timing
-    req = urllib.request.Request(
-        base + "/v1/collections/c/search", data=bodies[0],
-        headers={"Content-Type": "application/json",
-                 "Authorization": "Bearer rk"}, method="POST")
-    with urllib.request.urlopen(req, timeout=600) as r:
-        r.read()
-    log("warmed")
+    # warm every program shape once before timing: distinct terms hit
+    # different posting buckets -> distinct compiled programs, and a cold
+    # persistent cache otherwise pays those compiles inside the timed
+    # window (measured: p99 19.9 s cold vs 1.24 s warm, BENCH_NOTES r4)
+    t0 = time.time()
+    for body in bodies:
+        req = urllib.request.Request(
+            base + "/v1/collections/c/search", data=body,
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer rk"}, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            r.read()
+    log(f"warmed {len(bodies)} shapes in {time.time()-t0:.1f}s")
 
     lat: list = []
     errors: list = []
