@@ -214,8 +214,90 @@ def main() -> None:
                 "unit": "qps",
                 "vs_baseline": round(best / max(cpu_qps, 1e-9), 1),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # Engine-serving metrics at 1M docs (VERDICT r4 next #6: the driver
+    # record must capture the serving story, not just the kernel
+    # headline). Additional JSON lines; failures here never cost the
+    # headline above.
+    try:
+        engine_serving_metrics()
+    except Exception as e:  # noqa: BLE001 — relay faults, OOM, etc.
+        import traceback
+
+        log(f"engine serving metrics skipped: {e!r}")
+        traceback.print_exc(file=sys.stderr)
+
+
+def engine_serving_metrics() -> None:
+    """Sequential p50 + batched QPS of the full CollectionReader path on
+    the 1M synthetic corpus (benchmarks/hybrid_1m_bench.py), printed as
+    extra one-line JSON metrics."""
+    import os
+
+    import jax
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"),
+    )
+    from hybrid_1m_bench import build_synthetic_reader
+
+    from orama_core_tpu.models.ai_service import AIService
+    from orama_core_tpu.types import SearchParams
+
+    reader = build_synthetic_reader(1_000_000, 50_000, 20, 384)
+    ai = AIService()
+    rng = np.random.default_rng(42)
+
+    def rand_term(n_words=1):
+        ids = (rng.pareto(1.2, n_words) * 50).astype(int) % 50_000
+        return " ".join(f"term{t:06d}" for t in ids)
+
+    def p50_ms(mode, n=32, **extra):
+        params = [
+            SearchParams.from_json({"term": rand_term(), "mode": mode, **extra})
+            for _ in range(n)
+        ]
+        for p in params:  # warm every plan-size bucket
+            reader.search(p, ai)
+        lat = []
+        for p in params:
+            t0 = time.time()
+            reader.search(p, ai)
+            lat.append(time.time() - t0)
+        lat.sort()
+        return lat[len(lat) // 2] * 1e3
+
+    def batched_qps(mode, n=64, bs=32):
+        params = [
+            SearchParams.from_json({"term": rand_term(), "mode": mode})
+            for _ in range(n)
+        ]
+        batches = [params[i : i + bs] for i in range(0, n, bs)]
+        for b in batches:
+            reader.search_batch(b, ai)
+        t0 = time.time()
+        done = 0
+        for b in batches:
+            done += len(reader.search_batch(b, ai))
+        return done / (time.time() - t0)
+
+    for metric, value, unit in (
+        ("bm25_seq_p50_1m", p50_ms("fulltext"), "ms"),
+        ("hybrid_rrf_seq_p50_1m", p50_ms("hybrid"), "ms"),
+        ("bm25_batched_qps_1m", batched_qps("fulltext"), "qps"),
+        ("hybrid_batched_qps_1m", batched_qps("hybrid"), "qps"),
+    ):
+        log(f"{metric}: {value:.1f} {unit}")
+        print(
+            json.dumps(
+                {"metric": metric, "value": round(value, 1), "unit": unit}
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -1,16 +1,26 @@
-"""BASELINE config 5 at 100M vectors on ONE chip: IVF + PQ ADC + exact
-rerank, recall@10 vs exact ground truth.
+"""BASELINE config 5 at 100M vectors on ONE chip: IVF + residual PQ ADC +
+exact rerank, recall@10 vs exact ground truth.
 
-The trick that makes 100M-with-exact-rerank fit in 16 GB HBM: each corpus
-row is a pure function of its row id (per-row PRNG key -> mixture mode +
-noise). Only the PQ codes (100M x 48 uint8 = 4.8 GB) and the IVF lists
-are resident; the exact-rerank stage *regenerates* candidate rows from
-their ids. Ground truth is computed by a full exact scan during the build
-pass (rows are generated chunk-by-chunk and discarded).
+What makes 100M-with-exact-rerank fit in 16 GB HBM:
+- each corpus row is a pure function of its row id (per-row PRNG key ->
+  mixture mode + noise); the exact-rerank stage REGENERATES candidate
+  rows from ids, so only PQ codes + IVF lists are resident;
+- the codes (100M x 48 uint8 = 4.8 GB) live as GROUPED CHUNK ARRAYS
+  ([16, 1M, 48] stacks), never one contiguous buffer — the int8_30m
+  lesson: the relay wedges on multi-GB single allocations and un-aliased
+  donations, but dozens of <=2 GB independent arrays are fine;
+- IVF lists are CHUNK-LOCAL ([4096, capL] per 1M-row chunk, stacked per
+  group): no global 100M argsort, no global [CL, cap] table; the search
+  probes the same nprobe clusters in every chunk and merges per-group
+  top-ck via a fori_loop carry (the full_scan pattern).
+
+Ground truth is computed by a full exact scan during the build pass
+(rows are generated chunk-by-chunk and discarded).
 
 The sharded (mesh) variant of this workload is validated on the virtual
-8-device mesh in tests/test_parallel.py + tests/test_engine_mesh.py; this
-script measures the per-chip numbers that set the mesh's QPS ceiling.
+8-device mesh in tests/test_parallel.py + tests/test_engine_mesh.py and
+benchmarks/sharded_ivfpq_bench.py; this script measures the per-chip
+numbers that set the mesh's QPS ceiling.
 
     python benchmarks/pq_100m_bench.py [--docs 100000000]
 """
@@ -44,6 +54,7 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=8)
     ap.add_argument("--expand", type=int, default=10)
     ap.add_argument("--chunk", type=int, default=1_000_000)
+    ap.add_argument("--group", type=int, default=16, help="chunks per group")
     ap.add_argument("--train-sample", type=int, default=262_144)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -71,10 +82,15 @@ def main() -> None:
     while N % CHUNK:
         CHUNK //= 2
     N_CHUNKS = N // CHUNK
+    GROUP = min(args.group, N_CHUNKS)
+    while N_CHUNKS % GROUP:
+        GROUP -= 1
+    N_GROUPS = N_CHUNKS // GROUP
     CL = args.clusters
     log(
         f"device {jax.devices()[0]}; {N}x{D} as PQ{M} codes "
-        f"({N*M/1e9:.1f} GB resident), {args.modes} modes, {CL} IVF lists"
+        f"({N*M/1e9:.1f} GB in {N_GROUPS} groups of {GROUP}x{CHUNK}), "
+        f"{args.modes} modes, {CL} chunk-local lists"
     )
 
     key = jax.random.PRNGKey(7)
@@ -132,19 +148,13 @@ def main() -> None:
     )
     queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
 
-    # -- build pass: per-chunk dispatches (compiled once, relay-safe) -------
-    # A single whole-corpus program needs multi-GB loop carries; the dev
-    # relay wedges above ~8 GB of live allocations and un-aliased carries
-    # double the footprint. Per-chunk outputs are ~52 MB; the device work
-    # queue keeps everything async with one sync at the end.
+    # -- build pass: per-chunk programs, stacked into per-group arrays -----
     SLAB = 65_536  # inner slab for the [slab, CL] assign matmul
     while CHUNK % SLAB:
         SLAB //= 2
 
-    # Four small programs instead of one (each compiles independently —
-    # the relay's compile time grows sharply and unpredictably with
-    # program size; a modest fused generator once outlived a 50-minute
-    # run before producing a single chunk).
+    # Small independent programs (each compiles separately — the relay's
+    # compile time grows sharply and unpredictably with program size).
     @jax.jit
     def gen_rows(ci):
         ids = ci * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)
@@ -168,8 +178,8 @@ def main() -> None:
         )
 
     @jax.jit
-    def encode_rows(v, books_, books_neg_):
-        sub = v.reshape(CHUNK, M, D // M)
+    def encode_rows(v, cents_, assign, books_, books_neg_):
+        sub = (v - cents_[assign]).reshape(CHUNK, M, D // M)
 
         def enc_body(mi, acc):
             sims = jnp.dot(
@@ -189,15 +199,27 @@ def main() -> None:
         return jax.lax.top_k(sims, K)
 
     @jax.jit
-    def residual_rows(v, cents_, assign):
-        return v - cents_[assign]
+    def chunk_counts(assign):
+        return jnp.zeros((CL,), jnp.int32).at[assign].add(1)
 
-    def build_chunk(ci, cents_, books_, books_neg_, queries_):
-        v = gen_rows(ci)
-        assign = assign_rows(v, cents_)
-        codes = encode_rows(residual_rows(v, cents_, assign), books_, books_neg_)
-        cv, cidx = gt_chunk(v, queries_)
-        return codes, assign, cv, cidx
+    def make_local_lists(capl):
+        @jax.jit
+        def local_lists(assign):
+            """Chunk-local IVF lists: [CL, capl] local row ids + lens."""
+            counts = chunk_counts(assign)
+            order = jnp.argsort(assign)              # local rows by cluster
+            sorted_cl = assign[order]
+            offsets = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+            )
+            rank = jnp.arange(CHUNK, dtype=jnp.int32) - offsets[sorted_cl]
+            lists = jnp.zeros((CL, capl), jnp.int32).at[
+                sorted_cl, jnp.minimum(rank, capl - 1)
+            ].set(order.astype(jnp.int32))
+            return lists, jnp.minimum(counts, capl), jnp.max(counts)
+
+        return local_lists
 
     @jax.jit
     def gt_merge(gt_v, gt_i, cv, cidx, off):
@@ -207,105 +229,132 @@ def main() -> None:
         return mv, jnp.take_along_axis(gt_i2, mi_, axis=1)
 
     t0 = time.time()
-    code_chunks, assign_chunks = [], []
+    code_groups, list_groups, len_groups = [], [], []
+    cur_codes, cur_lists, cur_lens = [], [], []
     gt_v = jnp.full((QB, K), -jnp.inf, jnp.float32)
     gt_i = jnp.zeros((QB, K), jnp.int32)
+    worst_len = jnp.int32(0)
+    CAPL = None
+    local_lists = None
     for ci in range(N_CHUNKS):
-        codes_c, assign_c, cv, cidx = build_chunk(
-            jnp.int32(ci), cents, books, books_neg, queries
-        )
-        code_chunks.append(codes_c)
-        assign_chunks.append(assign_c)
+        v = gen_rows(jnp.int32(ci))
+        assign = assign_rows(v, cents)
+        codes_c = encode_rows(v, cents, assign, books, books_neg)
+        cv, cidx = gt_chunk(v, queries)
+        if CAPL is None:
+            # data-driven local list capacity: chunks are iid (same
+            # generator), so chunk 0's max list x1.5 bounds the rest;
+            # the worst_len assert below still guards the tail
+            m0 = int(np.asarray(jnp.max(chunk_counts(assign))))
+            CAPL = -(-int(m0 * 1.5 + 32) // 128) * 128
+            local_lists = make_local_lists(CAPL)
+            log(f"chunk-local list cap {CAPL} (chunk-0 max {m0})")
+        lists_c, lens_c, maxlen = local_lists(assign)
+        worst_len = jnp.maximum(worst_len, maxlen)
+        del v
         gt_v, gt_i = gt_merge(gt_v, gt_i, cv, cidx, jnp.int32(ci * CHUNK))
+        cur_codes.append(codes_c)
+        cur_lists.append(lists_c)
+        cur_lens.append(lens_c)
         if ci == 0:
-            _ = np.asarray(cv[0, 0])  # surface compile problems early
             log(f"chunk 0 (compile+run) in {time.time()-t0:.1f}s")
+        if len(cur_codes) == GROUP:
+            code_groups.append(jnp.stack(cur_codes))   # [GROUP, CHUNK, M]
+            list_groups.append(jnp.stack(cur_lists))   # [GROUP, CL, CAPL]
+            len_groups.append(jnp.stack(cur_lens))     # [GROUP, CL]
+            cur_codes, cur_lists, cur_lens = [], [], []
+            _ = np.asarray(code_groups[-1][0, 0, 0])   # sync: bound memory
+            el = time.time() - t0
+            done = (ci + 1) * CHUNK
+            log(f"  group {len(code_groups)}/{N_GROUPS} resident "
+                f"({done/1e6:.0f}M rows, {el:.0f}s, {done/el:,.0f} rows/s)")
     gt = np.asarray(gt_i)
+    wl = int(np.asarray(worst_len))
+    assert wl <= CAPL, f"IVF local list overflow: {wl} > {CAPL}"
     log(
-        f"build (codes + assignments + exact GT over {N_CHUNKS} chunks) "
-        f"in {time.time()-t0:.1f}s — {N/(time.time()-t0):,.0f} rows/s"
+        f"build (codes + local lists + exact GT over {N_CHUNKS} chunks) "
+        f"in {time.time()-t0:.1f}s — {N/(time.time()-t0):,.0f} rows/s; "
+        f"worst local list {wl}/{CAPL}"
     )
-    codes = jnp.concatenate(code_chunks, axis=0)
-    assign = jnp.concatenate(assign_chunks, axis=0)
-    del code_chunks, assign_chunks
-    _ = np.asarray(assign[0])
-    log("codes/assignments consolidated")
 
-    # -- IVF lists: counts -> cap -> scatter sorted ids --------------------
-    t0 = time.time()
-
+    # -- search: shared probe -> per-group chunk-local ADC -> global merge --
     @jax.jit
-    def list_counts(assign_):
-        return jnp.zeros((CL,), jnp.int32).at[assign_].add(1)
-
-    counts = list_counts(assign)
-    cap = int(np.asarray(jnp.max(counts)))
-    cap = ((cap + 127) // 128) * 128
-    log(f"max list len {cap} ({N/CL:,.0f} avg)")
-
-    @jax.jit
-    def build_lists(assign_):
-        order = jnp.argsort(assign_)                       # row ids by cluster
-        sorted_cl = assign_[order]
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-        )
-        rank = jnp.arange(N, dtype=jnp.int32) - offsets[sorted_cl]
-        lists = jnp.zeros((CL, cap), jnp.int32)
-        return lists.at[sorted_cl, rank].set(order.astype(jnp.int32))
-
-    lists = build_lists(assign)
-    _ = np.asarray(lists[0, 0])
-    log(f"IVF lists built in {time.time()-t0:.1f}s")
-    del assign
-
-    # -- search: probe -> ADC -> exact rerank on REGENERATED rows ----------
-    @functools.partial(jax.jit, static_argnames=("nprobe", "k", "expand"))
-    def search(codes_, books_, cents_, lists_, counts_, q, nprobe, k, expand):
+    def probe_queries(q, cents_):
         csims = jnp.dot(q, cents_.T, preferred_element_type=jnp.float32)
-        probe_sims, probe = jax.lax.top_k(csims, nprobe)   # [Q, nprobe]
-        cand = lists_[probe].reshape(QB, nprobe * cap)
-        cand_lens = counts_[probe]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (nprobe, cap), 1)
-        valid = (pos[None] < cand_lens[:, :, None]).reshape(QB, nprobe * cap)
+        probe_sims, probe = jax.lax.top_k(csims, args.nprobe)  # [Q, nprobe]
+        return probe, probe_sims
 
+    @jax.jit
+    def query_lut(q, books_):
         m, c, ds = books_.shape
         qsub = q.reshape(QB, m, ds).transpose(1, 0, 2)
-        lut = jnp.einsum(
+        return jnp.einsum(
             "mqd,mcd->mqc", qsub, books_, preferred_element_type=jnp.float32
-        )
-        # gather candidate codes ONCE as uint8 (int32 here would 4x the
-        # materialized candidate block); cast per-subspace inside the scan
-        ccodes = codes_[cand]                              # uint8[Q, NC, M]
+        )                                                  # [M, QB, 256]
 
-        def body(acc, inputs):
-            lut_m, code_m = inputs
-            return acc + jnp.take_along_axis(lut_m, code_m.astype(jnp.int32), axis=1), None
+    NC = args.nprobe * CAPL
+    CK = K * args.expand
 
-        adc, _ = jax.lax.scan(
-            body,
-            jnp.zeros((QB, nprobe * cap), jnp.float32),
-            (lut, ccodes.transpose(2, 0, 1)),
+    @jax.jit
+    def search_group(codes_g, lists_g, lens_g, probe, probe_sims, lut,
+                     best_v, best_i, base):
+        """ADC over one group's chunk-local lists; merges [QB, CK] bests."""
+        pos = jax.lax.broadcasted_iota(jnp.int32, (args.nprobe, CAPL), 1)
+
+        def body(gi, carry):
+            bv, bi = carry
+            cand = lists_g[gi][probe].reshape(QB, NC)       # local row ids
+            clens = lens_g[gi][probe]                       # [QB, nprobe]
+            valid = (pos[None] < clens[:, :, None]).reshape(QB, NC)
+            ccodes = codes_g[gi][cand]                      # uint8[QB, NC, M]
+
+            def adc_body(acc, inputs):
+                lut_m, code_m = inputs
+                return acc + jnp.take_along_axis(
+                    lut_m, code_m.astype(jnp.int32), axis=1
+                ), None
+
+            adc, _ = jax.lax.scan(
+                adc_body,
+                jnp.zeros((QB, NC), jnp.float32),
+                (lut, ccodes.transpose(2, 0, 1)),
+            )
+            # residual scoring: add back q·cents[cluster] (probe slot)
+            adc = adc + jnp.repeat(probe_sims, CAPL, axis=1)
+            adc = jnp.where(valid, adc, -jnp.inf)
+            v, ci_ = jax.lax.top_k(adc, CK)
+            rows = jnp.take_along_axis(cand, ci_, axis=1) + base + gi * CHUNK
+            bv2 = jnp.concatenate([bv, v], axis=1)
+            bi2 = jnp.concatenate([bi, rows], axis=1)
+            mv, mi_ = jax.lax.top_k(bv2, CK)
+            return mv, jnp.take_along_axis(bi2, mi_, axis=1)
+
+        return jax.lax.fori_loop(0, GROUP, body, (best_v, best_i))
+
+    @jax.jit
+    def rerank(q, rows, row_v):
+        sims = jnp.einsum(
+            "qd,qcd->qc", q, row_v, preferred_element_type=jnp.float32
         )
-        # residual scoring: add back q·cents[cluster] (cluster == probe slot)
-        adc = adc + jnp.repeat(probe_sims, cap, axis=1)
-        adc = jnp.where(valid, adc, -jnp.inf)
-        ck = k * expand
-        _, ci_ = jax.lax.top_k(adc, ck)
-        rows = jnp.take_along_axis(cand, ci_, axis=1)       # [Q, ck]
-        rvalid = jnp.take_along_axis(valid, ci_, axis=1)
-        # exact rerank: regenerate candidate rows from ids
-        rv = row_vecs(rows.reshape(-1)).reshape(QB, ck, D)
-        sims = jnp.einsum("qd,qcd->qc", q, rv, preferred_element_type=jnp.float32)
-        sims = jnp.where(rvalid, sims, -jnp.inf)
-        v, i = jax.lax.top_k(sims, k)
+        v, i = jax.lax.top_k(sims, K)
         return v, jnp.take_along_axis(rows, i, axis=1)
 
+    def full_search(q):
+        probe, probe_sims = probe_queries(q, cents)
+        lut = query_lut(q, books)
+        bv = jnp.full((QB, CK), -jnp.inf, jnp.float32)
+        bi = jnp.zeros((QB, CK), jnp.int32)
+        for g in range(N_GROUPS):
+            bv, bi = search_group(
+                code_groups[g], list_groups[g], len_groups[g],
+                probe, probe_sims, lut, bv, bi,
+                jnp.int32(g * GROUP * CHUNK),
+            )
+        row_v = row_vecs(bi.reshape(-1)).reshape(QB, CK, D)
+        return rerank(q, bi, row_v)
+
     t0 = time.time()
-    _, ids = search(
-        codes, books, cents, lists, counts, queries,
-        args.nprobe, K, args.expand,
-    )
+    _, ids = full_search(queries)
     ids_np = np.asarray(ids)
     log(f"first search (compile+run) in {time.time()-t0:.1f}s")
 
@@ -317,9 +366,7 @@ def main() -> None:
     t0 = time.time()
     carry = queries
     for _ in range(ITERS):
-        v, _ = search(
-            codes, books, cents, lists, counts, carry, args.nprobe, K, args.expand
-        )
+        v, _ = full_search(carry)
         # dependency chain without reshaping the query batch
         carry = queries + 0.0 * jnp.mean(v)
     _ = np.asarray(carry[0, 0])
@@ -335,7 +382,9 @@ def main() -> None:
                 "recall_at_10": round(recall, 4),
                 "nprobe": args.nprobe,
                 "expand": args.expand,
-                "resident_gb": round(N * M / 1e9 + CL * cap * 4 / 1e9, 2),
+                "resident_gb": round(
+                    N * M / 1e9 + N_CHUNKS * CL * (CAPL + 1) * 4 / 1e9, 2
+                ),
             }
         )
     )

@@ -347,10 +347,7 @@ def _bm25_gather_kernel(
     docs_out_ref[:] = docs_ref[:]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_docs", "n_blocks", "interpret")
-)
-def bm25_scores_blocked_pallas(
+def bm25_blocked_contrib_pallas(
     post_docs: jax.Array,      # int32[Ppad], Ppad % BLOCK == 0
     post_tf: jax.Array,        # float32[Ppad]
     post_ni: jax.Array,        # float32[Ppad]
@@ -361,16 +358,15 @@ def bm25_scores_blocked_pallas(
     field_boost: jax.Array,    # float32[]
     avgdl: jax.Array,          # float32[]
     n_field_docs: jax.Array,   # float32[]
-    n_docs: int,
     n_blocks: int,
     interpret: bool = False,
-) -> jax.Array:
-    """BM25 posting scan with Pallas block gathers: the plan's block
-    indices are scalar-prefetched, so each grid step DMAs its BLOCK at
-    full bandwidth instead of XLA's fine-grained gather (measured ~23 ms
-    for a 1M-posting scan via vmapped dynamic_slice vs ~ bandwidth-bound
-    here). The per-doc reduction stays an XLA segment_sum (cheap: ~4 ms
-    at 1M). Same contract as bm25_scores_blocked."""
+):
+    """The Pallas block-gather scan WITHOUT the per-doc reduction: returns
+    (contrib f32[nb, 8, BLOCK//8], docs int32[nb, 8, BLOCK//8]) so callers
+    choose the segment space — bm25_scores_blocked_pallas reduces into
+    [n_docs]; the batched serving program offsets docs by a per-block row
+    id and reduces the whole batch into [B * n_docs] in one pass
+    (trace-only helper; callers jit)."""
     from jax.experimental import pallas as _pl
     from jax.experimental.pallas import tpu as _pltpu
 
@@ -406,7 +402,7 @@ def bm25_scores_blocked_pallas(
             ),
         ],
     )
-    contrib, docs_o = _pl.pallas_call(
+    return _pl.pallas_call(
         _bm25_gather_kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -415,9 +411,78 @@ def bm25_scores_blocked_pallas(
         ],
         interpret=interpret,
     )(block_idx, lo_off, hi_off, params, d2, t2, n2, l2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_docs", "n_blocks", "interpret")
+)
+def bm25_scores_blocked_pallas(
+    post_docs: jax.Array,      # int32[Ppad], Ppad % BLOCK == 0
+    post_tf: jax.Array,        # float32[Ppad]
+    post_ni: jax.Array,        # float32[Ppad]
+    post_lens: jax.Array,      # float32[Ppad]
+    block_idx: jax.Array,      # int32[nb] aligned plan (block units)
+    lo_off: jax.Array,         # int32[nb]
+    hi_off: jax.Array,         # int32[nb]
+    field_boost: jax.Array,    # float32[]
+    avgdl: jax.Array,          # float32[]
+    n_field_docs: jax.Array,   # float32[]
+    n_docs: int,
+    n_blocks: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """BM25 posting scan with Pallas block gathers: the plan's block
+    indices are scalar-prefetched, so each grid step DMAs its BLOCK at
+    full bandwidth instead of XLA's fine-grained gather (measured ~23 ms
+    for a 1M-posting scan via vmapped dynamic_slice vs ~ bandwidth-bound
+    here). The per-doc reduction stays an XLA segment_sum (cheap: ~4 ms
+    at 1M). Same contract as bm25_scores_blocked."""
+    contrib, docs_o = bm25_blocked_contrib_pallas(
+        post_docs, post_tf, post_ni, post_lens,
+        block_idx, lo_off, hi_off,
+        field_boost, avgdl, n_field_docs,
+        n_blocks=n_blocks, interpret=interpret,
+    )
     return jax.ops.segment_sum(
         contrib.reshape(-1), docs_o.reshape(-1), num_segments=n_docs
     )
+
+
+def bm25_blocked_contrib(
+    post_docs: jax.Array,      # int32[Ppad]
+    post_tf: jax.Array,        # float32[Ppad]
+    post_ni: jax.Array,        # float32[Ppad]
+    post_lens: jax.Array,      # float32[Ppad]
+    block_starts: jax.Array,   # int32[nb]
+    block_valid: jax.Array,    # int32[nb]
+    field_boost: jax.Array,    # float32[]
+    avgdl: jax.Array,          # float32[]
+    n_field_docs: jax.Array,   # float32[]
+    n_blocks: int,
+):
+    """The block-sliced scan WITHOUT the per-doc reduction: returns
+    (contrib f32[nb, BLOCK], docs int32[nb, BLOCK]) — see
+    bm25_blocked_contrib_pallas for why callers pick the segment space
+    (trace-only helper; callers jit)."""
+
+    def slice_blocks(arr):
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(arr, (s,), (BLOCK,))
+        )(block_starts)  # [nb, BLOCK]
+
+    docs = slice_blocks(post_docs)
+    tf = slice_blocks(post_tf)
+    ni = slice_blocks(post_ni)
+    lens = slice_blocks(post_lens)
+    inblock = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, BLOCK), 1)
+    valid = (inblock < block_valid[:, None]).astype(jnp.float32)
+
+    idf = jnp.log1p(
+        jnp.maximum((n_field_docs - ni + 0.5) / (ni + 0.5), 0.0)
+    )
+    denom = tf + K1 * (1.0 - B + B * lens / jnp.maximum(avgdl, 1e-9))
+    contrib = idf * field_boost * tf * (K1 + 1.0) / jnp.maximum(denom, 1e-9)
+    return contrib * valid, docs
 
 
 @functools.partial(jax.jit, static_argnames=("n_docs", "n_blocks"))
@@ -439,25 +504,10 @@ def bm25_scores_blocked(
     coarse sequential HBM reads) instead of per-element gathers. Measured
     on v5e this removes the ~380 ms of fine-grained gather a 4M-posting
     query pays in the span-gather path."""
-
-    def slice_blocks(arr):
-        return jax.vmap(
-            lambda s: jax.lax.dynamic_slice(arr, (s,), (BLOCK,))
-        )(block_starts)  # [nb, BLOCK]
-
-    docs = slice_blocks(post_docs)
-    tf = slice_blocks(post_tf)
-    ni = slice_blocks(post_ni)
-    lens = slice_blocks(post_lens)
-    inblock = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, BLOCK), 1)
-    valid = (inblock < block_valid[:, None]).astype(jnp.float32)
-
-    idf = jnp.log1p(
-        jnp.maximum((n_field_docs - ni + 0.5) / (ni + 0.5), 0.0)
+    contrib, docs = bm25_blocked_contrib(
+        post_docs, post_tf, post_ni, post_lens, block_starts, block_valid,
+        field_boost, avgdl, n_field_docs, n_blocks=n_blocks,
     )
-    denom = tf + K1 * (1.0 - B + B * lens / jnp.maximum(avgdl, 1e-9))
-    contrib = idf * field_boost * tf * (K1 + 1.0) / jnp.maximum(denom, 1e-9)
-    contrib = contrib * valid
     # per-doc factors (filter mask, phrase boost) distribute over the sum:
     # callers multiply the dense result instead of gathering per posting
     return jax.ops.segment_sum(

@@ -58,6 +58,53 @@ def rrf_candidate_count(k: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cand"))
+def rrf_fuse_topk_batch(
+    ft_scores: jax.Array, vec_scores: jax.Array, k: int, cand: int
+):
+    """Row-wise exact RRF top-k over [B, n] score batches — the batched
+    serving program's fusion stage. The candidate top-k runs BATCHED (one
+    [B, n] top_k per modality — XLA pipelines the rows; a per-row lax.map
+    of top_k serializes them), and only the rank compare-and-count stays
+    per-row (its [2c, n] intermediate must not batch to [B, 2c, n]).
+    Row-for-row identical to rrf_fuse_topk: same candidate set, same
+    stable-tie rank definition, same dedup."""
+    b, n = ft_scores.shape
+    c = min(cand, n)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    _, fi = jax.lax.top_k(ft_scores, c)
+    _, vi = jax.lax.top_k(vec_scores, c)
+    g = jnp.concatenate([fi, vi], axis=1).astype(jnp.int32)      # [b, 2c]
+    ft_g = jnp.take_along_axis(ft_scores, g, axis=1)
+    vec_g = jnp.take_along_axis(vec_scores, g, axis=1)
+
+    def row(args):
+        ft_r, vec_r, ft_gr, vec_gr, g_r = args
+
+        def rank_of(scores, s_g):
+            better = (scores[None, :] > s_g[:, None]) | (
+                (scores[None, :] == s_g[:, None])
+                & (ids[None, :] < g_r[:, None])
+            )
+            return jnp.sum(better, axis=1).astype(jnp.float32)
+
+        r_ft = rank_of(ft_r, ft_gr)
+        r_vec = rank_of(vec_r, vec_gr)
+        fused = jnp.where(
+            ft_gr > 0, 1.0 / (RRF_K + r_ft + 1.0), 0.0
+        ) + jnp.where(vec_gr > 0, 1.0 / (RRF_K + r_vec + 1.0), 0.0)
+        order = jnp.argsort(g_r)
+        g_s = g_r[order]
+        f_s = fused[order]
+        dup = jnp.concatenate([jnp.zeros(1, bool), g_s[1:] == g_s[:-1]])
+        f_s = jnp.where(dup, -jnp.inf, f_s)
+        v, ix = jax.lax.top_k(f_s, k)
+        count = jnp.sum((ft_r > 0) | (vec_r > 0)).astype(jnp.int32)
+        return jnp.maximum(v, 0.0), g_s[ix], count
+
+    return jax.lax.map(row, (ft_scores, vec_scores, ft_g, vec_g, g))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand"))
 def rrf_fuse_topk(ft_scores: jax.Array, vec_scores: jax.Array, k: int, cand: int):
     """Exact RRF top-k WITHOUT the two dense argsorts (31.6 ms at 1M on
     v5e vs ~5 ms for this formulation): propose top-``cand`` docs per

@@ -134,6 +134,105 @@ def test_batch_fused_survives_deletes(engine, monkeypatch):
     _batch_vs_single(reader, engine.read_side.ai, bodies, monkeypatch)
 
 
+def test_batch_fused_pallas_plan_parity(tmp_path, monkeypatch):
+    """The combined aligned block plan (Pallas interpret on CPU) must be
+    row-for-row identical to the single-query fused path, which builds
+    per-query aligned plans."""
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    cfg.tpu.query_batching = False
+    e = build_orama(cfg, start_background=False)
+    try:
+        e.write_side.create_collection(MASTER, "c", READ, WRITE)
+        e.write_side.write(
+            "c",
+            [{"id": str(i), "body": t, "price": i}
+             for i, t in enumerate(DOCS)],
+            WRITE,
+        )
+        e.flush()
+        e.commit()
+        reader = e.read_side._reader("c")
+        reader.cfg._test_force_fast_path = True
+        _batch_vs_single(reader, e.read_side.ai, [
+            {"term": "solar", "mode": "fulltext"},
+            {"term": "power", "mode": "fulltext"},
+            {"term": "zzz-no-match", "mode": "fulltext"},
+        ], monkeypatch)
+        _batch_vs_single(reader, e.read_side.ai, [
+            {"term": "wind", "mode": "hybrid"},
+            {"term": "chocolate", "mode": "hybrid", "limit": 3},
+        ], monkeypatch)
+    finally:
+        e.close()
+
+
+def test_batch_fused_dense_rows_parity(tmp_path, monkeypatch):
+    """Zipf-head terms ride the [b, H] weight matmul against the dense
+    rows in the batched program — scores must match the single-query
+    path (which uses dense_rows_contrib) to f32 round-off."""
+    import numpy as np
+
+    cfg = OramaxConfig()
+    cfg.writer_side.data_dir = str(tmp_path / "w")
+    cfg.reader_side.data_dir = str(tmp_path / "r")
+    cfg.tpu.query_batching = False
+    # df_ratio huge so 'common' qualifies as heavy despite the small
+    # padded capacity (threshold max(cap // ratio, 8) = 8 docs)
+    cfg.tpu.bm25_dense_df_ratio = 10**6
+    e = build_orama(cfg, start_background=False)
+    try:
+        e.write_side.create_collection(MASTER, "c", READ, WRITE)
+        rng = np.random.default_rng(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        docs = []
+        for i in range(48):
+            words = ["common"] * int(rng.integers(1, 4)) + list(
+                rng.choice(vocab, size=int(rng.integers(2, 5)))
+            )
+            rng.shuffle(words)
+            docs.append({"id": str(i), "body": " ".join(words)})
+        e.write_side.write("c", docs, WRITE)
+        e.flush()
+        e.commit()
+        reader = e.read_side._reader("c")
+        # the head term must actually have a dense row for this test to
+        # exercise the W @ dense_rows half
+        sf = reader._string[
+            next(fid for fid, f in reader.fields.items() if f.name == "body")
+        ]
+        gi = sf.committed.global_info()
+        rows, by_term = reader._device.dense_term_rows(
+            sf.committed, reader.capacity, gi.avgdl
+        )
+        assert rows is not None and by_term, "corpus did not trigger dense rows"
+        bodies = [
+            {"term": "common", "mode": "fulltext"},
+            {"term": "alpha", "mode": "fulltext"},
+            {"term": "common", "mode": "fulltext", "limit": 5},
+            {"term": "gamma", "mode": "fulltext"},
+        ]
+        _batch_vs_single(reader, e.read_side.ai, bodies, monkeypatch)
+    finally:
+        e.close()
+
+
+def test_batch_fused_chunk_partition(engine, monkeypatch):
+    """A batch larger than the memory chunk must partition into several
+    dispatches with correct row routing (forced tiny _BATCH_DENSE_SLOTS)."""
+    reader = engine.read_side._reader("c")
+    monkeypatch.setattr(
+        type(reader), "_BATCH_DENSE_SLOTS", reader.capacity * 4
+    )
+    bodies = [
+        {"term": t, "mode": "fulltext"}
+        for t in ("solar", "wind", "power", "grid", "chocolate",
+                  "dessert", "qubits", "breeze", "batteries", "records")
+    ]
+    _batch_vs_single(reader, engine.read_side.ai, bodies, monkeypatch)
+
+
 def test_batch_fused_ineligible_falls_back(engine, monkeypatch):
     """An uncommitted window disables the fused batch (committed-only
     program) — results must still be correct through the fallback."""
