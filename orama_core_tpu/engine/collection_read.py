@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
 import threading
 from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
@@ -1068,7 +1069,35 @@ class CollectionReader:
             self._bool[op.field_id].uncommitted.insert(op.doc_id, op.value)
         elif isinstance(op, IndexEmbeddingOp):
             self._grow(op.doc_id)
-            self._vector[op.field_id].uncommitted.insert(op.doc_id, op.vectors)
+            vf = self._vector[op.field_id]
+            first = np.asarray(op.vectors, dtype=np.float32)
+            got = int(first.shape[-1]) if first.ndim else 0
+            if (
+                got
+                and got != vf.uncommitted.dimension
+                and vf.uncommitted.is_empty
+                and vf.committed.is_empty
+                and self.fields[op.field_id].model
+            ):
+                # Model-backed field whose registry dim is a static default:
+                # the write side's ACTUAL embedder (e.g. an operator
+                # checkpoint served under a registry name) defines the
+                # space. Re-seat the still-empty index at the data's dim —
+                # queries embed with the same embedder, so the space stays
+                # consistent. Raw user-supplied vector fields (no model)
+                # keep the strict dim check.
+                logging.getLogger("oramax").info(
+                    "collection %s field %s: embedder dim %d overrides "
+                    "registry dim %d",
+                    self.id, self.fields[op.field_id].name, got,
+                    vf.uncommitted.dimension,
+                )
+                vf = _VectorField(
+                    UncommittedVectorIndex(got),
+                    CommittedVectorIndex.empty(got),
+                )
+                self._vector[op.field_id] = vf
+            vf.uncommitted.insert(op.doc_id, op.vectors)
         elif isinstance(op, CreateFieldOp):
             f = op.field
             self.fields[f.field_id] = f

@@ -135,15 +135,34 @@ FILLER = (
     "my your our their his her its some any many much more most other "
     "good new first last long great little own old right big high small "
     "large next early young important few public same able forty billions "
-    "minutes final top exciting distant caused by an observing at night"
+    "minutes final top exciting distant caused by an observing at night "
+    # the serving query-intent prefix (registry._BGE_Q), uniform on every
+    # query -> carries no signal, but must be in-vocab
+    "represent sentence searching relevant passages"
 ).split()
+
+
+# Serving embeds queries with the model's intent prefix
+# (registry._BGE_Q via AIService.embed_query) and passages bare; the
+# trained encoder must see the same convention or the prefix tokens
+# drown the query signal. The prefix words live in the vocab and appear
+# on EVERY query side, so they carry zero topical information — the
+# same reason BGE's own prefix is harmless.
+QUERY_PREFIX = "Represent this sentence for searching relevant passages: "
+
+# words deliberately NOT in the vocab: real serving text contains OOV
+# words that map to [UNK]; training must teach [UNK] to be
+# uninformative (it is random-init otherwise and adds noise to every
+# real passage)
+OOV_JUNK = "zzxq qwvlk brrtz glomph snarv plixt vunde kralo".split()
 
 
 def gen_pairs(rng, topics_words, n_pairs):
     names = list(topics_words)
-    a_rows, b_rows = [], []
+    a_rows, b_rows, topic_ids = [], [], []
     for _ in range(n_pairs):
-        t = names[rng.integers(len(names))]
+        ti = int(rng.integers(len(names)))
+        t = names[ti]
         words = topics_words[t]
         perm = rng.permutation(len(words))
         half = len(words) // 2
@@ -154,12 +173,16 @@ def gen_pairs(rng, topics_words, n_pairs):
             k = int(rng.integers(3, min(8, len(pool)) + 1))
             w = list(rng.choice(pool, size=k, replace=False))
             w += list(rng.choice(FILLER, size=int(rng.integers(1, 5))))
+            if rng.random() < 0.5:  # serve-time OOV -> [UNK] robustness
+                w += list(rng.choice(OOV_JUNK, size=int(rng.integers(1, 4))))
             rng.shuffle(w)
             return " ".join(w)
 
-        a_rows.append(sent(pool_a))
+        # side A is the QUERY side (serving prefix), side B the passage
+        a_rows.append(QUERY_PREFIX + sent(pool_a))
         b_rows.append(sent(pool_b))
-    return a_rows, b_rows
+        topic_ids.append(ti)
+    return a_rows, b_rows, np.asarray(topic_ids)
 
 
 def main() -> None:
@@ -177,6 +200,10 @@ def main() -> None:
     )
 
     import jax
+
+    # tiny model: the 1-core-CPU backend trains it in ~2 min and keeps the
+    # TPU tunnel free for benchmarks (sitecustomize defaults to axon)
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
 
@@ -189,16 +216,20 @@ def main() -> None:
     vocab = specials + vocab_words
     word_id = {w: i for i, w in enumerate(vocab)}
     CLS, SEP, UNK = word_id["[CLS]"], word_id["[SEP]"], word_id["[UNK]"]
-    max_len = 24
+    max_len = 32  # CLS + 8-token query prefix + sentence + SEP
+
+    import re
 
     def tokenize(texts):
         """Train-time tokenizer — matches BertTokenizerFast on this
-        whole-word vocab (lowercase, [CLS] ... [SEP], [UNK] for OOV)."""
+        whole-word vocab (lowercase, punctuation split into its own
+        tokens, [CLS] ... [SEP], [UNK] for OOV)."""
         ids = np.zeros((len(texts), max_len), np.int32)
         mask = np.zeros((len(texts), max_len), np.float32)
         for i, t in enumerate(texts):
             row = [CLS] + [
-                word_id.get(w, UNK) for w in t.lower().split()
+                word_id.get(w, UNK)
+                for w in re.findall(r"\w+|[^\w\s]", t.lower())
             ][: max_len - 2] + [SEP]
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1.0
@@ -235,7 +266,7 @@ def main() -> None:
 
     t0 = time.time()
     for it in range(args.steps):
-        a_rows, b_rows = gen_pairs(rng, topics_words, args.batch)
+        a_rows, b_rows, _ = gen_pairs(rng, topics_words, args.batch)
         ids_a, mask_a = tokenize(a_rows)
         ids_b, mask_b = tokenize(b_rows)
         params, opt_state, loss = step(
@@ -250,17 +281,31 @@ def main() -> None:
             )
 
     # -- held-out semantic probe (fresh pairs, zero token overlap) ----------
+    # TOPIC-level accuracy: with ~6 probe pairs per topic, same-topic
+    # candidates are indistinguishable to a topical encoder by design, so
+    # exact-pair retrieval@1 caps at ~1/6 even for a perfect model. The
+    # property the e2e tests need is "argmax lands on the right TOPIC".
     probe_rng = np.random.default_rng(12345)
-    pa, pb = gen_pairs(probe_rng, topics_words, 256)
+    pa, pb, ptopic = gen_pairs(probe_rng, topics_words, 256)
     ia, ma = tokenize(pa)
     ib, mb = tokenize(pb)
     za = np.asarray(encode(params, cfg, jnp.asarray(ia), jnp.asarray(ma)))
     zb = np.asarray(encode(params, cfg, jnp.asarray(ib), jnp.asarray(mb)))
     sims = za @ zb.T
-    acc = float(np.mean(np.argmax(sims, axis=1) == np.arange(len(pa))))
-    print(f"held-out pair retrieval@1: {acc:.3f} (chance {1/len(pa):.3f})",
-          file=sys.stderr)
-    assert acc > 0.8, f"encoder failed to learn topic semantics ({acc})"
+    acc_pair = float(np.mean(np.argmax(sims, axis=1) == np.arange(len(pa))))
+    acc_topic = float(
+        np.mean(ptopic[np.argmax(sims, axis=1)] == ptopic)
+    )
+    n_topics = len(topics_words)
+    print(
+        f"held-out retrieval@1: topic {acc_topic:.3f} "
+        f"(chance {1/n_topics:.3f}) | exact pair {acc_pair:.3f} "
+        f"(topical ceiling ~{n_topics/len(pa):.2f})",
+        file=sys.stderr,
+    )
+    assert acc_topic > 0.85, (
+        f"encoder failed to learn topic semantics (topic acc {acc_topic})"
+    )
 
     # -- export in HF BERT format (the exact inverse of hf_loader's map) ----
     import torch

@@ -1,19 +1,30 @@
-"""Opt-in semantic end-to-end proof with REAL pretrained weights
-(VERDICT r3 item 7): with a prepared checkpoint on disk, vector search
-must rank by MEANING — cross-vocabulary queries (no token overlap with
-the target document) retrieve the topically right passages.
+"""Semantic end-to-end proof with TRAINED weights (VERDICT r3 item 7 /
+r4 next #5): vector search must rank by MEANING — cross-vocabulary
+queries (no token overlap with the target document) retrieve the
+topically right passages.
 
-The image is zero-egress, so these tests SKIP unless an operator has
-dropped a checkpoint locally (scripts/prepare_checkpoint.py documents
-the one-command download on a networked machine):
+Two checkpoint tiers feed the same assertions:
 
-    ORAMAX_EMBED_CHECKPOINT=/ckpts/bge-small python -m pytest \
-        tests/test_semantic_e2e.py -v
+1. An operator-prepared REAL checkpoint (BGE-small) — the production
+   route; the image is zero-egress, so scripts/prepare_checkpoint.py
+   documents the one-command download on a networked machine:
 
-Checkpoint discovery: $ORAMAX_EMBED_CHECKPOINT, else the conventional
-locations /ckpts/bge-small and ~/ckpts/bge-small. Reference capability
-being matched: the fastembed default models the reference serves out of
-the box (/root/reference/src/ai_server/src/embeddings/models.py:18-76).
+       ORAMAX_EMBED_CHECKPOINT=/ckpts/bge-small python -m pytest \
+           tests/test_semantic_e2e.py -v
+
+2. The IN-IMAGE trained tiny contrastive encoder
+   (scripts/train_tiny_encoder.py -> tests/assets/tiny-semantic): a
+   2-layer BERT-schema model trained on synthetic topic-cluster
+   paraphrase pairs whose positives share (usually) zero tokens — it
+   learns word-level topical semantics, which is exactly what these
+   cross-vocabulary probes require. With it committed, the assertions
+   execute un-skipped in the zero-egress CI.
+
+Checkpoint discovery order: $ORAMAX_EMBED_CHECKPOINT, /ckpts/bge-small,
+~/ckpts/bge-small, then the repo-local trained tier. Reference
+capability being matched: the fastembed default models the reference
+serves out of the box
+(/root/reference/src/ai_server/src/embeddings/models.py:18-76).
 """
 
 import os
@@ -26,6 +37,9 @@ from orama_core_tpu.types import SearchParams
 def _find_checkpoint():
     cands = [os.environ.get("ORAMAX_EMBED_CHECKPOINT")]
     cands += ["/ckpts/bge-small", os.path.expanduser("~/ckpts/bge-small")]
+    cands.append(
+        os.path.join(os.path.dirname(__file__), "assets", "tiny-semantic")
+    )
     for c in cands:
         if c and os.path.isdir(c) and os.path.exists(
             os.path.join(c, "config.json")
@@ -40,8 +54,9 @@ CKPT = _find_checkpoint()
 # below runs everywhere
 needs_real_weights = pytest.mark.skipif(
     CKPT is None,
-    reason="no prepared embedding checkpoint on disk "
-    "(set ORAMAX_EMBED_CHECKPOINT; see scripts/prepare_checkpoint.py)",
+    reason="no trained embedding checkpoint on disk (run "
+    "scripts/train_tiny_encoder.py, or set ORAMAX_EMBED_CHECKPOINT — "
+    "see scripts/prepare_checkpoint.py for the real-BGE route)",
 )
 
 MASTER = "master"
@@ -79,6 +94,10 @@ def engine(tmp_path):
     cfg.reader_side.data_dir = str(tmp_path / "r")
     cfg.ai.backend = "jax"
     cfg.ai.embedding_model = "bge-small"
+    # collections embed with the WRITER side's default model — without
+    # this the auto-embedding field silently registers fake-small and the
+    # checkpoint never runs
+    cfg.writer_side.default_embedding_model = "bge-small"
     cfg.ai.embedding_checkpoint_path = CKPT
     e = build_orama(cfg, start_background=False)
     try:
@@ -197,6 +216,7 @@ def test_checkpoint_path_mechanics(tmp_path, monkeypatch):
     cfg.reader_side.data_dir = str(tmp_path / "r")
     cfg.ai.backend = "jax"
     cfg.ai.embedding_model = "bge-small"
+    cfg.writer_side.default_embedding_model = "bge-small"
     cfg.ai.embedding_checkpoint_path = str(ckpt)
     e = build_orama(cfg, start_background=False)
     try:
