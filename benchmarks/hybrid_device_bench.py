@@ -115,23 +115,25 @@ def main() -> None:
         ints0, flts0 = a[0], a[1]
         rest = a[2:]
 
+        # the staging planes (postings, dense rows, the 1.5 GB vector
+        # matrix) MUST be jit arguments — closure-captured they become
+        # HLO constants and the remote-compile request blows the relay's
+        # body-size limit (HTTP 413)
         @jax.jit
-        def loop(ints, flts):
+        def loop(ints, flts, *planes):
             def iter_body(_, c):
                 acc, zi, zf = c
                 zi, zf = jax.lax.optimization_barrier((zi, zf))
-                vals, _idx, _count, _fouts = orig(zi, zf, *rest, **kw)
+                vals, _idx, _count, _fouts = orig(zi, zf, *planes, **kw)
                 return (acc + vals[0], zi, zf)
 
             return jax.lax.fori_loop(
                 0, R, iter_body, (jnp.float32(0.0), ints, flts)
             )[0]
 
-        s = loop(ints0, flts0)
-        s.block_until_ready()
+        _ = np.asarray(loop(ints0, flts0, *rest))  # compile + run
         t0 = time.time()
-        s = loop(ints0, flts0)
-        s.block_until_ready()
+        _ = np.asarray(loop(ints0, flts0, *rest))  # fetch = reliable sync
         dev_ms = (time.time() - t0) / R * 1e3
         report[label + "_device_ms"] = round(dev_ms, 2)
         report[label + "_wall_single_ms"] = round(wall_single * 1e3, 1)
