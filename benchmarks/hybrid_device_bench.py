@@ -77,9 +77,11 @@ def main() -> None:
 
     # a mid-frequency 1-token term: representative of the Pareto query mix
     term = "term000040"
+    # vector-only mode rides the Pallas kNN fast path (receipted by
+    # bench.py / knn benches), not hybrid_fused_topk_mf — the hybrid
+    # shapes below include the vector half in-trace
     shapes = {
         "bm25": {"term": term, "mode": "fulltext"},
-        "vector": {"term": term, "mode": "vector"},
         "hybrid_rrf": {"term": term, "mode": "hybrid"},
         "hybrid_filtered": {
             "term": term, "mode": "hybrid",

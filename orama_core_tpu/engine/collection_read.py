@@ -141,6 +141,27 @@ def _multivec_fast_eligible(c) -> bool:
     return asc and c._max_chunks <= _MULTIVEC_FAST_MAX_CHUNKS
 
 
+def _vec_docs_identity(c) -> bool:
+    """True when the committed vector rows ARE the docs (row i -> doc i):
+    one vector per doc, inserted in doc order — the common layout after
+    any commit without multi-vector chunking or doc-id gaps. Detected
+    once per committed generation (immutable object) and cached; lets
+    the serving programs replace the [P]->[n_docs] segment scatter
+    (~10 ms at 1M) with a pad/slice."""
+    ident = getattr(c, "_docs_identity", None)
+    if ident is None:
+        d = c.vec_docs
+        ident = bool(
+            len(d) == 0
+            or (
+                int(d[-1]) == len(d) - 1
+                and np.array_equal(d, np.arange(len(d), dtype=d.dtype))
+            )
+        )
+        c._docs_identity = ident
+    return ident
+
+
 # --- small jitted helpers ----------------------------------------------------
 
 
@@ -1732,7 +1753,8 @@ class CollectionReader:
             )
         vecs, docs, valid = self._device.vector_arrays(committed)
         return vector_ops.brute_force_scores(
-            vecs, docs, valid, q_dev, filter_mask, n_docs=cap
+            vecs, docs, valid, q_dev, filter_mask, n_docs=cap,
+            identity=_vec_docs_identity(committed),
         )
 
     # -- search entry (reference: collection.rs:684-781) ----------------------
@@ -1805,7 +1827,8 @@ class CollectionReader:
                         )
                     else:
                         scores = scores + vector_ops.brute_force_scores_batch(
-                            vecs, docs, valid, q_dev, filter_mask, n_docs=cap
+                            vecs, docs, valid, q_dev, filter_mask, n_docs=cap,
+                            identity=_vec_docs_identity(vf.committed),
                         )
                 if not vf.uncommitted.is_empty:
                     fm_host = np.asarray(filter_mask)
@@ -3312,7 +3335,10 @@ class CollectionReader:
                 "int8", (), (codes, scales, v_docs, valid),
                 (None, None, None),
             )
-        return ("exact", (), None, self._device.vector_arrays(committed))
+        return (
+            "exact", (_vec_docs_identity(committed),), None,
+            self._device.vector_arrays(committed),
+        )
 
     def _padded_scatter_np(
         self, docs: Sequence[int], vals: Sequence[float]
@@ -3800,6 +3826,10 @@ class CollectionReader:
                 n_docs=cap, k=k, fusion=fusion, nf=kind, masked=masked,
                 mode=mode, n_blocks=nb, b=b_pad, qdim=qdim,
                 dense=use_dense, bm25_pallas=bm25_pallas,
+                vec_identity=(
+                    _vec_docs_identity(vf.committed)
+                    if vfid is not None else False
+                ),
                 interpret=jax.default_backend() != "tpu",
             )
             pending.append((rows_c, out))

@@ -322,7 +322,21 @@ def hybrid_fused_topk_mf(
                 preferred_element_type=jnp.float32,
             )                                               # [P, 8]
             sims = jnp.maximum(sims8[:, 0], 0.0) * vec_valid
-            vec = jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs)
+            if v_statics and v_statics[0]:
+                # identity prefix (one vector per doc, insertion order —
+                # the common committed layout, detected commit-static):
+                # row i IS doc i, so the [P]->[n_docs] segment scatter is
+                # a pad/slice. Scatter at 1M->1M costs ~10 ms device-side;
+                # this is free. Padding rows are vec_valid-zeroed.
+                p = sims.shape[0]
+                vec = (
+                    sims[:n_docs] if p >= n_docs
+                    else jnp.pad(sims, (0, n_docs - p))
+                )
+            else:
+                vec = jax.ops.segment_sum(
+                    sims, vec_docs, num_segments=n_docs
+                )
         elif vmode == "int8":
             from . import quant as quant_ops
 
@@ -419,7 +433,7 @@ def hybrid_fused_topk_mf(
     jax.jit,
     static_argnames=(
         "n_docs", "k", "fusion", "nf", "masked", "mode", "n_blocks", "b",
-        "qdim", "dense", "bm25_pallas", "interpret",
+        "qdim", "dense", "bm25_pallas", "vec_identity", "interpret",
     ),
 )
 def hybrid_fused_topk_batch(
@@ -454,6 +468,7 @@ def hybrid_fused_topk_batch(
     qdim: int,         # query vector length (0 when mode == "fulltext")
     dense: bool,       # Zipf-head dense rows ride a [b, H] weight matmul
     bm25_pallas: bool,
+    vec_identity: bool = False,  # vec_docs is an identity prefix
     interpret: bool = False,
 ):
     """Batched one-dispatch serving with the SAME fast primitives as the
@@ -536,7 +551,8 @@ def hybrid_fused_topk_batch(
     if mode != "fulltext":
         queries = take_f(b * qdim).reshape(b, qdim)
         vec = vector_ops.brute_force_scores_batch(
-            vecs, vec_docs, vec_valid, queries, mask, n_docs=n_docs
+            vecs, vec_docs, vec_valid, queries, mask, n_docs=n_docs,
+            identity=vec_identity,
         )                                                   # [b, n_docs]
     if mode == "fulltext":
         fused = ft

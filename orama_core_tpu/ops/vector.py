@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("n_docs",))
+@functools.partial(jax.jit, static_argnames=("n_docs", "identity"))
 def brute_force_scores(
     vecs: jax.Array,         # bf16/f32[P, D] L2-normalized vectors
     vec_docs: jax.Array,     # int32[P] owning doc of each vector
@@ -29,17 +29,26 @@ def brute_force_scores(
     query: jax.Array,        # f32[D] L2-normalized query
     filter_mask: jax.Array,  # float32[Npad]
     n_docs: int,
+    identity: bool = False,  # vec_docs is an identity prefix (commit-static)
 ) -> jax.Array:
-    """float32[n_docs]: sum of relu(cos) over each doc's vectors."""
+    """float32[n_docs]: sum of relu(cos) over each doc's vectors. With
+    ``identity`` (row i IS doc i — one vector per doc in insertion
+    order), the segment scatter collapses to a pad/slice."""
     sims = jnp.dot(
         vecs, query.astype(vecs.dtype), preferred_element_type=jnp.float32
     )
     sims = jnp.maximum(sims, 0.0) * vec_valid
-    scores = jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs)
+    if identity:
+        p = sims.shape[0]
+        scores = (
+            sims[:n_docs] if p >= n_docs else jnp.pad(sims, (0, n_docs - p))
+        )
+    else:
+        scores = jax.ops.segment_sum(sims, vec_docs, num_segments=n_docs)
     return scores * filter_mask
 
 
-@functools.partial(jax.jit, static_argnames=("n_docs",))
+@functools.partial(jax.jit, static_argnames=("n_docs", "identity"))
 def brute_force_scores_batch(
     vecs: jax.Array,         # [P, D] normalized
     vec_docs: jax.Array,     # int32[P]
@@ -47,16 +56,27 @@ def brute_force_scores_batch(
     queries: jax.Array,      # f32[B, D] normalized
     filter_mask: jax.Array,  # float32[Npad]
     n_docs: int,
+    identity: bool = False,  # vec_docs is an identity prefix (commit-static)
 ) -> jax.Array:
     """float32[B, n_docs] — the micro-batched serving path: one matmul for
-    the whole query batch (HBM corpus read amortized across B queries)."""
+    the whole query batch (HBM corpus read amortized across B queries).
+    With ``identity`` (one vector per doc in insertion order — the common
+    committed layout), the B per-row segment scatters collapse to a
+    pad/slice."""
     sims = jnp.dot(
         queries.astype(vecs.dtype), vecs.T, preferred_element_type=jnp.float32
     )  # [B, P]
     sims = jnp.maximum(sims, 0.0) * vec_valid[None, :]
-    scores = jax.vmap(
-        lambda row: jax.ops.segment_sum(row, vec_docs, num_segments=n_docs)
-    )(sims)
+    if identity:
+        p = sims.shape[1]
+        scores = (
+            sims[:, :n_docs] if p >= n_docs
+            else jnp.pad(sims, ((0, 0), (0, n_docs - p)))
+        )
+    else:
+        scores = jax.vmap(
+            lambda row: jax.ops.segment_sum(row, vec_docs, num_segments=n_docs)
+        )(sims)
     return scores * filter_mask[None, :]
 
 
