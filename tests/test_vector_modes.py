@@ -337,3 +337,66 @@ def test_choose_rotation_is_data_driven():
         ))
 
     assert adc_recall(rot) > adc_recall(None), "kept basis must rank better"
+
+
+def test_vec_docs_identity_detection_and_parity(tmp_path):
+    """The identity-prefix fast path (skip the segment scatter when
+    committed row i IS doc i) must (a) engage on the common sequential
+    layout, (b) disengage after deletes punch doc-id gaps, and (c) give
+    identical rankings either way."""
+    from orama_core_tpu.engine.collection_read import _vec_docs_identity
+
+    e = _engine(tmp_path, "exact")
+    try:
+        e.write_side.create_collection(MASTER, "c", READ, WRITE)
+        e.write_side.write("c", DOCS, WRITE)
+        e.flush()
+        e.commit()
+        reader = e.read_side.collections["c"]
+        vfid = next(
+            fid for fid, f in reader.fields.items()
+            if f.name == "___orama_auto_embedding"
+        )
+        committed = reader._vector[vfid].committed
+        assert _vec_docs_identity(committed) is True
+        q = {"term": "solar sunlight electricity", "mode": "vector",
+             "limit": 5}
+        before = [
+            (h.id, round(h.score, 6))
+            for h in e.read_side.search(
+                "c", SearchParams.from_json(q), READ
+            ).hits
+        ]
+
+        e.write_side.delete_documents("c", ["1"], WRITE)
+        e.flush()
+        e.commit()
+        committed2 = e.read_side.collections["c"]._vector[vfid].committed
+        assert _vec_docs_identity(committed2) is False  # doc-id gap
+        after = [
+            h.id
+            for h in e.read_side.search(
+                "c", SearchParams.from_json(q), READ
+            ).hits
+        ]
+        # same ranking minus the deleted doc: the two scatter
+        # formulations are bit-identical
+        assert after == [d for d, _ in before if d != "1"]
+    finally:
+        e.close()
+
+
+def test_vec_docs_identity_false_for_multivector(tmp_path):
+    """Chunked long docs produce several rows per doc — the identity
+    fast path must not engage (rows != docs)."""
+    from orama_core_tpu.engine.collection_read import _vec_docs_identity
+    from orama_core_tpu.index.vector_index import (
+        CommittedVectorIndex,
+        UncommittedVectorIndex,
+    )
+
+    u = UncommittedVectorIndex(4)
+    u.insert(0, np.ones((2, 4)))  # two chunks, one doc
+    u.insert(1, np.ones((1, 4)))
+    c = CommittedVectorIndex.empty(4).merge(u)
+    assert _vec_docs_identity(c) is False
