@@ -62,46 +62,68 @@ def rrf_fuse_topk_batch(
     ft_scores: jax.Array, vec_scores: jax.Array, k: int, cand: int
 ):
     """Row-wise exact RRF top-k over [B, n] score batches — the batched
-    serving program's fusion stage. The candidate top-k runs BATCHED (one
-    [B, n] top_k per modality — XLA pipelines the rows; a per-row lax.map
-    of top_k serializes them), and only the rank compare-and-count stays
-    per-row (its [2c, n] intermediate must not batch to [B, 2c, n]).
-    Row-for-row identical to rrf_fuse_topk: same candidate set, same
-    stable-tie rank definition, same dedup."""
+    serving program's fusion stage. Everything runs BATCHED across rows:
+    candidate top-k as one [B, n] top_k per modality, and the rank
+    compare-and-count as a fori_loop over n-chunks with a bounded
+    [B, 2c, CH] intermediate (the full [B, 2c, n] broadcast would be
+    gigabytes; a per-row lax.map serializes B ~[2c, n] passes and was
+    the batched-hybrid bottleneck). Row-for-row identical to
+    rrf_fuse_topk: same candidate set, same stable-tie rank definition,
+    same dedup."""
     b, n = ft_scores.shape
     c = min(cand, n)
-    ids = jnp.arange(n, dtype=jnp.int32)
     _, fi = jax.lax.top_k(ft_scores, c)
     _, vi = jax.lax.top_k(vec_scores, c)
     g = jnp.concatenate([fi, vi], axis=1).astype(jnp.int32)      # [b, 2c]
     ft_g = jnp.take_along_axis(ft_scores, g, axis=1)
     vec_g = jnp.take_along_axis(vec_scores, g, axis=1)
 
-    def row(args):
-        ft_r, vec_r, ft_gr, vec_gr, g_r = args
+    ch = next((c_ for c_ in (4096, 2048, 1024) if n % c_ == 0), None)
 
-        def rank_of(scores, s_g):
-            better = (scores[None, :] > s_g[:, None]) | (
-                (scores[None, :] == s_g[:, None])
-                & (ids[None, :] < g_r[:, None])
+    def ranks_of(scores, s_g):
+        # rank = #{s' > s} + #{s' == s and id' < id} (argsort-stable ties)
+        if ch is None:  # tiny/odd n: one unchunked pass
+            ids = jnp.arange(n, dtype=jnp.int32)
+            better = (scores[:, None, :] > s_g[:, :, None]) | (
+                (scores[:, None, :] == s_g[:, :, None])
+                & (ids[None, None, :] < g[:, :, None])
             )
-            return jnp.sum(better, axis=1).astype(jnp.float32)
+            return jnp.sum(better, axis=2).astype(jnp.float32)
 
-        r_ft = rank_of(ft_r, ft_gr)
-        r_vec = rank_of(vec_r, vec_gr)
-        fused = jnp.where(
-            ft_gr > 0, 1.0 / (RRF_K + r_ft + 1.0), 0.0
-        ) + jnp.where(vec_gr > 0, 1.0 / (RRF_K + r_vec + 1.0), 0.0)
-        order = jnp.argsort(g_r)
-        g_s = g_r[order]
-        f_s = fused[order]
-        dup = jnp.concatenate([jnp.zeros(1, bool), g_s[1:] == g_s[:-1]])
-        f_s = jnp.where(dup, -jnp.inf, f_s)
-        v, ix = jax.lax.top_k(f_s, k)
-        count = jnp.sum((ft_r > 0) | (vec_r > 0)).astype(jnp.int32)
-        return jnp.maximum(v, 0.0), g_s[ix], count
+        def body(ci, acc):
+            sc = jax.lax.dynamic_slice(scores, (0, ci * ch), (b, ch))
+            idxc = ci * ch + jnp.arange(ch, dtype=jnp.int32)
+            better = (sc[:, None, :] > s_g[:, :, None]) | (
+                (sc[:, None, :] == s_g[:, :, None])
+                & (idxc[None, None, :] < g[:, :, None])
+            )
+            return acc + jnp.sum(better, axis=2).astype(jnp.float32)
 
-    return jax.lax.map(row, (ft_scores, vec_scores, ft_g, vec_g, g))
+        return jax.lax.fori_loop(
+            0, n // ch, body, jnp.zeros((b, 2 * c), jnp.float32)
+        )
+
+    r_ft = ranks_of(ft_scores, ft_g)
+    r_vec = ranks_of(vec_scores, vec_g)
+    fused = jnp.where(
+        ft_g > 0, 1.0 / (RRF_K + r_ft + 1.0), 0.0
+    ) + jnp.where(vec_g > 0, 1.0 / (RRF_K + r_vec + 1.0), 0.0)
+    order = jnp.argsort(g, axis=1)
+    g_s = jnp.take_along_axis(g, order, axis=1)
+    f_s = jnp.take_along_axis(fused, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), g_s[:, 1:] == g_s[:, :-1]], axis=1
+    )
+    f_s = jnp.where(dup, -jnp.inf, f_s)
+    v, ix = jax.lax.top_k(f_s, k)
+    counts = jnp.sum(
+        (ft_scores > 0) | (vec_scores > 0), axis=1
+    ).astype(jnp.int32)
+    return (
+        jnp.maximum(v, 0.0),
+        jnp.take_along_axis(g_s, ix, axis=1),
+        counts,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cand"))
