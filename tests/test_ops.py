@@ -359,3 +359,40 @@ def test_phrase_window_meta_degenerate_fallback():
     pp = n_docs
     pp_pad = -(-pp // (b._PH_PB * b._PH_GRP)) * (b._PH_PB * b._PH_GRP)
     assert b.phrase_window_meta(bounds, pp, pp_pad) is None
+
+
+def test_rrf_fuse_topk_batch_matches_single_rowwise():
+    """The fully-batched chunked rank count (rrf_fuse_topk_batch) must be
+    row-for-row bit-identical to the single-query rrf_fuse_topk —
+    including exact score ties (argsort-stable: lower index wins) and
+    both the chunked (n % 1024 == 0) and unchunked (odd n) paths."""
+    import jax.numpy as jnp
+
+    from orama_core_tpu.ops.fusion import (
+        rrf_candidate_count,
+        rrf_fuse_topk,
+        rrf_fuse_topk_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 10
+    c = rrf_candidate_count(k)
+    for n in (1000, 4096):
+        ft = (rng.random((6, n)) * (rng.random((6, n)) < 0.1)).astype(
+            np.float32
+        )
+        vec = (rng.random((6, n)) * (rng.random((6, n)) < 0.2)).astype(
+            np.float32
+        )
+        ft[:, 5] = ft[:, 50] = 0.5   # exact ties across doc ids
+        vec[:, 7] = vec[:, 70] = 0.25
+        bv, bi, bc = rrf_fuse_topk_batch(
+            jnp.asarray(ft), jnp.asarray(vec), k, c
+        )
+        for r in range(6):
+            sv, si, sc = rrf_fuse_topk(
+                jnp.asarray(ft[r]), jnp.asarray(vec[r]), k, c
+            )
+            np.testing.assert_array_equal(np.asarray(bi[r]), np.asarray(si))
+            np.testing.assert_allclose(np.asarray(bv[r]), np.asarray(sv))
+            assert int(bc[r]) == int(sc)
