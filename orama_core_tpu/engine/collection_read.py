@@ -525,6 +525,27 @@ class _DeviceCache:
 
         return self._get(nidx, "num", build)
 
+    def number_dense_plane(self, nidx: CommittedNumberIndex, n_docs: int):
+        """Doc-major committed number column: f32[n_docs] with NaN for
+        docs without a value — turns range/eq filters into elementwise
+        compares (ops/filters.number_range_mask_dense) instead of a
+        [V]->[n_docs] segment_max scatter (~30 ms device at 1M). Only
+        valid when every doc holds at most ONE value for the field;
+        returns None otherwise (array fields keep the scatter path).
+        Cached per (committed generation, n_docs) — capacity can grow
+        between commits while the committed object stays."""
+        key = f"numdense{n_docs}"
+
+        def build():
+            docs = np.asarray(nidx.docs)
+            if len(docs) and np.bincount(docs).max() > 1:
+                return (None,)
+            plane = np.full(n_docs, np.nan, np.float32)
+            plane[docs] = np.asarray(nidx.vals, np.float32)
+            return (self._put_rows(jnp.asarray(plane)),)
+
+        return self._get(nidx, key, build)[0]
+
     # keyword ------------------------------------------------------------------
 
     def keyword_arrays(self, kidx: "CommittedKeywordIndex"):
@@ -1175,19 +1196,38 @@ class CollectionReader:
                 if f.type != ValueType.NUMBER:
                     raise ValueError(f'"{field_name}" is not a number field')
                 nf = self._number[fid]
-                vals, docs, valid = self._device.number_arrays(nf.committed)
-                if filt.op == "eq":
-                    m = filter_ops.number_eq_mask(
-                        vals, docs, valid, jnp.float32(filt.value), n_docs=cap
-                    )
+                dense_plane = self._device.number_dense_plane(
+                    nf.committed, cap
+                )
+                if dense_plane is not None:
+                    if filt.op == "eq":
+                        m = filter_ops.number_eq_mask_dense(
+                            dense_plane, jnp.float32(filt.value)
+                        )
+                    else:
+                        lo, hi, lx, hx = nf.committed.filter_bounds(filt)
+                        m = filter_ops.number_range_mask_dense(
+                            dense_plane,
+                            jnp.float32(lo), jnp.float32(hi),
+                            jnp.array(lx), jnp.array(hx),
+                        )
                 else:
-                    lo, hi, lx, hx = nf.committed.filter_bounds(filt)
-                    m = filter_ops.number_range_mask(
-                        vals, docs, valid,
-                        jnp.float32(lo), jnp.float32(hi),
-                        jnp.array(lx), jnp.array(hx),
-                        n_docs=cap,
+                    vals, docs, valid = self._device.number_arrays(
+                        nf.committed
                     )
+                    if filt.op == "eq":
+                        m = filter_ops.number_eq_mask(
+                            vals, docs, valid, jnp.float32(filt.value),
+                            n_docs=cap,
+                        )
+                    else:
+                        lo, hi, lx, hx = nf.committed.filter_bounds(filt)
+                        m = filter_ops.number_range_mask(
+                            vals, docs, valid,
+                            jnp.float32(lo), jnp.float32(hi),
+                            jnp.array(lx), jnp.array(hx),
+                            n_docs=cap,
+                        )
                 unc = nf.uncommitted.filter_docs(filt) if not nf.uncommitted.is_empty else set()
                 m = self._with_uncommitted(m, unc)
             elif isinstance(filt, StringFilter):
@@ -3416,11 +3456,18 @@ class CollectionReader:
         filter_flts: List[np.ndarray] = []
         for kind, ffid, filt in filts:
             if kind in ("range", "eq"):
-                cols = self._device.number_arrays(
-                    self._number[ffid].committed
+                dense_plane = self._device.number_dense_plane(
+                    self._number[ffid].committed, cap
                 )
+                if dense_plane is not None:
+                    cols = (dense_plane,)
+                    kind = kind + "_dense"
+                else:  # multi-value field: segment-scatter path
+                    cols = self._device.number_arrays(
+                        self._number[ffid].committed
+                    )
                 fp = np.zeros(4, np.float32)
-                if kind == "eq":
+                if kind.startswith("eq"):
                     fp[0] = fp[1] = filt.value
                 else:
                     lo_, hi_, lx_, hx_ = (
@@ -3705,16 +3752,26 @@ class CollectionReader:
         nf_host = None
         if nf is not None:
             nfid, filt = nf
-            nvals, ndocs, nvalid = self._device.number_arrays(
-                self._number[nfid].committed
+            dense_plane = self._device.number_dense_plane(
+                self._number[nfid].committed, cap
             )
+            if dense_plane is not None:
+                nvals = dense_plane
+                ndocs = jnp.zeros(1, jnp.int32)
+                nvalid = jnp.zeros(1, bool)
+                dsuf = "_dense"
+            else:
+                nvals, ndocs, nvalid = self._device.number_arrays(
+                    self._number[nfid].committed
+                )
+                dsuf = ""
             if filt.op == "eq":
-                kind = "eq"
+                kind = "eq" + dsuf
                 nf_host = np.asarray(
                     [filt.value, filt.value, 1.0, 1.0], np.float32
                 )
             else:
-                kind = "range"
+                kind = "range" + dsuf
                 lo_, hi_, lx_, hx_ = self._number[
                     nfid
                 ].committed.filter_bounds(filt)

@@ -38,6 +38,30 @@ def number_range_mask(
     )
 
 
+@jax.jit
+def number_range_mask_dense(
+    vals_by_doc: jax.Array,  # f32[n_docs], NaN where the doc has no value
+    low: jax.Array,
+    high: jax.Array,
+    low_excl: jax.Array,
+    high_excl: jax.Array,
+) -> jax.Array:
+    """Doc-major range mask — the single-value-per-doc common case. The
+    committed column re-indexed BY DOC at device-cache build makes the
+    filter a pure elementwise compare: no [V]->[n_docs] segment scatter
+    (segment_max at 1M->1M measured ~30+ ms device-side in the fused
+    program — the whole r4 'filtered hybrid +35 ms' delta). NaN fill
+    for valueless docs: every compare is False, so no has-mask needed."""
+    ge = jnp.where(low_excl, vals_by_doc > low, vals_by_doc >= low)
+    le = jnp.where(high_excl, vals_by_doc < high, vals_by_doc <= high)
+    return (ge & le).astype(jnp.float32)
+
+
+@jax.jit
+def number_eq_mask_dense(vals_by_doc: jax.Array, value: jax.Array) -> jax.Array:
+    return (vals_by_doc == value).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_docs",))
 def number_eq_mask(
     num_vals: jax.Array,

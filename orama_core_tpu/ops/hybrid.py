@@ -250,7 +250,7 @@ def hybrid_fused_topk_mf(
         flt_field.append((scalars, d_w))
     filter_params = []
     for kind, n_wanted in filters:
-        if kind in ("range", "eq"):
+        if kind in ("range", "eq", "range_dense", "eq_dense"):
             filter_params.append(take_f(4))
         elif kind == "bool":
             filter_params.append(take_f(1))
@@ -267,7 +267,13 @@ def hybrid_fused_topk_mf(
 
     mask = alive_mask
     for (kind, _nw), cols, fp in zip(filters, filter_cols, filter_params):
-        if kind == "range":
+        if kind == "range_dense":
+            m = filter_ops.number_range_mask_dense(
+                cols[0], fp[0], fp[1], fp[2] > 0, fp[3] > 0
+            )
+        elif kind == "eq_dense":
+            m = filter_ops.number_eq_mask_dense(cols[0], fp[0])
+        elif kind == "range":
             m = filter_ops.number_range_mask(
                 cols[0], cols[1], cols[2],
                 fp[0], fp[1], fp[2] > 0, fp[3] > 0, n_docs=n_docs,
@@ -502,7 +508,17 @@ def hybrid_fused_topk_batch(
 
     scalars = take_f(3)
     boost, avgdl, nfd = scalars[0], scalars[1], scalars[2]
-    if nf == "range":
+    if nf == "range_dense":
+        fp = take_f(4)
+        m = filter_ops.number_range_mask_dense(
+            nf_vals, fp[0], fp[1], fp[2] > 0, fp[3] > 0
+        )
+        mask = filter_ops.combine_masks(alive_mask, m)
+    elif nf == "eq_dense":
+        fp = take_f(4)
+        m = filter_ops.number_eq_mask_dense(nf_vals, fp[0])
+        mask = filter_ops.combine_masks(alive_mask, m)
+    elif nf == "range":
         fp = take_f(4)
         m = filter_ops.number_range_mask(
             nf_vals, nf_docs, nf_valid, fp[0], fp[1], fp[2] > 0, fp[3] > 0,
