@@ -65,13 +65,13 @@ def main() -> None:
     log(f"device {jax.devices()[0]}; int8 corpus {N_PAD}x{D} "
         f"({N_PAD*D/1e9:.1f} GB + scales)")
 
-    # chunk size: a multiple of the kernel block that divides N_PAD
-    # (halving could land on a non-multiple and trip the kernel's
-    # divisibility assert at some --docs values)
+    # chunk size: a BN multiple near 1M rows; the LAST chunk is partial
+    # and masked via the kernels' n_valid (r5 fix: the old
+    # divide-N_PAD-exactly loop collapsed to 4096-row chunks at some
+    # sizes — 3907 chunks at 16M — and the ~1 ms fixed per-chunk kernel
+    # overhead then dominated everything)
     CHUNK = BN * max(1, min(1_000_000 // BN, N_PAD // BN))
-    while N_PAD % CHUNK:
-        CHUNK -= BN
-    N_CHUNKS = N_PAD // CHUNK
+    N_CHUNKS = -(-N_PAD // CHUNK)
 
     # The corpus lives as N_CHUNKS independent [CHUNK, D] int8 arrays, not
     # one contiguous buffer. Round 1's 30 donated-update round trips wedged
