@@ -56,6 +56,21 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=1_000_000)
     ap.add_argument("--group", type=int, default=16, help="chunks per group")
     ap.add_argument("--train-sample", type=int, default=262_144)
+    ap.add_argument(
+        "--packed", action="store_true",
+        help="store codes int32-packed (4 u8/word): the ADC candidate "
+        "gather moves 4x fewer elements — TPU gather cost scales with "
+        "element count, not bytes",
+    )
+    ap.add_argument(
+        "--adc", choices=("scan", "compare"), default="compare",
+        help="ADC formulation: 'scan' = M take_along_axis table lookups "
+        "(gather-bound, ~100M gathered elements/s on TPU); 'compare' = "
+        "fori over the 256 code values, each a vector compare + batched "
+        "[NC,M]@[M] matvec — no gathers, MXU/VPU-bound. Measured at 4M: "
+        "31.9 -> 178.3 QPS (5.6x), identical recall; packed+compare is "
+        "slower (the in-loop unpack outweighs the gather saving)",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -236,10 +251,18 @@ def main() -> None:
     worst_len = jnp.int32(0)
     CAPL = None
     local_lists = None
+    @jax.jit
+    def pack_codes(codes_u8):
+        return jax.lax.bitcast_convert_type(
+            codes_u8.reshape(CHUNK, M // 4, 4), jnp.int32
+        )
+
     for ci in range(N_CHUNKS):
         v = gen_rows(jnp.int32(ci))
         assign = assign_rows(v, cents)
         codes_c = encode_rows(v, cents, assign, books, books_neg)
+        if args.packed:
+            codes_c = pack_codes(codes_c)
         cv, cidx = gt_chunk(v, queries)
         if CAPL is None:
             # data-driven local list capacity: chunks are iid (same
@@ -306,19 +329,42 @@ def main() -> None:
             cand = lists_g[gi][probe].reshape(QB, NC)       # local row ids
             clens = lens_g[gi][probe]                       # [QB, nprobe]
             valid = (pos[None] < clens[:, :, None]).reshape(QB, NC)
-            ccodes = codes_g[gi][cand]                      # uint8[QB, NC, M]
+            if args.packed:                     # gather i32 words, unpack
+                cw = codes_g[gi][cand]                      # i32[QB,NC,M/4]
+                ccodes = jax.lax.bitcast_convert_type(
+                    cw, jnp.uint8
+                ).reshape(QB, NC, M)
+            else:
+                ccodes = codes_g[gi][cand]                  # uint8[QB, NC, M]
 
-            def adc_body(acc, inputs):
-                lut_m, code_m = inputs
-                return acc + jnp.take_along_axis(
-                    lut_m, code_m.astype(jnp.int32), axis=1
-                ), None
+            if args.adc == "compare":
+                def b_body(bv, acc):
+                    eq = (ccodes == bv.astype(ccodes.dtype)).astype(
+                        jnp.bfloat16
+                    )                                       # [QB, NC, M]
+                    lb = jax.lax.dynamic_slice(
+                        lut, (0, 0, bv), (M, QB, 1)
+                    )[:, :, 0].T.astype(jnp.bfloat16)       # [QB, M]
+                    return acc + jnp.einsum(
+                        "qnm,qm->qn", eq, lb,
+                        preferred_element_type=jnp.float32,
+                    )
 
-            adc, _ = jax.lax.scan(
-                adc_body,
-                jnp.zeros((QB, NC), jnp.float32),
-                (lut, ccodes.transpose(2, 0, 1)),
-            )
+                adc = jax.lax.fori_loop(
+                    0, 256, b_body, jnp.zeros((QB, NC), jnp.float32)
+                )
+            else:
+                def adc_body(acc, inputs):
+                    lut_m, code_m = inputs
+                    return acc + jnp.take_along_axis(
+                        lut_m, code_m.astype(jnp.int32), axis=1
+                    ), None
+
+                adc, _ = jax.lax.scan(
+                    adc_body,
+                    jnp.zeros((QB, NC), jnp.float32),
+                    (lut, ccodes.transpose(2, 0, 1)),
+                )
             # residual scoring: add back q·cents[cluster] (probe slot)
             adc = adc + jnp.repeat(probe_sims, CAPL, axis=1)
             adc = jnp.where(valid, adc, -jnp.inf)
