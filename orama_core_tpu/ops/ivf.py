@@ -291,17 +291,27 @@ def ivf_pq_search(
     lut = jnp.einsum(
         "mqd,mcd->mqc", qsub, codebooks, preferred_element_type=jnp.float32
     )                                                       # [M, Q, C]
-    # gather candidate codes ONCE as uint8 (int32 would 4x the block);
-    # cast per-subspace inside the scan
+    # gather candidate codes ONCE as uint8 (int32 would 4x the block)
     codes_cand = codes[cand_flat]                           # uint8[Q, N, M]
 
-    def body(acc, inputs):
-        lut_m, code_m = inputs                              # [Q, C], [Q, N]
-        return acc + jnp.take_along_axis(lut_m, code_m.astype(jnp.int32), axis=1), None
+    # ADC via gather-free compare-accumulate: fori over the C code
+    # values; each step is a vector compare + per-query [N, M] @ [M]
+    # matvec against the LUT column (take_along_axis moves ~100M
+    # gathered elements/s on TPU — measured 5.6x end-to-end in
+    # benchmarks/pq_100m_bench.py --adc compare vs scan)
+    def b_body(bv, acc):
+        eq = (codes_cand == bv.astype(codes_cand.dtype)).astype(
+            jnp.float32
+        )                                                   # [Q, N, M]
+        lutb = jax.lax.dynamic_slice(
+            lut, (0, 0, bv), (m, q_n, 1)
+        )[:, :, 0].T                                        # [Q, M]
+        return acc + jnp.einsum(
+            "qnm,qm->qn", eq, lutb, preferred_element_type=jnp.float32
+        )
 
-    acc0 = jnp.zeros((q_n, nprobe * cap), jnp.float32)
-    adc, _ = jax.lax.scan(
-        body, acc0, (lut, codes_cand.transpose(2, 0, 1))
+    adc = jax.lax.fori_loop(
+        0, c, b_body, jnp.zeros((q_n, nprobe * cap), jnp.float32)
     )
     if residual:
         # score = q . cents[cluster] + q . residual — the candidate's
