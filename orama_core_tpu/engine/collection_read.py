@@ -567,6 +567,24 @@ class _DeviceCache:
 
         return self._get(kidx, "kw", build)
 
+    def keyword_dense_plane(self, kidx: "CommittedKeywordIndex", n_docs: int):
+        """Doc-major committed keyword column: f32[n_docs] value id with
+        -2.0 for docs without a value (matches neither real ids nor the
+        wanted-set's -1 pad). Only when every doc holds at most one
+        value; None otherwise (array keyword fields keep the scatter
+        path). See number_dense_plane."""
+        key = f"kwdense{n_docs}"
+
+        def build():
+            docs = np.asarray(kidx.docs)
+            if len(docs) and np.bincount(docs).max() > 1:
+                return (None,)
+            plane = np.full(n_docs, -2.0, np.float32)
+            plane[docs] = np.asarray(kidx.ids, np.float32)
+            return (self._put_rows(jnp.asarray(plane)),)
+
+        return self._get(kidx, key, build)[0]
+
     # bool -------------------------------------------------------------------
 
     def bool_arrays(self, b: CommittedBoolIndex, cap: int):
@@ -1241,14 +1259,25 @@ class CollectionReader:
                     if kf.committed.id_of(v) is not None
                 ]
                 if wanted_ids and not kf.committed.is_empty:
-                    ids, docs, valid = self._device.keyword_arrays(kf.committed)
                     wanted = np.full(
                         max(len(wanted_vals), 1), -1.0, np.float32
                     )
                     wanted[: len(wanted_ids)] = wanted_ids
-                    m = filter_ops.value_set_mask(
-                        ids, docs, valid, jnp.asarray(wanted), n_docs=cap
+                    kw_plane = self._device.keyword_dense_plane(
+                        kf.committed, cap
                     )
+                    if kw_plane is not None:
+                        m = filter_ops.value_set_mask_dense(
+                            kw_plane, jnp.asarray(wanted)
+                        )
+                    else:
+                        ids, docs, valid = self._device.keyword_arrays(
+                            kf.committed
+                        )
+                        m = filter_ops.value_set_mask(
+                            ids, docs, valid, jnp.asarray(wanted),
+                            n_docs=cap,
+                        )
                 else:
                     m = jnp.zeros(cap, jnp.float32)
                 unc = (
@@ -3502,9 +3531,17 @@ class CollectionReader:
                     z = jnp.zeros(1, jnp.float32)
                     cols = (z, jnp.zeros(1, jnp.int32),
                             jnp.zeros(1, bool))
+                    filter_statics.append(("keyword", n_w))
                 else:
-                    cols = self._device.keyword_arrays(kf.committed)
-                filter_statics.append(("keyword", n_w))
+                    kw_plane = self._device.keyword_dense_plane(
+                        kf.committed, cap
+                    )
+                    if kw_plane is not None:
+                        cols = (kw_plane,)
+                        filter_statics.append(("keyword_dense", n_w))
+                    else:
+                        cols = self._device.keyword_arrays(kf.committed)
+                        filter_statics.append(("keyword", n_w))
             filter_cols.append(tuple(cols))
             filter_flts.append(fp)
 

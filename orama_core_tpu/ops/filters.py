@@ -93,6 +93,22 @@ def value_set_mask(
 
 
 @jax.jit
+def value_set_mask_dense(
+    plane: jax.Array,   # float32[n_docs] value id per doc (-2 = no value)
+    wanted: jax.Array,  # float32[K] wanted value ids (pad with -1)
+) -> jax.Array:
+    """Doc-major keyword eq/in filter — the single-value-per-doc common
+    case (same dense-plane treatment as number_range_mask_dense: the
+    committed column re-indexed BY DOC at device-cache build replaces
+    the [V]->[n_docs] segment_max scatter with an elementwise compare).
+    The -2 fill for valueless docs matches neither real ids (>= 0) nor
+    the -1 pad of ``wanted``."""
+    return jnp.any(
+        plane[:, None] == wanted[None, :], axis=1
+    ).astype(jnp.float32)
+
+
+@jax.jit
 def combine_masks(a: jax.Array, b: jax.Array) -> jax.Array:
     """Filter intersection == elementwise multiply of {0,1} masks."""
     return a * b

@@ -287,6 +287,8 @@ def hybrid_fused_topk_mf(
             m = jnp.where(
                 fp[0] > 0, true_mask, has_mask * (1.0 - true_mask)
             )
+        elif kind == "keyword_dense":
+            m = filter_ops.value_set_mask_dense(cols[0], fp)
         else:  # keyword value-set
             m = filter_ops.value_set_mask(
                 cols[0], cols[1], cols[2], fp, n_docs=n_docs
