@@ -78,7 +78,14 @@ def rrf_fuse_topk_batch(
     ft_g = jnp.take_along_axis(ft_scores, g, axis=1)
     vec_g = jnp.take_along_axis(vec_scores, g, axis=1)
 
-    ch = next((c_ for c_ in (4096, 2048, 1024) if n % c_ == 0), None)
+    # engine capacities are doc_capacity_step (8192) multiples, so the
+    # chunked path always engages there; the unchunked fallback is for
+    # small/odd direct-call shapes only (its [b, 2c, n] broadcast must
+    # never see a large n)
+    ch = next(
+        (c_ for c_ in (4096, 2048, 1024, 512, 256, 128) if n % c_ == 0),
+        None,
+    )
 
     def ranks_of(scores, s_g):
         # rank = #{s' > s} + #{s' == s and id' < id} (argsort-stable ties)
