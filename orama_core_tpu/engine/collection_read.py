@@ -525,26 +525,46 @@ class _DeviceCache:
 
         return self._get(nidx, "num", build)
 
-    def number_dense_plane(self, nidx: CommittedNumberIndex, n_docs: int):
-        """Doc-major committed number column: f32[n_docs] with NaN for
-        docs without a value — turns range/eq filters into elementwise
-        compares (ops/filters.number_range_mask_dense) instead of a
+    def _dense_value_plane(self, idx, tag: str, vals, fill, n_docs: int):
+        """Shared builder for doc-major filter planes (number/keyword):
+        f32[n_docs] value per doc with ``fill`` for valueless docs — turns
+        range/eq/in filters into elementwise compares instead of a
         [V]->[n_docs] segment_max scatter (~30 ms device at 1M). Only
-        valid when every doc holds at most ONE value for the field;
-        returns None otherwise (array fields keep the scatter path).
-        Cached per (committed generation, n_docs) — capacity can grow
-        between commits while the committed object stays."""
-        key = f"numdense{n_docs}"
+        valid when every doc holds at most ONE value; returns None
+        otherwise (array fields keep the scatter path). Capacity can grow
+        between commits while the committed object stays, so stale
+        same-tag planes for older capacities are evicted before building
+        (the dense_term_rows pattern — without it a long ingest that
+        never touches the field accumulates one f32[cap] per capacity
+        step on device)."""
+        key = (tag, n_docs)
+        oid = id(idx)
+        stale = [
+            k for k in self._store
+            if k[0] == oid
+            and isinstance(k[1], tuple)
+            and k[1][0] == tag
+            and k[1] != key
+        ]
+        for k in stale:
+            del self._store[k]
 
         def build():
-            docs = np.asarray(nidx.docs)
+            docs = np.asarray(idx.docs)
             if len(docs) and np.bincount(docs).max() > 1:
                 return (None,)
-            plane = np.full(n_docs, np.nan, np.float32)
-            plane[docs] = np.asarray(nidx.vals, np.float32)
+            plane = np.full(n_docs, fill, np.float32)
+            plane[docs] = np.asarray(vals, np.float32)
             return (self._put_rows(jnp.asarray(plane)),)
 
-        return self._get(nidx, key, build)[0]
+        return self._get(idx, key, build)[0]
+
+    def number_dense_plane(self, nidx: CommittedNumberIndex, n_docs: int):
+        """f32[n_docs] number plane, NaN = no value (every compare False,
+        so no has-mask needed); see _dense_value_plane."""
+        return self._dense_value_plane(
+            nidx, "numdense", nidx.vals, np.nan, n_docs
+        )
 
     # keyword ------------------------------------------------------------------
 
@@ -568,22 +588,12 @@ class _DeviceCache:
         return self._get(kidx, "kw", build)
 
     def keyword_dense_plane(self, kidx: "CommittedKeywordIndex", n_docs: int):
-        """Doc-major committed keyword column: f32[n_docs] value id with
-        -2.0 for docs without a value (matches neither real ids nor the
-        wanted-set's -1 pad). Only when every doc holds at most one
-        value; None otherwise (array keyword fields keep the scatter
-        path). See number_dense_plane."""
-        key = f"kwdense{n_docs}"
-
-        def build():
-            docs = np.asarray(kidx.docs)
-            if len(docs) and np.bincount(docs).max() > 1:
-                return (None,)
-            plane = np.full(n_docs, -2.0, np.float32)
-            plane[docs] = np.asarray(kidx.ids, np.float32)
-            return (self._put_rows(jnp.asarray(plane)),)
-
-        return self._get(kidx, key, build)[0]
+        """f32[n_docs] keyword value-id plane, -2.0 = no value (matches
+        neither real ids nor the wanted-set's -1 pad); see
+        _dense_value_plane."""
+        return self._dense_value_plane(
+            kidx, "kwdense", kidx.ids, -2.0, n_docs
+        )
 
     # bool -------------------------------------------------------------------
 

@@ -88,7 +88,10 @@ def rrf_fuse_topk_batch(
     )
 
     def ranks_of(scores, s_g):
-        # rank = #{s' > s} + #{s' == s and id' < id} (argsort-stable ties)
+        # rank = #{s' > s} + #{s' == s and id' < id} (argsort-stable
+        # ties). Accumulate in int32 and cast ONCE at the end — per-chunk
+        # f32 accumulation loses integer exactness above 2^24 docs and
+        # would break batched-vs-sequential parity on 30M-doc corpora.
         if ch is None:  # tiny/odd n: one unchunked pass
             ids = jnp.arange(n, dtype=jnp.int32)
             better = (scores[:, None, :] > s_g[:, :, None]) | (
@@ -104,11 +107,11 @@ def rrf_fuse_topk_batch(
                 (sc[:, None, :] == s_g[:, :, None])
                 & (idxc[None, None, :] < g[:, :, None])
             )
-            return acc + jnp.sum(better, axis=2).astype(jnp.float32)
+            return acc + jnp.sum(better, axis=2, dtype=jnp.int32)
 
         return jax.lax.fori_loop(
-            0, n // ch, body, jnp.zeros((b, 2 * c), jnp.float32)
-        )
+            0, n // ch, body, jnp.zeros((b, 2 * c), jnp.int32)
+        ).astype(jnp.float32)
 
     r_ft = ranks_of(ft_scores, ft_g)
     r_vec = ranks_of(vec_scores, vec_g)

@@ -299,13 +299,17 @@ def ivf_pq_search(
     # matvec against the LUT column (take_along_axis moves ~100M
     # gathered elements/s on TPU — measured 5.6x end-to-end in
     # benchmarks/pq_100m_bench.py --adc compare vs scan)
+    # bf16 operands on TPU, f32 accumulate — the benchmarked formulation
+    # (see ops/pq.pq_topk); CPU lacks BF16xBF16=F32 dots
+    op_dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
     def b_body(bv, acc):
         eq = (codes_cand == bv.astype(codes_cand.dtype)).astype(
-            jnp.float32
+            op_dt
         )                                                   # [Q, N, M]
         lutb = jax.lax.dynamic_slice(
             lut, (0, 0, bv), (m, q_n, 1)
-        )[:, :, 0].T                                        # [Q, M]
+        )[:, :, 0].T.astype(op_dt)                          # [Q, M]
         return acc + jnp.einsum(
             "qnm,qm->qn", eq, lutb, preferred_element_type=jnp.float32
         )

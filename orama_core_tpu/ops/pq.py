@@ -85,11 +85,18 @@ def pq_topk(
     # (benchmarks/pq_100m_bench.py --adc compare vs scan).
     lut_m_major = lut.transpose(1, 0, 2)                          # [M, Q, C]
 
+    # bf16 operands on TPU (eq is exact 0/1, the LUT rounds to ~3 decimal
+    # digits — noise next to PQ quantization error), f32 accumulate: the
+    # formulation the 5.6x receipt benchmarked; f32 operands double the
+    # bandwidth and halve the MXU rate. The CPU backend lacks
+    # BF16xBF16=F32 dots, so tests trace the f32 variant.
+    op_dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
     def b_body(bv, acc):
-        eq = (codes == bv.astype(codes.dtype)).astype(jnp.float32)
+        eq = (codes == bv.astype(codes.dtype)).astype(op_dt)
         lutb = jax.lax.dynamic_slice(
             lut_m_major, (0, 0, bv), (m, q, 1)
-        )[:, :, 0]                                                # [M, Q]
+        )[:, :, 0].astype(op_dt)                                  # [M, Q]
         return acc + jnp.dot(
             eq, lutb, preferred_element_type=jnp.float32
         ).T                                                       # [Q, P]
