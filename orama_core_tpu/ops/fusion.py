@@ -57,6 +57,41 @@ def rrf_candidate_count(k: int) -> int:
     return need
 
 
+_TIER_SUB = 1024
+
+
+def _tiered_topk(scores: jax.Array, c: int):
+    """Exact-containment top-c over dense scores via block-max tiering
+    (the pallas_knn argument: every doc with modality rank < c lives in
+    a block whose max ranks within the top-c block maxes, modulo exact
+    score ties at the c-th block boundary — which the RRF candidate
+    bound absorbs: an excluded boundary-tie doc has rank >= c by the
+    tie-stable rank definition, so its fused contribution can never
+    displace the true top-k). One cheap [.., nb] reduce + two small
+    top_ks replace a full [.., n] top_k (k=128 at n=1M dominated the
+    batched hybrid program). Flat top_k below 4 blocks or odd n.
+    Accepts [n] or [B, n]; returns indices int32 like lax.top_k."""
+    n = scores.shape[-1]
+    if n % _TIER_SUB or n <= 4 * _TIER_SUB or c >= n // _TIER_SUB:
+        return jax.lax.top_k(scores, c)[1].astype(jnp.int32)
+    squeeze = scores.ndim == 1
+    s = scores[None, :] if squeeze else scores
+    b = s.shape[0]
+    nb = n // _TIER_SUB
+    blocks = s.reshape(b, nb, _TIER_SUB)
+    bmax = jnp.max(blocks, axis=2)                       # [B, nb]
+    _, bidx = jax.lax.top_k(bmax, c)                     # [B, c]
+    cand = jnp.take_along_axis(
+        blocks, bidx[:, :, None], axis=1
+    ).reshape(b, c * _TIER_SUB)                          # [B, c*SUB]
+    _, ci = jax.lax.top_k(cand, c)
+    gi = (
+        jnp.take_along_axis(bidx, ci // _TIER_SUB, axis=1) * _TIER_SUB
+        + ci % _TIER_SUB
+    ).astype(jnp.int32)
+    return gi[0] if squeeze else gi
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cand"))
 def rrf_fuse_topk_batch(
     ft_scores: jax.Array, vec_scores: jax.Array, k: int, cand: int
@@ -72,9 +107,9 @@ def rrf_fuse_topk_batch(
     same dedup."""
     b, n = ft_scores.shape
     c = min(cand, n)
-    _, fi = jax.lax.top_k(ft_scores, c)
-    _, vi = jax.lax.top_k(vec_scores, c)
-    g = jnp.concatenate([fi, vi], axis=1).astype(jnp.int32)      # [b, 2c]
+    fi = _tiered_topk(ft_scores, c)
+    vi = _tiered_topk(vec_scores, c)
+    g = jnp.concatenate([fi, vi], axis=1)                        # [b, 2c]
     ft_g = jnp.take_along_axis(ft_scores, g, axis=1)
     vec_g = jnp.take_along_axis(vec_scores, g, axis=1)
 
@@ -148,9 +183,9 @@ def rrf_fuse_topk(ft_scores: jax.Array, vec_scores: jax.Array, k: int, cand: int
     c = min(cand, n)
     ids = jnp.arange(n, dtype=jnp.int32)
 
-    _, fi = jax.lax.top_k(ft_scores, c)
-    _, vi = jax.lax.top_k(vec_scores, c)
-    g = jnp.concatenate([fi, vi]).astype(jnp.int32)     # [2c]
+    fi = _tiered_topk(ft_scores, c)
+    vi = _tiered_topk(vec_scores, c)
+    g = jnp.concatenate([fi, vi])                       # [2c]
     # each candidate needs BOTH modalities' contributions
     ft_g = ft_scores[g]
     vec_g = vec_scores[g]

@@ -396,3 +396,50 @@ def test_rrf_fuse_topk_batch_matches_single_rowwise():
             np.testing.assert_array_equal(np.asarray(bi[r]), np.asarray(si))
             np.testing.assert_allclose(np.asarray(bv[r]), np.asarray(sv))
             assert int(bc[r]) == int(sc)
+
+
+def test_tiered_topk_matches_flat():
+    """Block-max tiered candidate selection must return the same
+    candidate set as a flat top_k (tie-free data), in both [n] and
+    [B, n] shapes, at a size where tiering actually engages
+    (n // 1024 blocks > c)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orama_core_tpu.ops.fusion import _tiered_topk
+
+    rng = np.random.default_rng(3)
+    n, c = 16384, 6
+    s1 = rng.random(n).astype(np.float32)
+    flat = np.asarray(jax.lax.top_k(jnp.asarray(s1), c)[1])
+    tiered = np.asarray(_tiered_topk(jnp.asarray(s1), c))
+    assert set(flat.tolist()) == set(tiered.tolist())
+    sb = rng.random((4, n)).astype(np.float32)
+    flat_b = np.asarray(jax.lax.top_k(jnp.asarray(sb), c)[1])
+    tiered_b = np.asarray(_tiered_topk(jnp.asarray(sb), c))
+    for r in range(4):
+        assert set(flat_b[r].tolist()) == set(tiered_b[r].tolist())
+
+
+def test_rrf_fuse_topk_tiered_matches_dense_oracle_large():
+    """rrf_fuse_topk with the tiered candidate selector engaged
+    (n=262144 > c*1024) must still reproduce the dense argsort oracle."""
+    import jax.numpy as jnp
+
+    from orama_core_tpu.ops.fusion import (
+        rrf_candidate_count,
+        rrf_fuse,
+        rrf_fuse_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    n, k = 262_144, 10
+    ft = (rng.random(n) * (rng.random(n) < 0.01)).astype(np.float32)
+    vec = (rng.random(n) * (rng.random(n) < 0.02)).astype(np.float32)
+    dense = np.asarray(rrf_fuse(jnp.asarray(ft), jnp.asarray(vec)))
+    want = np.argsort(-dense, kind="stable")[:k]
+    cv, ci, _ = rrf_fuse_topk(
+        jnp.asarray(ft), jnp.asarray(vec), k, rrf_candidate_count(k)
+    )
+    np.testing.assert_array_equal(np.asarray(ci), want)
+    np.testing.assert_allclose(np.asarray(cv), dense[want], rtol=1e-6)
