@@ -92,6 +92,15 @@ def _tiered_topk(scores: jax.Array, c: int):
     return gi[0] if squeeze else gi
 
 
+def dense_topk(scores: jax.Array, k: int):
+    """(vals, idx) top-k over dense scores via _tiered_topk — the shared
+    final-selection primitive of the fused serving programs ([n] single
+    and [B, n] batched use the SAME selector, so path parity is
+    structural). Returns vals sorted descending like lax.top_k."""
+    idx = _tiered_topk(scores, k)
+    return jnp.take_along_axis(scores, idx, axis=-1), idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cand"))
 def rrf_fuse_topk_batch(
     ft_scores: jax.Array, vec_scores: jax.Array, k: int, cand: int

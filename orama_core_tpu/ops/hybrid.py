@@ -429,7 +429,9 @@ def hybrid_fused_topk_mf(
             )
             return vals, idx, count, facet_counts(matched.astype(jnp.float32))
         fused = minmax_fuse(ft, vec)
-    vals, idx = jax.lax.top_k(fused, k)
+    from .fusion import dense_topk
+
+    vals, idx = dense_topk(fused, k)  # tiered above c*1024 docs
     count = jnp.sum(fused > 0).astype(jnp.int32)
     return (
         vals, idx.astype(jnp.int32), count,
@@ -587,6 +589,8 @@ def hybrid_fused_topk_batch(
             )
             return vals, idx.astype(jnp.int32), counts.astype(jnp.int32)
         fused = jax.vmap(minmax_fuse)(ft, vec)
-    vals, idx = jax.lax.top_k(fused, k)
+    from .fusion import dense_topk
+
+    vals, idx = dense_topk(fused, k)  # same selector as the single path
     counts = jnp.sum(fused > 0, axis=-1).astype(jnp.int32)
     return vals, idx.astype(jnp.int32), counts
